@@ -1,0 +1,105 @@
+"""Shared helpers for building differential operators.
+
+Every operator factory has the signature ``factory(grid, bcs=None, **kwargs)`` and
+returns a pure function. With boundary conditions, the function maps *valid* data
+to valid data (``op(data, t=0.0, args=None)``); without (``bcs=None``), it maps
+*full* data (including ghost cells) to valid data, mirroring the reference's
+``make_operator`` / ``make_operator_no_bc`` split (`grids/base.py:1198,1153`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from ..grids.base import GridBase
+
+
+def make_full_padder(grid: GridBase, rank: int) -> Callable:
+    """Return a function padding valid data with one layer of ghost cells."""
+    pads = [(0, 0)] * rank + [(1, 1)] * grid.num_axes
+
+    def pad(data):
+        return jnp.pad(jnp.asarray(data), pads)
+
+    return pad
+
+
+def wrap_with_bcs(grid: GridBase, bcs, rank_in: int, stencil: Callable) -> Callable:
+    """Compose padding + ghost-cell setting + a stencil into one operator.
+
+    `stencil` maps a full array to a valid-shaped result. XLA fuses the
+    functional ghost updates into the stencil, so no extra memory traffic is
+    incurred for the ghost layer beyond the padded array itself.
+    """
+    if bcs is None:
+
+        def op_no_bc(full, t=0.0, args=None):
+            return stencil(jnp.asarray(full))
+
+        return op_no_bc
+
+    pad = make_full_padder(grid, rank_in)
+    ghost_setter = bcs.make_ghost_setter()
+
+    def op(data, t=0.0, args=None):
+        full = pad(data)
+        full = ghost_setter(full, t, args)
+        return stencil(full)
+
+    return op
+
+
+def make_derivative(
+    grid: GridBase, axis: int = 0, method: str = "central", bcs=None
+) -> Callable:
+    """Make a first-derivative operator along a single axis.
+
+    Reference: `backends/numba/operators/common.py:19`.
+    """
+    if method not in {"central", "forward", "backward"}:
+        raise ValueError(f"Unknown derivative method `{method}`")
+    dx = float(grid.discretization[axis])
+    n = grid.num_axes
+
+    def sl(lo, hi):
+        idx = [slice(1, -1)] * n
+        idx[axis] = slice(lo, hi if hi != 0 else None)
+        return tuple(idx)
+
+    if method == "central":
+        scale = 0.5 / dx
+        hi_idx, lo_idx = sl(2, 0), sl(0, -2)
+    elif method == "forward":
+        scale = 1.0 / dx
+        hi_idx, lo_idx = sl(2, 0), sl(1, -1)
+    else:  # backward
+        scale = 1.0 / dx
+        hi_idx, lo_idx = sl(1, -1), sl(0, -2)
+
+    def stencil(full):
+        return (full[hi_idx] - full[lo_idx]) * scale
+
+    return wrap_with_bcs(grid, bcs, 0, stencil)
+
+
+def make_derivative2(grid: GridBase, axis: int = 0, bcs=None) -> Callable:
+    """Make a second-derivative operator along a single axis.
+
+    Reference: `backends/numba/operators/common.py:118`.
+    """
+    scale = float(grid.discretization[axis]) ** -2
+    n = grid.num_axes
+
+    def sl(lo, hi):
+        idx = [slice(1, -1)] * n
+        idx[axis] = slice(lo, hi if hi != 0 else None)
+        return tuple(idx)
+
+    hi_idx, mid_idx, lo_idx = sl(2, 0), sl(1, -1), sl(0, -2)
+
+    def stencil(full):
+        return (full[hi_idx] - 2 * full[mid_idx] + full[lo_idx]) * scale
+
+    return wrap_with_bcs(grid, bcs, 0, stencil)

@@ -20,10 +20,17 @@ _logger = logging.getLogger(__name__)
 _DEFAULT_BC = "auto_periodic_neumann"
 
 
-def set_default_bc(bc_data="auto_periodic_neumann") -> None:
-    """Set the global default boundary condition (reference `axes.py:575`)."""
-    global _DEFAULT_BC
-    _DEFAULT_BC = bc_data
+def set_default_bc(bc_data, default="auto_periodic_neumann"):
+    """Fill in a default boundary condition where the user did not give one.
+
+    Reference: `axes.py:575`.
+    """
+    if bc_data is None:
+        return default
+    if isinstance(bc_data, dict) and not _is_local_bc_data(bc_data):
+        bc_data = dict(bc_data)
+        bc_data.setdefault("*", default)
+    return bc_data
 
 
 def _is_local_bc_data(data: dict[str, Any]) -> bool:

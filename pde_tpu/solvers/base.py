@@ -1,0 +1,334 @@
+"""Base classes for PDE solvers with fully compiled time loops.
+
+TPU-native re-design of `/root/reference/pde/solvers/base.py:50,335`. The key
+inversion vs the reference: steppers are pure functions jitted ONCE and the
+entire multi-step window runs on device via `lax.fori_loop` (fixed dt) or
+`lax.while_loop` (adaptive dt), instead of the reference's Python loop around a
+jitted single step (`backends/jax/_solvers.py:79-94`). Host↔device transfer
+happens only at tracker interrupts.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.base import FieldBase
+from ..models.base import PDEBase, state_from_leaves, state_leaves
+from ..utils.math import OnlineStatistics
+
+
+class ConvergenceError(RuntimeError):
+    """Indicates that an implicit step did not converge."""
+
+
+class SolverBase:
+    """Base class for PDE solvers."""
+
+    name: str | None = None
+    dt_default: float = 1e-3
+
+    _subclasses: dict[str, type[SolverBase]] = {}
+
+    def __init__(self, pde: PDEBase, *, backend: str = "auto"):
+        self.pde = pde
+        self.backend = backend  # accepted for API compatibility; XLA is the backend
+        self.info: dict[str, Any] = {
+            "class": self.__class__.__name__,
+            "pde_class": self.pde.__class__.__name__ if pde is not None else None,
+            "dt": None,
+            "steps": 0,
+            "state_modifications": 0.0,
+            "stochastic": getattr(pde, "is_sde", False) if pde is not None else False,
+            "backend": "jax",
+        }
+        self._logger = logging.getLogger(self.__class__.__name__)
+        self._key = None  # device PRNG key, created lazily
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if cls.__name__ not in SolverBase._subclasses:
+            SolverBase._subclasses[cls.__name__] = cls
+        if hasattr(cls, "name") and cls.name:
+            if (
+                cls.name in SolverBase._subclasses
+                and SolverBase._subclasses[cls.name] is not cls
+            ):
+                logging.getLogger(__name__).warning(
+                    "Solver name `%s` is redefined by %s", cls.name, cls.__name__
+                )
+            SolverBase._subclasses[cls.name] = cls
+
+    @classmethod
+    def from_name(cls, name: str, pde: PDEBase, **kwargs) -> SolverBase:
+        """Create a solver from its registered name (reference `base.py:110`)."""
+        try:
+            solver_cls = cls._subclasses[name]
+        except KeyError:
+            solvers = sorted(
+                k for k in cls._subclasses if not k.endswith("Solver")
+            )
+            raise ValueError(
+                f"Unknown solver method `{name}`; registered solvers: {solvers}"
+            ) from None
+        return solver_cls(pde, **kwargs)
+
+    @property
+    def _compiled(self) -> bool:
+        return True
+
+    def _init_key(self):
+        if self._key is None:
+            seed = int(self.pde.rng.integers(0, 2**31 - 1)) if self.pde else 0
+            self._key = jax.random.key(seed)
+
+    # -- post-step hooks -----------------------------------------------------------------------
+    def _make_post_step_hook(self, state: FieldBase):
+        """Returns (hook(leaves, t, data) -> (leaves, data), init_data)."""
+        try:
+            return self.pde.make_post_step_hook(state)
+        except NotImplementedError:
+            def no_hook(leaves, t, data):
+                return leaves, data
+
+            return no_hook, 0.0
+
+    # -- single-step constructors (overridden by concrete solvers) -------------------------------
+    def _make_single_step_fixed_dt(self, state: FieldBase, dt: float) -> Callable:
+        """Return ``step(leaves, t, key) -> leaves`` for one fixed-dt step.
+
+        The default implementation is an explicit Euler step, mirroring the
+        reference's generic fixed stepper (`solvers/base.py:248`).
+        """
+        rhs = self.pde.make_pde_rhs(state)
+
+        def single_step(leaves, t, key):
+            rates = rhs(leaves, t)
+            return [y + dt * r for y, r in zip(leaves, rates, strict=True)]
+
+        return single_step
+
+    # -- compiled window steppers -------------------------------------------------------------------
+    def _make_fixed_stepper(self, state: FieldBase, dt: float) -> Callable:
+        """Compile a device loop performing N fixed steps per call."""
+        single_step = self._make_single_step_fixed_dt(state, dt)
+        post_hook, post_data_init = self._make_post_step_hook(state)
+        is_sde = self.info["stochastic"]
+
+        @jax.jit
+        def run(leaves, key, t_start, steps, post_data):
+            def body(i, carry):
+                leaves, key, post_data = carry
+                t = t_start + i * dt
+                if is_sde:
+                    sub = jax.random.fold_in(key, i)
+                else:
+                    sub = key
+                leaves = single_step(leaves, t, sub)
+                leaves, post_data = post_hook(leaves, t + dt, post_data)
+                return (leaves, key, post_data)
+
+            leaves, key, post_data = jax.lax.fori_loop(
+                0, steps, body, (leaves, key, post_data)
+            )
+            return leaves, post_data
+
+        self.info.setdefault("post_step_data", post_data_init)
+
+        def fixed_stepper(state_obj: FieldBase, t_start: float, t_end: float):
+            self._init_key()
+            steps = max(1, round((t_end - t_start) / dt))
+            leaves = state_leaves(state_obj)
+            if self.info["stochastic"]:
+                self._key, key = jax.random.split(self._key)
+            else:
+                key = self._key
+            leaves, post_data = run(
+                leaves, key, t_start, steps, self.info["post_step_data"]
+            )
+            self.info["steps"] += steps
+            self.info["post_step_data"] = post_data
+            return state_from_leaves(state_obj, leaves), t_start + steps * dt
+
+        return fixed_stepper
+
+    def make_stepper(self, state: FieldBase, dt: float | None = None) -> Callable:
+        """Return ``stepper(state, t_start, t_end) -> (state, t_reached)``.
+
+        Reference: `solvers/base.py:298`.
+        """
+        dt_float = float(dt) if dt is not None else self.dt_default
+        self.info["dt"] = dt_float
+        self.info["dt_adaptive"] = False
+        return self._make_fixed_stepper(state, dt_float)
+
+
+class AdaptiveSolverBase(SolverBase):
+    """Base class for solvers supporting adaptive time stepping.
+
+    Reference: `solvers/base.py:335`.
+    """
+
+    dt_min: float = 1e-10
+    dt_max: float = 1e10
+
+    def __init__(
+        self,
+        pde: PDEBase,
+        *,
+        backend: str = "auto",
+        adaptive: bool = False,
+        tolerance: float = 1e-4,
+    ):
+        super().__init__(pde, backend=backend)
+        self.adaptive = adaptive
+        self.tolerance = tolerance
+
+    def _make_single_step_error_estimate(self, state: FieldBase) -> Callable:
+        """Return ``estimate(leaves, t, dt) -> (new_leaves, error)``.
+
+        Default: explicit Euler step doubling (reference `solvers/euler.py:240`).
+        """
+        if getattr(self.pde, "is_sde", False):
+            raise RuntimeError("Cannot use adaptive stepping with stochastic equations")
+        rhs = self.pde.make_pde_rhs(state)
+
+        def estimate(leaves, t, dt):
+            rate = rhs(leaves, t)
+            step_large = [y + dt * r for y, r in zip(leaves, rate, strict=True)]
+            half = [y + 0.5 * dt * r for y, r in zip(leaves, rate, strict=True)]
+            rate_mid = rhs(half, t + 0.5 * dt)
+            step_small = [
+                y + 0.5 * dt * r for y, r in zip(half, rate_mid, strict=True)
+            ]
+            error = 0.0
+            for a, b in zip(step_large, step_small, strict=True):
+                error = jnp.maximum(error, jnp.max(jnp.abs(a - b)))
+            return step_small, error
+
+        return estimate
+
+    def _make_adaptive_stepper(self, state: FieldBase) -> Callable:
+        """Compile an adaptive `while_loop` advancing from t_start to t_end."""
+        estimate = self._make_single_step_error_estimate(state)
+        post_hook, post_data_init = self._make_post_step_hook(state)
+        tolerance = self.tolerance
+        dt_min = self.dt_min
+        dt_max = self.dt_max
+        sync_error = self._make_error_synchronizer()
+
+        @jax.jit
+        def run(leaves, t_start, t_end, dt_init, post_data):
+            def cond(carry):
+                _, t, _, _, ok, _, _ = carry
+                return (t < t_end) & ok
+
+            def body(carry):
+                leaves, t, dt_opt, steps, ok, stats, post_data = carry
+                dt_step = jnp.maximum(jnp.minimum(dt_opt, t_end - t), dt_min)
+                new_leaves, error = estimate(leaves, t, dt_step)
+                error_rel = sync_error(error / tolerance)
+                # also treat non-finite states as failures
+                finite = jnp.isfinite(error_rel)
+                accept = finite & (error_rel <= 1.0)
+
+                leaves = [
+                    jnp.where(accept, n, o)
+                    for n, o in zip(new_leaves, leaves, strict=True)
+                ]
+                t_new = jnp.where(accept, t + dt_step, t)
+                hook_leaves, post_data_new = post_hook(leaves, t_new, post_data)
+                leaves = [
+                    jnp.where(accept, h, o)
+                    for h, o in zip(hook_leaves, leaves, strict=True)
+                ]
+                post_data = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(accept, n, o), post_data_new, post_data
+                )
+                steps = steps + accept.astype(jnp.int32)
+                # dt statistics (count, sum, min, max) for accepted steps
+                count, total, mn, mx = stats
+                stats = (
+                    count + accept.astype(jnp.int32),
+                    total + jnp.where(accept, dt_step, 0.0),
+                    jnp.where(accept, jnp.minimum(mn, dt_step), mn),
+                    jnp.where(accept, jnp.maximum(mx, dt_step), mx),
+                )
+                # adjust the time step (reference `solvers/base.py:533`)
+                dt_adj = jnp.where(
+                    error_rel < 0.00057665,
+                    dt_step * 4.0,
+                    jnp.where(
+                        ~finite,
+                        dt_step * 0.25,
+                        dt_step
+                        * jnp.maximum(0.9 * jnp.abs(error_rel) ** -0.2, 0.1),
+                    ),
+                )
+                dt_opt = jnp.clip(dt_adj, dt_min, dt_max)
+                ok = dt_adj >= dt_min
+                return (leaves, t_new, dt_opt, steps, ok, stats, post_data)
+
+            stats0 = (
+                jnp.int32(0),
+                jnp.zeros(()),
+                jnp.full((), jnp.inf),
+                jnp.full((), -jnp.inf),
+            )
+            carry = (
+                leaves,
+                jnp.asarray(t_start, dtype=jnp.result_type(float)),
+                jnp.asarray(dt_init, dtype=jnp.result_type(float)),
+                jnp.int32(0),
+                jnp.bool_(True),
+                stats0,
+                post_data,
+            )
+            leaves, t, dt_opt, steps, ok, stats, post_data = jax.lax.while_loop(
+                cond, body, carry
+            )
+            return leaves, t, dt_opt, steps, ok, stats, post_data
+
+        self.info.setdefault("post_step_data", post_data_init)
+        self.info["dt_statistics"] = OnlineStatistics()
+
+        def adaptive_stepper(state_obj: FieldBase, t_start: float, t_end: float):
+            leaves = state_leaves(state_obj)
+            dt_opt = self.info["dt"] or self.dt_default
+            leaves, t, dt_opt, steps, ok, stats, post_data = run(
+                leaves, t_start, t_end, dt_opt, self.info["post_step_data"]
+            )
+            if not bool(ok):
+                raise RuntimeError(f"Time step below dt_min={self.dt_min}")
+            self.info["dt"] = float(dt_opt)
+            self.info["steps"] += int(steps)
+            self.info["post_step_data"] = post_data
+            self.info["dt_statistics"].add_batch(
+                int(stats[0]), float(stats[1]), float(stats[2]), float(stats[3])
+            )
+            return state_from_leaves(state_obj, leaves), float(t)
+
+        return adaptive_stepper
+
+    def _make_error_synchronizer(self) -> Callable:
+        """Synchronize errors across devices (identity on a single device)."""
+        return lambda error: error
+
+    def make_stepper(self, state: FieldBase, dt: float | None = None) -> Callable:
+        if dt is None and self.adaptive:
+            dt = self.dt_default
+        dt_float = float(dt) if dt is not None else self.dt_default
+        self.info["dt"] = dt_float
+        self.info["dt_adaptive"] = bool(self.adaptive)
+        if self.adaptive:
+            return self._make_adaptive_stepper(state)
+        return self._make_fixed_stepper(state, dt_float)
+
+
+def registered_solvers() -> list[str]:
+    """List of all registered solver names."""
+    return sorted(k for k in SolverBase._subclasses if k[0].islower())

@@ -1,0 +1,67 @@
+"""Milstein method for stochastic differential equations.
+
+Reference: `/root/reference/pde/solvers/milstein.py:29`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.base import FieldBase
+from ..models.base import PDEBase
+from .euler import EulerSolver
+
+
+class MilsteinSolver(EulerSolver):
+    """Milstein method including the derivative-of-variance correction term."""
+
+    name = "milstein"
+
+    def __init__(self, pde: PDEBase, *, backend: str = "auto", adaptive: bool = False,
+                 tolerance: float = 1e-4):
+        super().__init__(pde, backend=backend, adaptive=adaptive, tolerance=tolerance)
+        if not getattr(pde, "use_noise_variance", False):
+            raise RuntimeError("Milstein solver requires `use_noise_variance` enabled")
+
+    def _make_single_step_fixed_dt(self, state: FieldBase, dt: float) -> Callable:
+        if not getattr(self.pde, "is_sde", False):
+            return super()._make_single_step_fixed_dt(state, dt)
+
+        rhs = self.pde.make_pde_rhs(state)
+        drift_factor = self.pde._noise_drift_factor
+        noise_var_fn = self.pde.make_noise_variance(state, ret_diff=True)
+        grid = state.grid
+        inv_cell = jnp.asarray(1.0 / np.broadcast_to(grid.cell_volumes, grid.shape))
+        dt_sqrt = float(np.sqrt(dt))
+        use_realization = self.pde.use_noise_realization
+        if use_realization:
+            realization_fn = self.pde.make_noise_realization(state)
+
+        def single_step(leaves, t, key):
+            rates = rhs(leaves, t)
+            variances, diffs = noise_var_fn(leaves, t)
+            if use_realization:
+                sub = jax.random.fold_in(key, 1)
+                extra = realization_fn(leaves, t, sub)
+                leaves = [y + dt_sqrt * e for y, e in zip(leaves, extra, strict=True)]
+            keys = jax.random.split(jax.random.fold_in(key, 0), len(leaves))
+            out = []
+            for i, (y, rate, var, diff) in enumerate(
+                zip(leaves, rates, variances, diffs, strict=True)
+            ):
+                dW = dt_sqrt * jax.random.normal(keys[i], y.shape, dtype=y.dtype)
+                y = (
+                    y
+                    + dt * rate
+                    + 0.5 * dt * drift_factor * diff * inv_cell
+                    + jnp.sqrt(var * inv_cell) * dW
+                    + 0.25 * diff * inv_cell * (dW**2 - dt)
+                )
+                out.append(y)
+            return out
+
+        return single_step

@@ -34,7 +34,19 @@ class DataFieldBase(FieldBase):
     ):
         shape = (grid.dim,) * self.rank + tuple(grid.shape)
         if dtype is None:
-            dtype = jnp.asarray(0.0).dtype  # default float (respects x64 flag)
+            if isinstance(data, str):
+                dtype = jnp.asarray(0.0).dtype  # default float (respects x64 flag)
+            else:
+                # infer from the data, promoting integers to the default float
+                probe = jnp.asarray(
+                    data.data if isinstance(data, DataFieldBase) else data
+                )
+                if jnp.issubdtype(probe.dtype, jnp.complexfloating):
+                    dtype = probe.dtype
+                elif jnp.issubdtype(probe.dtype, jnp.floating):
+                    dtype = probe.dtype
+                else:
+                    dtype = jnp.asarray(0.0).dtype
         if isinstance(data, str):
             if data == "zeros" or data == "empty":
                 arr = jnp.zeros(shape, dtype=dtype)

@@ -1,0 +1,419 @@
+"""PDEs defined by mathematical expressions — the flagship user interface.
+
+TPU-native re-design of `/root/reference/pde/pdes/pde.py:64`: user expressions
+like ``PDE({"c": "laplace(c**3 - c - laplace(c))"})`` are sympy-parsed once on
+the host, differential operators are resolved against the grid's operator
+registry with per-(variable, operator) boundary-condition routing, and the
+whole right hand side lowers to ONE jitted function per field — XLA fuses the
+stencils, ghost-cell updates, and pointwise math into a single kernel.
+"""
+
+from __future__ import annotations
+
+import keyword
+import numbers
+import re
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+import sympy
+
+from ..fields.base import FieldBase
+from ..fields.collection import FieldCollection
+from ..fields.datafield_base import DataFieldBase
+from ..fields.vectorial import VectorField
+from ..grids.boundaries import set_default_bc
+from .base import SDEBase
+
+# Shorthand notations expanded before parsing (reference `pde.py:47-53`)
+_EXPRESSION_REPLACEMENT: dict[str, str] = {
+    r"\|\s*∇\s*(\w+)\s*\|(²|\*\*2)": r"gradient_squared(\1)",
+    r"∇(²|\*\*2)\s*(\w+)": r"laplace(\2)",
+    r"∇(²|\*\*2)\s*\(": r"laplace(",
+    r"²": r"**2",
+    r"³": r"**3",
+}
+
+# How common operators map to Fourier space (reference `pde.py:56-60`)
+_OPERATOR_FOURIER_MAPPING = {
+    "laplace": "-wave_vector**2 * argument",
+    "gradient": "I * wave_vector * argument",
+    "divergence": "I * wave_vector * argument",
+}
+
+_SPECIAL_OPERATORS = {"dot", "inner", "outer", "integral"}
+
+
+class PDE(SDEBase):
+    """A partial differential equation defined by expression strings."""
+
+    default_bc = "auto_periodic_neumann"
+
+    def __init__(
+        self,
+        rhs: dict[str, str],
+        *,
+        bc=None,
+        bc_ops: dict[str, Any] | None = None,
+        post_step_hook: Callable | None = None,
+        user_funcs: dict[str, Callable] | None = None,
+        consts: dict[str, Any] | None = None,
+        noise=0,
+        noise_interpretation: str = "ito",
+        rng: np.random.Generator | None = None,
+    ):
+        from sympy.core.function import AppliedUndef
+
+        from ..utils.expressions import ScalarExpression
+
+        if isinstance(noise, dict):
+            noise_arr = np.array([noise.get(var, 0) for var in rhs])
+        else:
+            noise_arr = noise
+        if hasattr(noise_arr, "__iter__") and len(noise_arr) != len(rhs):
+            raise ValueError("Number of noise strengths does not match field count")
+        super().__init__(noise=noise_arr, noise_interpretation=noise_interpretation, rng=rng)
+
+        rhs = dict(rhs)
+        for name in rhs:
+            self._check_identifier(name)
+        self.consts = dict(consts or {})
+        self.user_funcs = dict(user_funcs or {})
+
+        self._rhs_expr: dict[str, ScalarExpression] = {}
+        self._operators: dict[str, set[str]] = {}
+        explicit_time_dependence = False
+        complex_valued = False
+        for var, rhs_item in rhs.items():
+            if isinstance(rhs_item, str):
+                for search, repl in _EXPRESSION_REPLACEMENT.items():
+                    rhs_item = re.sub(search, repl, rhs_item)
+            expr = ScalarExpression(
+                rhs_item,
+                signature=None,
+                user_funcs=self.user_funcs,
+                consts=dict.fromkeys(self.consts, 0),
+                explicit_symbols=list(rhs.keys()) + ["t"],
+            )
+            if expr.depends_on_variable("t"):
+                explicit_time_dependence = True
+            if expr.complex:
+                complex_valued = True
+            self._operators[var] = {
+                func.__class__.__name__
+                for func in expr._sympy_expr.atoms(AppliedUndef)
+                if func.__class__.__name__ not in self.user_funcs
+            }
+            self._rhs_expr[var] = expr
+
+        self.rhs = rhs
+        self.variables = tuple(rhs.keys())
+        self.explicit_time_dependence = explicit_time_dependence
+        self.complex_valued = complex_valued
+        self.post_step_hook = post_step_hook
+
+        # boundary condition routing table "var:op" -> bc (reference `pde.py:231-264`)
+        bc = set_default_bc(bc, self.default_bc)
+        if bc_ops is None:
+            bcs = {"*:*": bc}
+        elif isinstance(bc_ops, dict):
+            bcs = dict(bc_ops)
+            bcs["*:*"] = bc
+        else:
+            raise TypeError("`bc_ops` must be a dictionary")
+        self.bcs: dict[str, Any] = {}
+        for key_str, value in bcs.items():
+            parts = re.split(r"\.|:", key_str)
+            if len(parts) == 1:
+                key = f"{self.variables[0]}:{key_str}" if self.variables else key_str
+            elif len(parts) == 2:
+                key = ":".join(parts)
+            else:
+                raise ValueError(f'Cannot parse boundary condition "{key_str}"')
+            self.bcs[key] = value
+
+        self.diagnostics["pde"] = {
+            "variables": list(self.variables),
+            "constants": sorted(self.consts),
+            "explicit_time_dependence": explicit_time_dependence,
+            "complex_valued_rhs": complex_valued,
+            "operators": sorted(set().union(*self._operators.values()) if self._operators else set()),
+            "bcs_used": set(),
+        }
+        self._cache: dict[Any, dict[str, Any]] = {}
+
+    @staticmethod
+    def _check_identifier(name: str) -> None:
+        if not name.isidentifier():
+            raise ValueError(f"`{name}` is not a valid field name")
+        if keyword.iskeyword(name):
+            raise ValueError(f"`{name}` is a keyword and cannot be a field name")
+        if name == "t":
+            raise ValueError("Cannot name a field `t` since it denotes time")
+
+    @property
+    def expressions(self) -> dict[str, str]:
+        """The (expanded) expressions of the PDE."""
+        return {k: v.expression for k, v in self._rhs_expr.items()}
+
+    @property
+    def expression(self) -> str:
+        return "; ".join(f"d{k}/dt = {v}" for k, v in self.expressions.items())
+
+    # -- boundary condition routing --------------------------------------------------------
+    def _resolve_bc(self, var: str, func: str):
+        for bc_key, bc in self.bcs.items():
+            bc_var, bc_func = bc_key.split(":")
+            if (bc_var == var or bc_var == "*") and (bc_func == func or bc_func == "*"):
+                self.diagnostics["pde"]["bcs_used"].add(bc_key)
+                return bc
+        raise RuntimeError(
+            f"Could not find a boundary condition for operator `{func}` in the "
+            f"equation for `{var}`"
+        )
+
+    # -- compilation -------------------------------------------------------------------------
+    def _compile_rhs_single(self, var: str, ops: dict[str, Callable], state: FieldBase):
+        """Compile the rhs function for one variable (reference `pde.py:401`)."""
+        from sympy.core.function import UndefinedFunction
+
+        from ..utils.expressions import _get_jax_modules
+
+        expr = self._rhs_expr[var].copy()
+        grid = state.grid
+
+        # resolve differential operators with their boundary conditions
+        for func in self._operators[var]:
+            if func in ops:
+                continue
+            bc = self._resolve_bc(var, func)
+            op = grid.make_operator(func, bc=bc, jit=False)
+            # bind: operator(data, t) with user args reserved for BCs
+            ops[func] = (lambda _op: lambda arr, t: _op(arr, t, None))(op)
+
+        # rewrite `f(args)` -> `f(args, t)` for differential operators, so
+        # time-dependent boundary conditions receive the current time
+        t_sym = sympy.Symbol("t")
+        for func in self._operators[var] - _SPECIAL_OPERATORS:
+
+            def add_t(application, _name=func):
+                return application.func(*application.args, t_sym)
+
+            expr._sympy_expr = expr._sympy_expr.replace(
+                lambda e, _name=func: (
+                    isinstance(e.func, UndefinedFunction)
+                    and e.func.__name__ == _name
+                    and not (len(e.args) > 1 and e.args[-1] == t_sym)
+                ),
+                add_t,
+            )
+
+        # build the function signature
+        signature: list[str] = list(self.variables) + ["t"]
+        extra_args: tuple = ()
+        if any(expr.depends_on_variable(c) for c in grid.axes):
+            signature += list(grid.axes)
+            extra_args = tuple(
+                jnp.asarray(grid.cell_coords[..., i]) for i in range(grid.num_axes)
+            )
+
+        # separate scalar and field-valued constants
+        scalar_consts = {}
+        const_args: list = []
+        const_names: list[str] = []
+        for name, value in self.consts.items():
+            if isinstance(value, DataFieldBase):
+                value.grid.assert_grid_compatible(grid)
+                const_names.append(name)
+                const_args.append(jnp.asarray(value.data))
+            elif np.isscalar(value) or isinstance(value, numbers.Number):
+                scalar_consts[name] = value
+            elif isinstance(value, np.ndarray):
+                const_names.append(name)
+                const_args.append(jnp.asarray(value))
+            else:
+                raise TypeError(f"Constant `{name}` has unsupported type {type(value)}")
+        signature += const_names
+
+        sympy_expr = expr._sympy_expr
+        if scalar_consts:
+            sympy_expr = sympy_expr.subs(
+                {sympy.Symbol(k): v for k, v in scalar_consts.items()}
+            )
+
+        free = {str(s) for s in sympy_expr.free_symbols}
+        unknown = free - set(signature)
+        if unknown:
+            raise RuntimeError(f"Undefined variables in expression: {sorted(unknown)}")
+
+        modules = [dict(ops), self.user_funcs, *_get_jax_modules()]
+        variables = [sympy.Symbol(v) for v in signature]
+        func_inner = sympy.lambdify(variables, sympy_expr, modules=modules)
+        var_index = list(self.variables).index(var)
+
+        def rhs_func(field_data: tuple, t):
+            result = jnp.asarray(func_inner(*field_data, t, *extra_args, *const_args))
+            # constant expressions (e.g. "0") must still fill the field shape
+            return jnp.broadcast_to(result, jnp.shape(field_data[var_index]))
+
+        return rhs_func
+
+    def _prepare_cache(self, state: FieldBase) -> dict[str, Any]:
+        """Compile all rhs functions for a given state (cached).
+
+        Reference: `pde.py:501-634`.
+        """
+        key = (state.grid, type(state).__name__, len(state) if isinstance(state, FieldCollection) else 1)
+        cache = self._cache.get(key)
+        if cache is not None:
+            return cache
+
+        num_fields = len(self.variables)
+        if isinstance(state, FieldCollection):
+            if num_fields != len(state):
+                raise ValueError(
+                    f"Expected {num_fields} fields in state, got {len(state)}"
+                )
+        elif isinstance(state, DataFieldBase):
+            if num_fields != 1:
+                raise ValueError(f"Expected {num_fields} fields in state, got one")
+        else:
+            raise TypeError(f"Unknown state class {state.__class__.__name__}")
+
+        if set(self.rhs) & set(state.grid.axes):
+            raise ValueError("Field names cannot coincide with grid axes")
+
+        # special operators (reference `pde.py:574-594`)
+        operators = set().union(*self._operators.values()) if self._operators else set()
+        ops_general: dict[str, Callable] = {}
+        if "dot" in operators or "inner" in operators:
+            dot = VectorField(state.grid).make_dot_operator()
+            ops_general["dot"] = dot
+            ops_general["inner"] = dot
+        if "outer" in operators:
+            ops_general["outer"] = VectorField(state.grid).make_outer_prod_operator()
+        if "integral" in operators:
+            grid = state.grid
+            ops_general["integral"] = lambda arr: grid.integrate(arr)
+
+        rhs_funcs = [
+            self._compile_rhs_single(var, ops_general.copy(), state)
+            for var in self.variables
+        ]
+        cache = {"rhs_funcs": rhs_funcs}
+        self._cache[key] = cache
+        return cache
+
+    # -- evaluation --------------------------------------------------------------------------------
+    def make_pde_rhs(self, state: FieldBase, backend: str = "jax") -> Callable:
+        """Fused rhs on raw data leaves: ``rhs(leaves, t) -> leaves``."""
+        cache = self._prepare_cache(state)
+        rhs_funcs = cache["rhs_funcs"]
+
+        def rhs(leaves, t):
+            data = tuple(leaves)
+            return [f(data, t) for f in rhs_funcs]
+
+        return rhs
+
+    def evolution_rate(self, state: FieldBase, t: float = 0.0) -> FieldBase:
+        cache = self._prepare_cache(state)
+        rhs_funcs = cache["rhs_funcs"]
+        if isinstance(state, DataFieldBase):
+            data = rhs_funcs[0]((state.data,), t)
+            return state.__class__(state.grid, data=data, label="evolution rate")
+        data_tuple = tuple(f.data for f in state)  # type: ignore[union-attr]
+        fields = []
+        for i, field in enumerate(state):  # type: ignore[union-attr]
+            rate = rhs_funcs[i](data_tuple, t)
+            fields.append(field.__class__(field.grid, data=rate, label=field.label))
+        return FieldCollection(fields)
+
+    def make_post_step_hook(self, state: FieldBase):
+        if self.post_step_hook is None:
+            raise NotImplementedError("`post_step_hook` not set")
+        hook = self.post_step_hook
+        is_collection = isinstance(state, FieldCollection)
+
+        def post_step_hook(leaves, t, data):
+            if is_collection:
+                new = hook(list(leaves), t)
+                return list(new), data
+            new = hook(leaves[0], t)
+            return [new], data
+
+        return post_step_hook, 0.0
+
+    # -- linear stability analysis -------------------------------------------------------------------
+    def _jacobian_spectral(
+        self,
+        state_hom=None,
+        *,
+        t: float = 0,
+        wave_vector="q",
+        check_steady_state: bool = True,
+    ) -> sympy.Matrix:
+        """Jacobian in Fourier space (reference `pde.py:902`)."""
+        if wave_vector == "t":
+            raise ValueError("`wave_vector` must not be `t`")
+        if wave_vector in self.variables:
+            raise ValueError(f"`wave_vector` must differ from {self.variables}")
+
+        if state_hom is None:
+            state_dict = None
+        else:
+            if isinstance(state_hom, dict):
+                state_dict = state_hom
+            elif isinstance(state_hom, numbers.Number):
+                state_dict = dict.fromkeys(self.variables, state_hom)
+            else:
+                if len(state_hom) != len(self.variables):
+                    raise ValueError(f"Expect {len(self.variables)} values")
+                state_dict = dict(zip(self.variables, state_hom, strict=True))
+            for v, value in state_dict.items():
+                if not isinstance(value, numbers.Number):
+                    raise TypeError(f"Value for field `{v}` is not a number")
+
+        q_sym = sympy.symbols(wave_vector)
+        arg = sympy.symbols("argument")
+        fourier_repl = {}
+        for op, op_fourier in _OPERATOR_FOURIER_MAPPING.items():
+            expr_f = sympy.parse_expr(op_fourier).subs(sympy.symbols("wave_vector"), q_sym)
+            fourier_repl[sympy.symbols(op, cls=sympy.Function)] = sympy.Lambda(arg, expr_f)
+
+        jacobian = []
+        for v1 in self.variables:
+            expr = self._rhs_expr[v1]._sympy_expr.subs("t", t)
+            unsupported = {
+                f.__class__.__name__ for f in expr.atoms(sympy.core.function.AppliedUndef)
+            } - set(_OPERATOR_FOURIER_MAPPING)
+            if unsupported:
+                raise RuntimeError(
+                    f"Operators {sorted(unsupported)} have no Fourier representation"
+                )
+            expr_f = expr.subs(fourier_repl)
+            if check_steady_state and state_dict is not None:
+                expr_f0 = expr_f.subs(wave_vector, 0)
+                value = float(expr_f0.subs(state_dict))
+                if not np.isclose(value, 0):
+                    raise RuntimeError("State is not a stationary state")
+            jac_line = []
+            for v2 in self.variables:
+                el = expr_f.diff(v2)
+                if state_dict is not None:
+                    el = el.subs(state_dict)
+                jac_line.append(sympy.simplify(el))
+            jacobian.append(jac_line)
+        return sympy.Matrix(jacobian)
+
+    def _dispersion_relation(self, state_hom, qs=None, *, t: float = 0):
+        """Eigenvalues of the spectral Jacobian over wave numbers (reference `pde.py:1005`)."""
+        if qs is None:
+            qs = np.linspace(0, 1)
+        jac = self._jacobian_spectral(state_hom, t=t, wave_vector="wave_vector")
+        evs_list = []
+        for q in qs:
+            jac_n = sympy.matrix2numpy(jac.subs("wave_vector", q), dtype=complex)
+            evs_list.append(np.linalg.eigvals(jac_n))
+        return qs, np.array(evs_list)

@@ -176,10 +176,12 @@ class ExpressionBase:
     def _get_function(self, single_arg: bool = False, backend: str = "jax") -> Callable:
         """Lambdify the expression for the given backend ('jax' or 'numpy')."""
         modules: Any
+        # user functions FIRST so they shadow same-named numpy/jnp attributes
+        # (e.g. a user function `double` vs the jnp.double dtype constructor)
         if backend == "jax":
-            modules = _get_jax_modules() + [self.user_funcs]
+            modules = [self.user_funcs] + _get_jax_modules()
         elif backend in ("numpy", "numba"):
-            modules = _NUMPY_MODULES + [self.user_funcs]
+            modules = [self.user_funcs] + _NUMPY_MODULES
         else:
             raise ValueError(f"Unknown backend `{backend}`")
         expr = self._sympy_expr

@@ -1,0 +1,65 @@
+"""Benchmark: 2D diffusion cell-update throughput on the available device.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Baseline target (BASELINE.json): >= 1e10 cell-updates/s for 2D diffusion at
+4096^2 (on TPU v5e-8; this benchmark uses whatever devices are visible).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def bench_diffusion(size: int = 4096, steps_per_window: int = 200, windows: int = 5):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import pde_tpu as pde
+
+    grid = pde.UnitGrid([size, size], periodic=True)
+    state = pde.ScalarField.random_uniform(
+        grid, rng=np.random.default_rng(0), dtype=jnp.float32
+    )
+    eq = pde.DiffusionPDE(diffusivity=0.1)
+    dt = 0.1  # stable for D=0.1, dx=1
+
+    solver = pde.solvers.EulerSolver(eq, adaptive=False)
+    stepper = solver.make_stepper(state, dt=dt)
+
+    # warm-up (compiles the window loop)
+    state_w, t = stepper(state, 0.0, dt * steps_per_window)
+    jax.block_until_ready(state_w.data)
+
+    t0 = time.perf_counter()
+    t_cur = t
+    for _ in range(windows):
+        state_w, t_cur = stepper(state_w, t_cur, t_cur + dt * steps_per_window)
+    jax.block_until_ready(state_w.data)
+    elapsed = time.perf_counter() - t0
+
+    total_updates = size * size * steps_per_window * windows
+    return total_updates / elapsed
+
+
+def main() -> None:
+    size = int(os.environ.get("BENCH_SIZE", "4096"))
+    value = bench_diffusion(size=size)
+    baseline = 1e10  # BASELINE.json target on v5e-8
+    print(
+        json.dumps(
+            {
+                "metric": f"2D diffusion cell-updates/s ({size}^2, fp32, Euler)",
+                "value": value,
+                "unit": "cell-updates/s",
+                "vs_baseline": value / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

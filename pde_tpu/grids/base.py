@@ -282,7 +282,15 @@ class GridBase:
         """
         from .boundaries.axes import BoundariesBase
 
-        return BoundariesBase.from_data(bc, grid=self, rank=rank)
+        bcs = BoundariesBase.from_data(bc, grid=self, rank=rank)
+        if self._mesh is not None:
+            # this grid is the local template of a decomposition: swap in
+            # halo-exchanging boundary conditions (reference `_mesh.py:535`)
+            from ..parallel.boundaries import ShardedBoundaries
+
+            if not isinstance(bcs, ShardedBoundaries):
+                bcs = self._mesh.extract_boundary_conditions(bcs)
+        return bcs
 
     # -- operators -------------------------------------------------------------------
     @classmethod
@@ -376,6 +384,7 @@ class GridBase:
 
     def integrate(self, data, axes=None):
         """Integrate data over (a subset of) the grid axes."""
+        import jax
         import jax.numpy as jnp
 
         if axes is None:
@@ -391,7 +400,18 @@ class GridBase:
             shape[ax] = self.shape[ax]
             data = data * jnp.asarray(factors[ax].reshape(shape))
         neg_axes = tuple(a - self.num_axes for a in axes_list)
-        return jnp.sum(data, axis=neg_axes)
+        result = jnp.sum(data, axis=neg_axes)
+        if self._mesh is not None and len(axes_list) == self.num_axes:
+            # inside shard_map on a decomposed grid: reduce across all shards
+            # (reference: MPI allreduce, `backends/numba_mpi/backend.py:196`)
+            names = tuple(
+                name
+                for name, n in zip(self._mesh.axis_names, self._mesh.decomposition, strict=True)
+                if n > 1
+            )
+            if names:
+                result = jax.lax.psum(result, names)
+        return result
 
     # -- point handling -----------------------------------------------------------------
     def point_to_cartesian(self, points, *, full: bool = False):

@@ -65,11 +65,21 @@ class BoundaryAxisBase:
     def __repr__(self) -> str:
         return f"{self.__class__.__name__}({self.low!r}, {self.high!r})"
 
+    def _recreate(self, low: BCBase, high: BCBase) -> BoundaryAxisBase:
+        """Build a compatible pair object from new local conditions.
+
+        Subclasses with non-standard constructors (e.g. BoundaryPeriodic) fall
+        back to a plain BoundaryPair — periodicity is carried by the local BCs.
+        """
+        return self.__class__(low, high)
+
     def copy(self) -> BoundaryAxisBase:
-        return self.__class__(self.low.copy(), self.high.copy())
+        return self._recreate(self.low.copy(), self.high.copy())
 
     def to_subgrid(self, subgrid: GridBase) -> BoundaryAxisBase:
-        return self.__class__(self.low.to_subgrid(subgrid), self.high.to_subgrid(subgrid))
+        return self._recreate(
+            self.low.to_subgrid(subgrid), self.high.to_subgrid(subgrid)
+        )
 
     def get_mathematical_representation(self, field_name: str = "C"):
         return (
@@ -128,6 +138,10 @@ class BoundaryPeriodic(BoundaryPair):
     @property
     def flip_sign(self) -> bool:
         return self.low.flip_sign  # type: ignore[union-attr]
+
+    def _recreate(self, low, high) -> BoundaryPair:
+        # constructor signature differs; periodicity is carried by the local BCs
+        return BoundaryPair(low, high)
 
 
 def get_boundary_axis(grid: GridBase, axis: int, data, *, rank: int = 0) -> BoundaryAxisBase:

@@ -10,7 +10,4 @@ from .milstein import MilsteinSolver
 from .runge_kutta import RungeKuttaSolver
 from .scipy import ScipySolver
 
-try:
-    from .explicit_sharded import ExplicitShardedSolver
-except ImportError:  # pragma: no cover — during incremental bootstrap
-    pass
+from .explicit_sharded import ExplicitMPISolver, ExplicitShardedSolver

@@ -34,9 +34,11 @@ class SolverBase:
 
     _subclasses: dict[str, type[SolverBase]] = {}
 
-    def __init__(self, pde: PDEBase, *, backend: str = "auto"):
+    def __init__(self, pde: PDEBase, *, backend: str = "auto", decomposition=None):
         self.pde = pde
         self.backend = backend  # accepted for API compatibility; XLA is the backend
+        self.decomposition = decomposition  # device-mesh domain decomposition
+        self._mesh = None
         self.info: dict[str, Any] = {
             "class": self.__class__.__name__,
             "pde_class": self.pde.__class__.__name__ if pde is not None else None,
@@ -112,9 +114,32 @@ class SolverBase:
 
         return single_step
 
+    # -- domain decomposition -----------------------------------------------------------------------
+    def _get_mesh(self, state: FieldBase):
+        """Return the GridMesh for decomposed runs (None for single-device)."""
+        if self.decomposition is None:
+            return None
+        if self._mesh is None:
+            from ..parallel.mesh import GridMesh
+
+            self._mesh = GridMesh.from_grid(state.grid, self.decomposition)
+            self.info["decomposition"] = list(self._mesh.decomposition)
+        return self._mesh
+
+    @staticmethod
+    def _leaf_ranks(state: FieldBase) -> list[int]:
+        from ..fields.collection import FieldCollection
+
+        if isinstance(state, FieldCollection):
+            return [f.rank for f in state]
+        return [state.rank]  # type: ignore[list-item]
+
     # -- compiled window steppers -------------------------------------------------------------------
     def _make_fixed_stepper(self, state: FieldBase, dt: float) -> Callable:
         """Compile a device loop performing N fixed steps per call."""
+        mesh = self._get_mesh(state)
+        if mesh is not None:
+            return self._make_fixed_stepper_sharded(state, dt, mesh)
         single_step = self._make_single_step_fixed_dt(state, dt)
         post_hook, post_data_init = self._make_post_step_hook(state)
         is_sde = self.info["stochastic"]
@@ -149,6 +174,79 @@ class SolverBase:
                 key = self._key
             leaves, post_data = run(
                 leaves, key, t_start, steps, self.info["post_step_data"]
+            )
+            self.info["steps"] += steps
+            self.info["post_step_data"] = post_data
+            return state_from_leaves(state_obj, leaves), t_start + steps * dt
+
+        return fixed_stepper
+
+    def _make_fixed_stepper_sharded(self, state: FieldBase, dt: float, mesh) -> Callable:
+        """Fixed-dt window loop running under shard_map over the device mesh.
+
+        Replaces the reference's ExplicitMPISolver (`solvers/explicit_mpi.py:24`):
+        halo exchange happens via ppermute inside each rhs evaluation; there is
+        no scatter/gather per window — data stays sharded on the devices.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        local_template = mesh.extract_subfield(state)
+        single_step = self._make_single_step_fixed_dt(local_template, dt)
+        post_hook, post_data_init = self._make_post_step_hook(local_template)
+        is_sde = self.info["stochastic"]
+        ranks = self._leaf_ranks(state)
+        leaf_specs = [mesh.partition_spec(r) for r in ranks]
+        rep = P()
+        axis_names = mesh.axis_names
+
+        def window(leaves, key, t_start, steps, post_data):
+            if is_sde:
+                # decorrelate the noise between shards
+                for name in axis_names:
+                    key = jax.random.fold_in(key, jax.lax.axis_index(name))
+
+            def body(i, carry):
+                leaves, key, post_data = carry
+                t = t_start + i * dt
+                sub = jax.random.fold_in(key, i) if is_sde else key
+                leaves = single_step(leaves, t, sub)
+                leaves, post_data = post_hook(leaves, t + dt, post_data)
+                return (leaves, key, post_data)
+
+            leaves, key, post_data = jax.lax.fori_loop(
+                0, steps, body, (leaves, key, post_data)
+            )
+            return leaves, post_data
+
+        sharded_window = jax.jit(
+            jax.shard_map(
+                window,
+                mesh=mesh.jax_mesh,
+                in_specs=(leaf_specs, rep, rep, rep, rep),
+                out_specs=(leaf_specs, rep),
+                check_vma=False,
+            )
+        )
+
+        self.info.setdefault("post_step_data", post_data_init)
+        shardings = [
+            jax.NamedSharding(mesh.jax_mesh, spec) for spec in leaf_specs
+        ]
+
+        def fixed_stepper(state_obj: FieldBase, t_start: float, t_end: float):
+            self._init_key()
+            steps = max(1, round((t_end - t_start) / dt))
+            leaves = [
+                jax.device_put(x, s)
+                for x, s in zip(state_leaves(state_obj), shardings, strict=True)
+            ]
+            if is_sde:
+                self._key, key = jax.random.split(self._key)
+            else:
+                key = self._key
+            leaves, post_data = sharded_window(
+                leaves, key, jnp.asarray(t_start), jnp.asarray(steps),
+                self.info["post_step_data"],
             )
             self.info["steps"] += steps
             self.info["post_step_data"] = post_data
@@ -214,14 +312,27 @@ class AdaptiveSolverBase(SolverBase):
 
     def _make_adaptive_stepper(self, state: FieldBase) -> Callable:
         """Compile an adaptive `while_loop` advancing from t_start to t_end."""
-        estimate = self._make_single_step_error_estimate(state)
-        post_hook, post_data_init = self._make_post_step_hook(state)
+        mesh = self._get_mesh(state)
+        if mesh is not None:
+            local_template = mesh.extract_subfield(state)
+            estimate = self._make_single_step_error_estimate(local_template)
+            post_hook, post_data_init = self._make_post_step_hook(local_template)
+            # adaptive-dt error synchronized across shards (reference:
+            # MPI allreduce-MAX, `backends/numba/_solvers.py:227-261`)
+            sync_names = tuple(
+                name
+                for name, n in zip(mesh.axis_names, mesh.decomposition, strict=True)
+                if n > 1
+            )
+            sync_error = lambda err: jax.lax.pmax(err, sync_names) if sync_names else err
+        else:
+            estimate = self._make_single_step_error_estimate(state)
+            post_hook, post_data_init = self._make_post_step_hook(state)
+            sync_error = self._make_error_synchronizer()
         tolerance = self.tolerance
         dt_min = self.dt_min
         dt_max = self.dt_max
-        sync_error = self._make_error_synchronizer()
 
-        @jax.jit
         def run(leaves, t_start, t_end, dt_init, post_data):
             def cond(carry):
                 _, t, _, _, ok, _, _ = carry
@@ -293,14 +404,40 @@ class AdaptiveSolverBase(SolverBase):
             )
             return leaves, t, dt_opt, steps, ok, stats, post_data
 
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            ranks = self._leaf_ranks(state)
+            leaf_specs = [mesh.partition_spec(r) for r in ranks]
+            rep = P()
+            run = jax.jit(
+                jax.shard_map(
+                    run,
+                    mesh=mesh.jax_mesh,
+                    in_specs=(leaf_specs, rep, rep, rep, rep),
+                    out_specs=(leaf_specs, rep, rep, rep, rep, (rep,) * 4, rep),
+                    check_vma=False,
+                )
+            )
+            shardings = [jax.NamedSharding(mesh.jax_mesh, s) for s in leaf_specs]
+        else:
+            run = jax.jit(run)
+            shardings = None
+
         self.info.setdefault("post_step_data", post_data_init)
         self.info["dt_statistics"] = OnlineStatistics()
 
         def adaptive_stepper(state_obj: FieldBase, t_start: float, t_end: float):
             leaves = state_leaves(state_obj)
+            if shardings is not None:
+                leaves = [
+                    jax.device_put(x, s)
+                    for x, s in zip(leaves, shardings, strict=True)
+                ]
             dt_opt = self.info["dt"] or self.dt_default
             leaves, t, dt_opt, steps, ok, stats, post_data = run(
-                leaves, t_start, t_end, dt_opt, self.info["post_step_data"]
+                leaves, jnp.asarray(t_start), jnp.asarray(t_end),
+                jnp.asarray(dt_opt), self.info["post_step_data"]
             )
             if not bool(ok):
                 raise RuntimeError(f"Time step below dt_min={self.dt_min}")

@@ -1,0 +1,138 @@
+"""Sharded execution tests: decomposed runs must match single-device bit-for-bit.
+
+Mirrors the reference MPI test strategy (`tests/pdes/test_pdes_mpi.py:28-35`)
+using the virtual 8-device CPU mesh instead of `mpiexec -n N`.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import pde_tpu as pde
+from pde_tpu.parallel import GridMesh, _get_optimal_decomposition
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >= 4 devices"
+)
+
+
+def test_optimal_decomposition():
+    assert _get_optimal_decomposition([32, 32], 8) in ([4, 2], [2, 4])
+    assert _get_optimal_decomposition([64], 8) == [8]
+    assert _get_optimal_decomposition([6, 4], 6) in ([3, 2], [6, 1])
+    with pytest.raises(ValueError):
+        _get_optimal_decomposition([5, 5], 8)
+
+
+def test_grid_mesh_basics(rng):
+    grid = pde.UnitGrid([16, 8], periodic=True)
+    mesh = GridMesh.from_grid(grid, [4, 2])
+    assert len(mesh) == 8
+    assert mesh.subgrid.shape == (4, 4)
+    np.testing.assert_allclose(mesh.subgrid.discretization, grid.discretization)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    sharded = mesh.split_field(field)
+    np.testing.assert_allclose(np.asarray(sharded.data), np.asarray(field.data))
+    combined = mesh.combine_field(sharded)
+    np.testing.assert_allclose(np.asarray(combined.data), np.asarray(field.data))
+
+
+@pytest.mark.parametrize(
+    "periodic,bc",
+    [
+        ([True, True], "periodic"),
+        ([False, False], {"value": 0.5}),
+        ([True, False], {"x": "periodic", "y-": {"value": 1}, "y+": {"derivative": 0}}),
+    ],
+)
+def test_sharded_diffusion_parity(periodic, bc, rng):
+    grid = pde.UnitGrid([16, 16], periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.2, bc=bc)
+    ref = eq.solve(state, t_range=0.5, dt=0.01, tracker=None)
+    res = eq.solve(
+        state, t_range=0.5, dt=0.01, solver="explicit_sharded", adaptive=False,
+        decomposition=[2, 2], tracker=None,
+    )
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(ref.data))
+
+
+def test_sharded_adaptive_parity(rng):
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.2)
+    ref, ref_info = eq.solve(
+        state, t_range=0.5, solver="euler", adaptive=True, tolerance=1e-5,
+        tracker=None, ret_info=True,
+    )
+    res, res_info = eq.solve(
+        state, t_range=0.5, solver="explicit_sharded", adaptive=True,
+        tolerance=1e-5, decomposition=[4, 2], tracker=None, ret_info=True,
+    )
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(ref.data))
+    assert res_info["solver"]["steps"] == ref_info["solver"]["steps"]
+
+
+def test_sharded_expression_pde_parity(rng):
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+    eq = pde.PDE({"c": "laplace(c**3 - c - laplace(c))"})
+    ref = eq.solve(state, t_range=0.2, dt=0.005, tracker=None)
+    res = eq.solve(
+        state, t_range=0.2, dt=0.005, solver="explicit_mpi", adaptive=False,
+        decomposition=[2, 2], tracker=None,
+    )
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(ref.data))
+
+
+def test_sharded_stochastic_kpz(rng):
+    """BASELINE config 5: stochastic KPZ on a decomposed 2D grid."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField(grid, 0.0)
+    eq = pde.KPZInterfacePDE(noise=0.1, rng=rng)
+    res = eq.solve(
+        state, t_range=0.5, dt=0.01, solver="explicit_sharded", adaptive=False,
+        decomposition=[4, 2], tracker=None,
+    )
+    data = np.asarray(res.data)
+    assert np.all(np.isfinite(data))
+    assert data.std() > 0.01
+    # different shards received decorrelated noise: no periodic copies
+    assert not np.allclose(data[:8, :8], data[8:, :8])
+
+
+def test_sharded_collection_state(rng):
+    grid = pde.CartesianGrid([(0, 10)], 64, periodic=True)
+    u0 = pde.ScalarField.from_expression(grid, "exp(-(x-5)**2)")
+    eq = pde.WavePDE(speed=1)
+    init = eq.get_initial_condition(u0)
+    ref = eq.solve(init, t_range=0.5, dt=0.005, tracker=None)
+    res = eq.solve(
+        init, t_range=0.5, dt=0.005, solver="explicit_sharded", adaptive=False,
+        decomposition=[4], tracker=None,
+    )
+    for a, b in zip(res, ref, strict=True):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+
+
+def test_sharded_integral_psum(rng):
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    mesh = GridMesh.from_grid(grid, [2, 2])
+    sharded = mesh.split_field(field)
+    assert float(sharded.integral) == pytest.approx(float(field.integral))
+
+
+def test_graft_entry():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "__graft_entry__.py")
+    spec = importlib.util.spec_from_file_location("__graft_entry__", path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    fn, args = module.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out.shape == args[0].shape
+    module.dryrun_multichip(min(8, len(jax.devices())))

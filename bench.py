@@ -30,15 +30,16 @@ def bench_diffusion(size: int = 4096, steps_per_window: int = 200, windows: int 
     solver = pde.solvers.EulerSolver(eq, adaptive=False)
     stepper = solver.make_stepper(state, dt=dt)
 
-    # warm-up (compiles the window loop)
+    # warm-up (compiles the window loop); np.asarray forces completion, since
+    # block_until_ready does not reliably block on the remote axon platform
     state_w, t = stepper(state, 0.0, dt * steps_per_window)
-    jax.block_until_ready(state_w.data)
+    np.asarray(state_w.data)
 
     t0 = time.perf_counter()
     t_cur = t
     for _ in range(windows):
         state_w, t_cur = stepper(state_w, t_cur, t_cur + dt * steps_per_window)
-    jax.block_until_ready(state_w.data)
+    float(jnp.sum(state_w.data))  # force full computation
     elapsed = time.perf_counter() - t0
 
     total_updates = size * size * steps_per_window * windows

@@ -350,8 +350,11 @@ class GridBase:
         info = self._get_operator_info(operator)
         bcs = self.get_boundary_conditions(bc, rank=info.rank_in)
         cache = self.__dict__.setdefault("_operator_cache", {})
+        from ..utils.config import config as global_config
+
+        config_key = tuple(sorted(global_config["operators"].to_dict().items()))
         try:
-            key = (operator, bcs, jit, tuple(sorted(kwargs.items())))
+            key = (operator, bcs, jit, tuple(sorted(kwargs.items())), config_key)
             hash(key)
         except TypeError:
             key = None

@@ -207,13 +207,15 @@ class BCBase:
         return self.copy_for(subgrid, self.axis, self.upper, rank=self.rank)
 
     # -- indexing helpers -----------------------------------------------------------
-    def _ghost_indices(self, read_offset: int = 0):
-        """Static index tuples (write, read) into full data arrays.
+    def _ghost_indices(self, ndim: int, read_offset: int = 0):
+        """Index tuples (write, read) into a full data array with `ndim` axes.
 
-        `read_offset`: distance of the read layer from the boundary edge
-        (0 = edge cell).
+        The number of leading (tensor-component) axes derives from the data's
+        ndim, not the BC's construction rank, mirroring the reference's
+        rank-agnostic ghost setters (`local.py:1613` offset computation).
+        `read_offset`: distance of the read layer from the boundary edge.
         """
-        lead = len(self._shape_tensor) + (1 if self.normal else 0)
+        lead = ndim - self.grid.num_axes
         write: list[Any] = [slice(None)] * lead + [
             slice(1, -1) for _ in range(self.grid.num_axes)
         ]
@@ -223,7 +225,7 @@ class BCBase:
             read[lead + self.axis] = -2 - read_offset
         else:
             read[lead + self.axis] = 1 + read_offset
-        if self.normal:
+        if self.normal and lead > 0:
             write[lead - 1] = self.axis
             read[lead - 1] = self.axis
         return tuple(write), tuple(read)
@@ -299,19 +301,18 @@ class _PeriodicBC(BCBase):
         return f"{field_name}({ax}={lo}) = {sign}{field_name}({ax}={hi})"
 
     def make_ghost_setter(self):
-        lead = len(self._shape_tensor)
-        write: list[Any] = [slice(None)] * lead + [
-            slice(1, -1) for _ in range(self.grid.num_axes)
-        ]
-        write[lead + self.axis] = -1 if self.upper else 0
-        read = list(write)
-        # opposite valid edge
-        read[lead + self.axis] = 1 if self.upper else -2
-        write_t, read_t = tuple(write), tuple(read)
+        num_axes = self.grid.num_axes
+        axis = self.axis
+        upper = self.upper
         sign = -1.0 if self.flip_sign else 1.0
 
         def setter(full, t=0.0, args=None):
-            return full.at[write_t].set(sign * full[read_t])
+            lead = full.ndim - num_axes
+            write: list[Any] = [slice(None)] * lead + [slice(1, -1)] * num_axes
+            write[lead + axis] = -1 if upper else 0
+            read = list(write)
+            read[lead + axis] = 1 if upper else -2  # opposite valid edge
+            return full.at[tuple(write)].set(sign * full[tuple(read)])
 
         return setter
 
@@ -342,7 +343,6 @@ class UserBC(BCBase):
         return f"user-controlled  @ {self.grid.axes[self.axis]}={self.axis_coord}"
 
     def make_ghost_setter(self):
-        write_t, read_t = self._ghost_indices()
         dx = float(self.grid.discretization[self.axis])
 
         def setter(full, t=0.0, args=None):
@@ -350,6 +350,7 @@ class UserBC(BCBase):
 
             if args is None:
                 return full  # no-op without user data
+            write_t, read_t = self._ghost_indices(full.ndim)
             if "virtual_point" in args:
                 ghost = jnp.asarray(args["virtual_point"])
             elif "value" in args:
@@ -465,11 +466,12 @@ class ConstBC1stOrderBase(ConstBCBase):
     def make_ghost_setter(self):
         const, factor, index = self.get_virtual_point_data()
         edge = self.grid.shape[self.axis] - 1 if self.upper else 0
-        write_t, read_t = self._ghost_indices(read_offset=abs(index - edge))
+        offset = abs(index - edge)
         const_b = self._broadcast_value(const)
         factor_b = self._broadcast_value(factor)
 
         def setter(full, t=0.0, args=None):
+            write_t, read_t = self._ghost_indices(full.ndim, read_offset=offset)
             return full.at[write_t].set(const_b + factor_b * full[read_t])
 
         return setter
@@ -581,13 +583,14 @@ class ConstBC2ndOrderBase(ConstBCBase):
     def make_ghost_setter(self):
         const, f1, i1, f2, i2 = self.get_virtual_point_data()
         edge = self.grid.shape[self.axis] - 1 if self.upper else 0
-        write_t, read1_t = self._ghost_indices(read_offset=abs(i1 - edge))
-        _, read2_t = self._ghost_indices(read_offset=abs(i2 - edge))
+        off1, off2 = abs(i1 - edge), abs(i2 - edge)
         const_b = self._broadcast_value(const)
         f1_b = self._broadcast_value(f1)
         f2_b = self._broadcast_value(f2)
 
         def setter(full, t=0.0, args=None):
+            write_t, read1_t = self._ghost_indices(full.ndim, read_offset=off1)
+            _, read2_t = self._ghost_indices(full.ndim, read_offset=off2)
             ghost = const_b + f1_b * full[read1_t] + f2_b * full[read2_t]
             return full.at[write_t].set(ghost)
 
@@ -746,7 +749,6 @@ class ExpressionBC(BCBase):
         else:
             edge = self.grid.shape[self.axis] - 1 if self.upper else 0
             read_offset = abs(self.value_cell - edge)
-        write_t, read_t = self._ghost_indices(read_offset=read_offset)
         bc_coords = self.grid._boundary_coordinates(self.axis, self.upper)
         coord_arrays = tuple(
             jnp.asarray(bc_coords[..., i]) for i in range(self.grid.num_axes)
@@ -754,6 +756,7 @@ class ExpressionBC(BCBase):
         func = self._func
 
         def setter(full, t=0.0, args=None):
+            write_t, read_t = self._ghost_indices(full.ndim, read_offset=read_offset)
             adjacent = full[read_t]
             ghost = func(adjacent, dx, *coord_arrays, t)
             return full.at[write_t].set(jnp.broadcast_to(ghost, adjacent.shape))

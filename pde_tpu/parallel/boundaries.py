@@ -51,9 +51,6 @@ class ShardedBoundaries(BoundariesBase):
 
     def make_ghost_setter(self) -> Callable:
         mesh = self.mesh
-        grid = self.grid
-        num_axes = grid.num_axes
-        rank_lead = self.rank
 
         axis_setters: list[Callable] = []
         for a, bpair in enumerate(self._local_bcs):
@@ -61,9 +58,7 @@ class ShardedBoundaries(BoundariesBase):
             if n_shards == 1:
                 axis_setters.append(bpair.make_ghost_setter())
                 continue
-            axis_setters.append(
-                self._make_halo_exchanger(a, bpair, n_shards, rank_lead)
-            )
+            axis_setters.append(self._make_halo_exchanger(a, bpair, n_shards))
 
         def setter(full, t=0.0, args=None):
             for s in axis_setters:
@@ -72,8 +67,8 @@ class ShardedBoundaries(BoundariesBase):
 
         return setter
 
-    def _make_halo_exchanger(self, axis: int, bpair, n_shards: int, rank_lead: int):
-        """Halo exchange along one decomposed axis."""
+    def _make_halo_exchanger(self, axis: int, bpair, n_shards: int):
+        """Halo exchange along one decomposed axis (rank-agnostic)."""
         mesh = self.mesh
         grid = self.grid
         axis_name = mesh.axis_names[axis]
@@ -81,13 +76,11 @@ class ShardedBoundaries(BoundariesBase):
         periodic = bool(grid.periodic[axis])
         flip_sign = isinstance(bpair.low, _PeriodicBC) and bpair.low.flip_sign
 
-        def idx(pos: int):
-            sel: list[Any] = [slice(None)] * rank_lead + [slice(1, -1)] * num_axes
-            sel[rank_lead + axis] = pos
+        def make_idx(ndim: int, pos: int):
+            lead = ndim - num_axes
+            sel: list[Any] = [slice(None)] * lead + [slice(1, -1)] * num_axes
+            sel[lead + axis] = pos
             return tuple(sel)
-
-        write_low, write_high = idx(0), idx(-1)
-        read_low, read_high = idx(1), idx(-2)
 
         # permutation pairs: data flows shard i -> shard i+1 ("forward")
         fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
@@ -97,6 +90,8 @@ class ShardedBoundaries(BoundariesBase):
             sign = -1.0 if flip_sign else 1.0
 
             def exchange(full, t=0.0, args=None):
+                write_low, write_high = make_idx(full.ndim, 0), make_idx(full.ndim, -1)
+                read_low, read_high = make_idx(full.ndim, 1), make_idx(full.ndim, -2)
                 from_prev = jax.lax.ppermute(full[read_high], axis_name, fwd)
                 from_next = jax.lax.ppermute(full[read_low], axis_name, bwd)
                 if flip_sign:
@@ -116,6 +111,8 @@ class ShardedBoundaries(BoundariesBase):
         bwd_open = [(i, i - 1) for i in range(1, n_shards)]
 
         def exchange(full, t=0.0, args=None):
+            write_low, write_high = make_idx(full.ndim, 0), make_idx(full.ndim, -1)
+            read_low, read_high = make_idx(full.ndim, 1), make_idx(full.ndim, -2)
             from_prev = jax.lax.ppermute(full[read_high], axis_name, fwd_open)
             from_next = jax.lax.ppermute(full[read_low], axis_name, bwd_open)
             i = jax.lax.axis_index(axis_name)

@@ -13,7 +13,7 @@ import sys
 import time
 
 
-def bench_diffusion(size: int = 4096, steps_per_window: int = 200, windows: int = 5):
+def bench_diffusion(size: int = 4096, steps_per_window: int = 1000, windows: int = 3):
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -31,3 +31,27 @@ class DiffusionPDE(SDEBase):
         return self.diffusivity * state.laplace(
             bc=self.bc, label="evolution rate", args={"t": t}
         )
+
+    def make_fused_euler_window(self, state: ScalarField, dt: float):
+        """Temporally-blocked Euler window (8 steps per HBM pass, Pallas).
+
+        Returns ``window(data, steps) -> data``. Raises NotImplementedError
+        when unsupported, in which case solvers use the generic XLA lowering.
+        """
+        from ..grids.boundaries.axes import BoundariesList
+        from ..ops.pallas_cartesian import (
+            PallasUnsupportedError,
+            make_fused_euler_window_2d,
+        )
+
+        if self.is_sde:
+            raise NotImplementedError("Fused window does not support noise")
+        bcs = state.grid.get_boundary_conditions(self.bc)
+        if not isinstance(bcs, BoundariesList) or not all(b.periodic for b in bcs):
+            raise NotImplementedError("Fused window requires periodic BCs")
+        try:
+            return make_fused_euler_window_2d(
+                state.grid, diffusivity=self.diffusivity, dt=dt, dtype=state.dtype
+            )
+        except PallasUnsupportedError as err:
+            raise NotImplementedError(str(err)) from err

@@ -27,6 +27,46 @@ class EulerSolver(AdaptiveSolverBase):
     ):
         super().__init__(pde, backend=backend, adaptive=adaptive, tolerance=tolerance)
 
+    def _make_fixed_stepper(self, state: FieldBase, dt: float) -> Callable:
+        # PDEs may provide a fused, temporally-blocked window (Pallas kernel)
+        if (
+            self.decomposition is None
+            and not getattr(self.pde, "is_sde", False)
+            and hasattr(self.pde, "make_fused_euler_window")
+        ):
+            try:
+                self.pde.make_post_step_hook(state)
+                has_hook = True
+            except NotImplementedError:
+                has_hook = False
+            if not has_hook:
+                try:
+                    window = self.pde.make_fused_euler_window(state, dt)
+                except NotImplementedError:
+                    window = None
+                if window is not None:
+                    import jax
+                    import jax.numpy as jnp
+
+                    from ..models.base import state_from_leaves, state_leaves
+
+                    self._logger.info("Using fused Pallas Euler window")
+                    self.info["fused_step"] = True
+                    run = jax.jit(window)
+
+                    def fused_stepper(state_obj, t_start, t_end):
+                        steps = max(1, round((t_end - t_start) / dt))
+                        (data,) = state_leaves(state_obj)
+                        data = run(data, jnp.asarray(steps))
+                        self.info["steps"] += steps
+                        return (
+                            state_from_leaves(state_obj, [data]),
+                            t_start + steps * dt,
+                        )
+
+                    return fused_stepper
+        return super()._make_fixed_stepper(state, dt)
+
     def _make_single_step_fixed_dt(self, state: FieldBase, dt: float) -> Callable:
         rhs = self.pde.make_pde_rhs(state)
         if getattr(self.pde, "is_sde", False):

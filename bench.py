@@ -3,12 +3,18 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 Baseline target (BASELINE.json): >= 1e10 cell-updates/s for 2D diffusion at
 4096^2 (on TPU v5e-8; this benchmark uses whatever devices are visible).
+
+The fused Pallas path (temporal blocking, ~130 G updates/s on one v5e chip) is
+tried first in a subprocess with a timeout, because the remote TPU compile
+service is occasionally wedged; on failure the run falls back to the plain XLA
+lowering (~45 G updates/s), which compiles quickly.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -46,14 +52,46 @@ def bench_diffusion(size: int = 4096, steps_per_window: int = 1000, windows: int
     return total_updates / elapsed
 
 
-def main() -> None:
+def _measure_once() -> None:
     size = int(os.environ.get("BENCH_SIZE", "4096"))
     value = bench_diffusion(size=size)
+    print(f"BENCH_RESULT {value}")
+
+
+def _run_subprocess(disable_fused: bool, timeout: float) -> float | None:
+    env = dict(os.environ)
+    if disable_fused:
+        env["PDE_TPU_DISABLE_FUSED"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure"],
+            env=env, timeout=timeout, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return float(line.split()[1])
+    return None
+
+
+def main() -> None:
+    size = int(os.environ.get("BENCH_SIZE", "4096"))
+    budget = float(os.environ.get("BENCH_TIMEOUT", "900"))
+    value = _run_subprocess(disable_fused=False, timeout=budget)
+    fused = value is not None
+    if value is None:
+        value = _run_subprocess(disable_fused=True, timeout=budget)
+    if value is None:
+        # last resort: run inline without isolation
+        os.environ["PDE_TPU_DISABLE_FUSED"] = "1"
+        value = bench_diffusion(size=size)
     baseline = 1e10  # BASELINE.json target on v5e-8
     print(
         json.dumps(
             {
-                "metric": f"2D diffusion cell-updates/s ({size}^2, fp32, Euler)",
+                "metric": f"2D diffusion cell-updates/s ({size}^2, fp32, Euler"
+                + (", fused-pallas)" if fused else ", xla)"),
                 "value": value,
                 "unit": "cell-updates/s",
                 "vs_baseline": value / baseline,
@@ -63,4 +101,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--measure" in sys.argv:
+        _measure_once()
+    else:
+        main()

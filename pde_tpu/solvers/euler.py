@@ -29,10 +29,13 @@ class EulerSolver(AdaptiveSolverBase):
 
     def _make_fixed_stepper(self, state: FieldBase, dt: float) -> Callable:
         # PDEs may provide a fused, temporally-blocked window (Pallas kernel)
+        import os
+
         if (
             self.decomposition is None
             and not getattr(self.pde, "is_sde", False)
             and hasattr(self.pde, "make_fused_euler_window")
+            and os.environ.get("PDE_TPU_DISABLE_FUSED") != "1"
         ):
             try:
                 self.pde.make_post_step_hook(state)

@@ -23,6 +23,43 @@ class RankError(TypeError):
     """Error indicating that a field has the wrong rank."""
 
 
+def field_from_serialized_attributes(attributes: dict, data=None) -> "FieldBase":
+    """Reconstruct a field (incl. collections) from serialized attributes.
+
+    `attributes` maps strings to the *serialized* values written by
+    :attr:`FieldBase.attributes_serialized`.
+    """
+    import jax.numpy as jnp
+
+    field_cls = FieldBase._subclasses[attributes["class"]]
+    kwargs = field_cls.unserialize_attributes(dict(attributes))
+    kwargs.pop("class", None)
+
+    from .collection import FieldCollection
+
+    if field_cls is FieldCollection or issubclass(field_cls, FieldCollection):
+        sub_attrs = kwargs.pop("fields")
+        fields = []
+        for fa in sub_attrs:
+            fa = dict(fa)
+            sub_cls = FieldBase._subclasses[fa.pop("class")]
+            fa.pop("dtype", None)
+            grid = fa.pop("grid")
+            fields.append(sub_cls(grid, **fa))  # type: ignore[call-arg]
+        collection = field_cls(fields, **kwargs)
+        if data is not None:
+            collection.data = jnp.asarray(np.asarray(data))
+        return collection
+
+    dtype = kwargs.pop("dtype", None)
+    grid = kwargs.pop("grid")
+    if data is None:
+        return field_cls(grid, dtype=dtype, **kwargs)  # type: ignore[call-arg]
+    return field_cls(
+        grid, data=jnp.asarray(np.asarray(data), dtype=dtype), **kwargs
+    )  # type: ignore[call-arg]
+
+
 class FieldBase:
     """Abstract base class for describing (discretized) fields."""
 

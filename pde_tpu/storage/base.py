@@ -73,6 +73,13 @@ class StorageBase:
         self._dtype = data.dtype
         self.info.setdefault("field_attributes", field.attributes_serialized)
 
+    def _restore_field_from_attrs(self, attributes: dict) -> None:
+        """Rebuild the template field from serialized attributes."""
+        from ..fields.base import field_from_serialized_attributes
+
+        self._field = field_from_serialized_attributes(attributes)
+        self._grid = self._field.grid
+
     # -- abstract interface ---------------------------------------------------------------
     def start_writing(self, field: FieldBase, info: InfoDict | None = None) -> None:
         if info:
@@ -97,7 +104,11 @@ class StorageBase:
     # -- element access ----------------------------------------------------------------------
     def _reconstruct_field(self, data) -> FieldBase:
         if self._field is None:
-            raise RuntimeError("Storage does not contain field information")
+            attrs = self.info.get("field_attributes")
+            if attrs:
+                self._restore_field_from_attrs(attrs)
+            else:
+                raise RuntimeError("Storage does not contain field information")
         field = self._field.copy()
         if isinstance(field, FieldCollection):
             field.data = np.asarray(data)

@@ -81,27 +81,24 @@ class FileStorage(StorageBase):
         self._data_length = len(self._file["times"])
         attrs = {k: self._file.attrs[k] for k in self._file.attrs if k != "info"}
         if "class" in attrs:
-            field_cls = FieldBase._subclasses[attrs["class"]]
-            kwargs = field_cls.unserialize_attributes(attrs)
-            kwargs.pop("class", None)
-            dtype = kwargs.pop("dtype", None)
-            grid = kwargs.pop("grid", None)
-            if grid is not None:
-                import jax.numpy as jnp
-
-                data0 = np.asarray(self._file["data"][0]) if self._data_length else None
-                try:
-                    self._field = field_cls(grid, data=jnp.asarray(data0) if data0 is not None else "zeros", **kwargs)  # type: ignore[call-arg]
-                    self._grid = grid
-                    self._data_shape = tuple(self._file["data"].shape[1:])
-                    self._dtype = self._file["data"].dtype
-                except Exception:
-                    pass
+            try:
+                self._restore_field_from_attrs(attrs)
+                self._data_shape = tuple(self._file["data"].shape[1:])
+                self._dtype = self._file["data"].dtype
+            except Exception:
+                self._logger_warning(attrs)
         if "info" in self._file.attrs:
             try:
                 self.info.update(json.loads(self._file.attrs["info"]))
             except Exception:
                 pass
+
+    def _logger_warning(self, attrs) -> None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "Could not reconstruct field from attributes %s", sorted(attrs)
+        )
 
     # -- data access -------------------------------------------------------------------------
     @property

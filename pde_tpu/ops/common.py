@@ -44,6 +44,9 @@ def wrap_with_bcs(grid: GridBase, bcs, rank_in: int, stencil: Callable) -> Calla
     ghost_setter = bcs.make_ghost_setter()
 
     def op(data, t=0.0, args=None):
+        if args is not None and isinstance(args, dict) and "t" in args:
+            # reference convention: time is forwarded via bc_args={"t": t}
+            t = args["t"]
         full = pad(data)
         full = ghost_setter(full, t, args)
         return stencil(full)

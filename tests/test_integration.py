@@ -1,0 +1,142 @@
+"""End-to-end integration tests coupling PDEs, solvers, storage, and trackers.
+
+Mirrors the reference `tests/test_integration.py`.
+"""
+
+import numpy as np
+import pytest
+
+import pde_tpu as pde
+from pde_tpu.utils.config import config
+
+
+def test_complex_schroedinger():
+    """Free Schrödinger equation: complex fields through the full stack."""
+    grid = pde.CartesianGrid([(0, 2 * np.pi)], 64, periodic=True)
+    psi0 = pde.ScalarField.from_expression(grid, "exp(1j * x)", dtype=complex)
+    eq = pde.PDE({"psi": "I * laplace(psi)"})
+    assert eq.complex_valued
+    result = eq.solve(psi0, t_range=0.5, dt=1e-4, tracker=None)
+    # exp(i x) is an eigenfunction: psi(t) = exp(i x - i t) up to discretization
+    norm0 = float(psi0.to_scalar("norm_squared").integral)
+    norm1 = float(result.to_scalar("norm_squared").integral)
+    assert norm1 == pytest.approx(norm0, rel=1e-3)
+    assert np.iscomplexobj(np.asarray(result.data))
+
+
+def test_vector_variable_expression_pde(rng):
+    """Expression PDEs support vector-field variables with vector operators."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    v0 = pde.VectorField.random_uniform(grid, -0.1, 0.1, rng=rng)
+    eq = pde.PDE({"v": "vector_laplace(v)"})
+    rate = eq.evolution_rate(v0)
+    expected = v0.laplace("auto_periodic_neumann")
+    np.testing.assert_allclose(
+        np.asarray(rate.data), np.asarray(expected.data), atol=1e-12
+    )
+    result = eq.solve(v0, t_range=0.2, dt=0.01, tracker=None)
+    assert isinstance(result, pde.VectorField)
+    assert float(result.to_scalar("norm").average) < float(
+        v0.to_scalar("norm").average
+    )
+
+
+def test_3d_diffusion(rng):
+    grid = pde.UnitGrid([8, 8, 8], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.2)
+    result = eq.solve(state, t_range=1, dt=0.01, tracker=None)
+    assert float(result.integral) == pytest.approx(float(state.integral))
+    assert float(result.fluctuations) < float(state.fluctuations)
+
+
+def test_heterogeneous_bc_array():
+    """Boundary values can be arrays matching the boundary shape."""
+    grid = pde.UnitGrid([4, 4])
+    values = np.linspace(0, 1, 4)
+    bcs = grid.get_boundary_conditions(
+        {"x": {"derivative": 0}, "y-": {"value": values}, "y+": {"derivative": 0}}
+    )
+    field = pde.ScalarField(grid, 0.0)
+    full = np.asarray(field.get_full_data(bcs))
+    np.testing.assert_allclose(full[1:-1, 0], 2 * values)
+
+
+def test_time_dependent_bc_solve():
+    """Expression BCs receive the simulation time during stepping."""
+    grid = pde.CartesianGrid([(0, 1)], 16)
+    state = pde.ScalarField(grid, 0.0)
+    eq = pde.DiffusionPDE(
+        diffusivity=1.0,
+        bc={"x-": {"value": 0}, "x+": {"value_expression": "t / (t + 1)"}},
+    )
+    result = eq.solve(state, t_range=5, dt=1e-4, tracker=None)
+    # long-time limit: boundary value ~ 5/6, linear profile
+    expected = grid.axes_coords[0] * (5 / 6)
+    np.testing.assert_allclose(np.asarray(result.data), expected, atol=0.05)
+
+
+def test_expression_pde_post_step_hook(rng):
+    grid = pde.UnitGrid([8], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, 1.5, 2.0, rng=rng)
+
+    def clip_hook(data, t):
+        import jax.numpy as jnp
+
+        return jnp.minimum(data, 1.0)
+
+    eq = pde.PDE({"c": "0.1 * laplace(c)"}, post_step_hook=clip_hook)
+    result = eq.solve(state, t_range=0.2, dt=0.01, tracker=None)
+    assert float(result.data.max()) <= 1.0
+
+
+def test_config_context_affects_solve(rng):
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE()
+    base = eq.solve(state, t_range=0.1, dt=0.01, tracker=None)
+    with config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):
+        nine_point = eq.solve(state, t_range=0.1, dt=0.01, tracker=None)
+    assert not np.allclose(np.asarray(base.data), np.asarray(nine_point.data))
+
+
+def test_solve_with_storage_and_adaptive(rng):
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.SwiftHohenbergPDE(rate=0.1)
+    storage = pde.MemoryStorage()
+    result, info = eq.solve(
+        state, t_range=2, solver="runge-kutta", adaptive=True, tolerance=1e-6,
+        tracker=[storage.tracker(0.5), "consistency"], ret_info=True,
+    )
+    assert len(storage) == 5
+    assert info["solver"]["dt_statistics"].count > 0
+    assert np.all(np.isfinite(np.asarray(result.data)))
+
+
+def test_restart_from_storage(rng):
+    """Any stored state can re-seed solve() (checkpoint/resume primitive)."""
+    grid = pde.UnitGrid([8, 8], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE()
+    storage = pde.MemoryStorage()
+    eq.solve(state, t_range=1, dt=0.01, tracker=storage.tracker(0.5))
+    # restart from the middle snapshot
+    intermediate = storage[1]
+    resumed = eq.solve(intermediate, t_range=(0.5, 1.0), dt=0.01, tracker=None)
+    direct = eq.solve(state, t_range=1, dt=0.01, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(resumed.data), np.asarray(direct.data), atol=1e-12
+    )
+
+
+def test_evolution_rate_out_kwarg_compat(rng):
+    """apply_operator's out= argument updates in place (API compatibility)."""
+    grid = pde.UnitGrid([8, 8], periodic=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    out = pde.ScalarField(grid)
+    result = field.laplace("periodic", out=out)
+    assert result is out
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(field.laplace("periodic").data)
+    )

@@ -30,3 +30,33 @@ class CahnHilliardPDE(PDEBase):
         c_laplace = state.laplace(bc=self.bc_c, label="evolution rate", args={"t": t})
         mu = state**3 - state - self.interface_width * c_laplace
         return mu.laplace(bc=self.bc_mu, args={"t": t})
+
+    def make_fused_euler_window(self, state: ScalarField, dt: float):
+        """Temporally-blocked Euler window: the full Cahn-Hilliard step
+        (two Laplacians + the cubic chemical potential) runs in VMEM, 4 steps
+        per HBM pass. Raises NotImplementedError when unsupported."""
+        from ..grids.boundaries.axes import BoundariesList
+        from ..ops.pallas_cartesian import (
+            PallasUnsupportedError,
+            make_chunked_window_2d,
+        )
+
+        for bc in (self.bc_c, self.bc_mu):
+            bcs = state.grid.get_boundary_conditions(bc)
+            if not isinstance(bcs, BoundariesList) or not all(b.periodic for b in bcs):
+                raise NotImplementedError("Fused window requires periodic BCs")
+        gamma = float(self.interface_width)
+
+        def make_step(lap, n_cols):
+            def step(work):
+                lap_c = lap(work)
+                c = work[1:-1, :]
+                mu = c * c * c - c - gamma * lap_c
+                return work[2:-2, :] + dt * lap(mu)
+
+            return step
+
+        try:
+            return make_chunked_window_2d(state.grid, make_step, 2, dtype=state.dtype)
+        except PallasUnsupportedError as err:
+            raise NotImplementedError(str(err)) from err

@@ -330,6 +330,113 @@ class PDE(SDEBase):
             fields.append(field.__class__(field.grid, data=rate, label=field.label))
         return FieldCollection(fields)
 
+    def make_fused_euler_window(self, state: FieldBase, dt: float):
+        """Emit a fused Pallas temporal-blocking kernel for rhs of the form
+        ``laplace(g(c) + a*laplace(c))`` (e.g. Cahn-Hilliard) or
+        ``a*laplace(c)`` (diffusion) with periodic BCs.
+
+        The expression compiler inspects the sympy tree; when the structure
+        matches, the whole Euler step — both stencils and the pointwise
+        nonlinearity — runs in VMEM with several steps per HBM pass.
+        Raises NotImplementedError when the structure or platform is
+        unsupported, in which case solvers use the generic XLA lowering.
+        """
+        from sympy.core.function import AppliedUndef
+
+        from ..grids.boundaries.axes import BoundariesList
+        from ..ops.pallas_cartesian import (
+            PallasUnsupportedError,
+            make_chunked_window_2d,
+        )
+        from ..utils.expressions import _get_jax_modules
+
+        if (
+            self.is_sde
+            or self.post_step_hook is not None
+            or len(self.variables) != 1
+            or self.consts
+            or not isinstance(state, DataFieldBase)
+            or state.rank != 0
+        ):
+            raise NotImplementedError("Fused window unsupported for this PDE")
+        var = self.variables[0]
+        var_sym = sympy.Symbol(var)
+        expr = sympy.expand(self._rhs_expr[var]._sympy_expr)
+        if expr.has(sympy.Symbol("t")) or any(
+            expr.has(sympy.Symbol(ax)) for ax in state.grid.axes
+        ):
+            raise NotImplementedError("Fused window requires autonomous rhs")
+
+        def is_laplace(e):
+            return isinstance(e, AppliedUndef) and e.func.__name__ == "laplace"
+
+        # match rhs == coeff * laplace(inner) (a single outer Laplacian term)
+        outer_coeff, outer = sympy.S.One, None
+        if is_laplace(expr):
+            outer = expr
+        elif isinstance(expr, sympy.Mul):
+            coeffs = [a for a in expr.args if not a.has(AppliedUndef)]
+            laps = [a for a in expr.args if is_laplace(a)]
+            if len(laps) == 1 and len(coeffs) + 1 == len(expr.args):
+                outer_coeff = sympy.Mul(*coeffs)
+                outer = laps[0]
+        if outer is None or not outer_coeff.is_number:
+            raise NotImplementedError("rhs is not an outer Laplacian")
+
+        inner = sympy.expand(outer.args[0])
+        lap_coeff = sympy.S.Zero
+        g_terms = []
+        for term in sympy.Add.make_args(inner):
+            if term.has(AppliedUndef):
+                # must be coeff * laplace(var)
+                factors = sympy.Mul.make_args(term)
+                lap_factors = [f for f in factors if is_laplace(f)]
+                num_factors = [f for f in factors if not f.has(AppliedUndef)]
+                if (
+                    len(lap_factors) != 1
+                    or len(num_factors) + 1 != len(factors)
+                    or lap_factors[0].args != (var_sym,)
+                ):
+                    raise NotImplementedError("unsupported nested operator structure")
+                coeff = sympy.Mul(*num_factors)
+                if not coeff.is_number:
+                    raise NotImplementedError("non-numeric Laplacian coefficient")
+                lap_coeff += coeff
+            else:
+                g_terms.append(term)
+        g_expr = sympy.Add(*g_terms) if g_terms else sympy.S.Zero
+        if g_expr.free_symbols - {var_sym}:
+            raise NotImplementedError("nonlinearity depends on extra symbols")
+
+        # boundary conditions must be periodic everywhere
+        bc = self._resolve_bc(var, "laplace")
+        bcs = state.grid.get_boundary_conditions(bc)
+        if not isinstance(bcs, BoundariesList) or not all(b.periodic for b in bcs):
+            raise NotImplementedError("Fused window requires periodic BCs")
+
+        g_fn = sympy.lambdify([var_sym], g_expr, modules=list(_get_jax_modules()))
+        a_outer = float(outer_coeff)
+        a_lap = float(lap_coeff)
+        has_inner_lap = a_lap != 0.0
+
+        def make_step(lap, n_cols):
+            def step(work):
+                if has_inner_lap:
+                    lap_c = lap(work)
+                    c = work[1:-1, :]
+                    mu = jnp.broadcast_to(jnp.asarray(g_fn(c)), c.shape) + a_lap * lap_c
+                    return work[2:-2, :] + (dt * a_outer) * lap(mu)
+                c = work[1:-1, :]
+                mu = jnp.broadcast_to(jnp.asarray(g_fn(c)), c.shape)
+                return c[1:-1, :] + (dt * a_outer) * lap(mu)
+
+            return step
+
+        try:
+            return make_chunked_window_2d(state.grid, make_step, 2, dtype=state.dtype)
+        except PallasUnsupportedError as err:
+            raise NotImplementedError(str(err)) from err
+
     def make_post_step_hook(self, state: FieldBase):
         if self.post_step_hook is None:
             raise NotImplementedError("`post_step_hook` not set")

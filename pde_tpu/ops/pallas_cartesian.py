@@ -160,6 +160,120 @@ def make_laplace_pallas(grid: CartesianGrid, bcs=None, *, dtype=np.float32) -> C
     return laplace
 
 
+def make_fused_stencil_window_2d(
+    grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
+    k: int | None = None,
+) -> tuple[Callable, int]:
+    """Generic temporal-blocking kernel: k in-VMEM steps per HBM pass.
+
+    `make_step(lap, n_cols)` must return ``step(work) -> work`` shrinking the
+    row dimension by ``2*halo_per_step`` (the provided `lap` helper computes a
+    5-point Laplacian shrinking rows by 2, columns periodic via lane rolls).
+    Returns (window_k(data) applying k steps, k).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if k is None:
+        k = max(1, _HALO // halo_per_step)
+    if not supports_affine_laplace(grid, dtype, k * halo_per_step):
+        raise PallasUnsupportedError(
+            "Fused stencil window requires a 2D periodic Cartesian grid with "
+            "aligned shape and float32/bfloat16 data on a TPU backend"
+        )
+    n_rows, n_cols = grid.shape
+    itemsize = np.dtype(dtype).itemsize
+    band = _pick_band(n_rows, n_cols, itemsize, k * halo_per_step)
+    sx, sy = (1.0 / grid.discretization**2).tolist()
+
+    def lap(work):
+        up = work[:-2, :]
+        center = work[1:-1, :]
+        down = work[2:, :]
+        left = pltpu.roll(center, 1, 1)
+        right = pltpu.roll(center, n_cols - 1, 1)
+        if sx == sy:
+            return (up + down + left + right - 4.0 * center) * sx
+        return (up + down - 2.0 * center) * sx + (left + right - 2.0 * center) * sy
+
+    step = make_step(lap, n_cols)
+    halo_total = k * halo_per_step
+
+    def kernel(f_hbm, out_ref, band_ref, halo_top, halo_bot, sem):
+        i = pl.program_id(0)
+        row0 = i * band
+        main = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(pl.multiple_of(row0, 8), band), :], band_ref, sem.at[0]
+        )
+        main.start()
+        top_row = pl.multiple_of(jax.lax.rem(row0 - _HALO + n_rows, n_rows), 8)
+        top = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(top_row, _HALO), :], halo_top, sem.at[1]
+        )
+        top.start()
+        bot_row = pl.multiple_of(jax.lax.rem(row0 + band, n_rows), 8)
+        bot = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(bot_row, _HALO), :], halo_bot, sem.at[2]
+        )
+        bot.start()
+        main.wait()
+        top.wait()
+        bot.wait()
+
+        work = jnp.concatenate(
+            [halo_top[_HALO - halo_total :, :], band_ref[:, :], halo_bot[:halo_total, :]],
+            axis=0,
+        )
+        for _ in range(k):
+            work = step(work)
+        out_ref[:, :] = work
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
+        grid=(n_rows // band,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band, n_cols), dtype),
+            pltpu.VMEM((_HALO, n_cols), dtype),
+            pltpu.VMEM((_HALO, n_cols), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+
+    def window_k(data):
+        return call(jnp.asarray(data, dtype=dtype))
+
+    return window_k, k
+
+
+def make_chunked_window_2d(
+    grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
+) -> Callable:
+    """Return ``window(data, steps)`` chunking steps into k-step kernel calls."""
+    step_k, k = make_fused_stencil_window_2d(
+        grid, make_step, halo_per_step, dtype=dtype
+    )
+    if k > 1:
+        step_1, _ = make_fused_stencil_window_2d(
+            grid, make_step, halo_per_step, dtype=dtype, k=1
+        )
+    else:
+        step_1 = step_k
+
+    def window(data, steps):
+        chunks = steps // k
+        remainder = steps - chunks * k
+        data = jax.lax.fori_loop(0, chunks, lambda i, d: step_k(d), data)
+        data = jax.lax.fori_loop(0, remainder, lambda i, d: step_1(d), data)
+        return data
+
+    return window
+
+
 def make_fused_euler_window_2d(
     grid: CartesianGrid, *, diffusivity: float, dt: float, dtype=np.float32,
     k: int = _HALO,

@@ -414,6 +414,8 @@ class PDE(SDEBase):
         if not isinstance(bcs, BoundariesList) or not all(b.periodic for b in bcs):
             raise NotImplementedError("Fused window requires periodic BCs")
 
+        if not (outer_coeff.is_real and lap_coeff.is_real):
+            raise NotImplementedError("Fused window requires real coefficients")
         g_fn = sympy.lambdify([var_sym], g_expr, modules=list(_get_jax_modules()))
         a_outer = float(outer_coeff)
         a_lap = float(lap_coeff)

@@ -88,12 +88,16 @@ def make_affine_laplace_2d(
             f_hbm.at[pl.ds(pl.multiple_of(row0, 8), band), :], band_ref, sem.at[0]
         )
         main.start()
-        top_row = pl.multiple_of(jax.lax.rem(row0 - _HALO + n_rows, n_rows), 8)
+        top_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(n_rows - _HALO), np.int32(n_rows)), 8
+        )
         top = pltpu.make_async_copy(
             f_hbm.at[pl.ds(top_row, _HALO), :], halo_top, sem.at[1]
         )
         top.start()
-        bot_row = pl.multiple_of(jax.lax.rem(row0 + band, n_rows), 8)
+        bot_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(band), np.int32(n_rows)), 8
+        )
         bot = pltpu.make_async_copy(
             f_hbm.at[pl.ds(bot_row, _HALO), :], halo_bot, sem.at[2]
         )
@@ -206,12 +210,16 @@ def make_fused_stencil_window_2d(
             f_hbm.at[pl.ds(pl.multiple_of(row0, 8), band), :], band_ref, sem.at[0]
         )
         main.start()
-        top_row = pl.multiple_of(jax.lax.rem(row0 - _HALO + n_rows, n_rows), 8)
+        top_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(n_rows - _HALO), np.int32(n_rows)), 8
+        )
         top = pltpu.make_async_copy(
             f_hbm.at[pl.ds(top_row, _HALO), :], halo_top, sem.at[1]
         )
         top.start()
-        bot_row = pl.multiple_of(jax.lax.rem(row0 + band, n_rows), 8)
+        bot_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(band), np.int32(n_rows)), 8
+        )
         bot = pltpu.make_async_copy(
             f_hbm.at[pl.ds(bot_row, _HALO), :], halo_bot, sem.at[2]
         )

@@ -133,9 +133,42 @@ def _make_laplace_stencil(grid: CartesianGrid, corner_weight: float | None = Non
     raise NotImplementedError(f"Laplace operator not implemented for {n} dimensions")
 
 
+def _make_laplace_spectral(grid: CartesianGrid) -> Callable:
+    """FFT-based Laplacian (continuous spectrum -|k|^2); periodic grids only.
+
+    Reference: `backends/numba/operators/cartesian.py:232-331`.
+    """
+    if not all(grid.periodic):
+        raise ValueError("Spectral Laplacian requires a fully periodic grid")
+    k2 = np.zeros(grid.shape)
+    for ax in range(grid.num_axes):
+        ks = 2 * np.pi * np.fft.fftfreq(grid.shape[ax], grid.discretization[ax])
+        shape = [1] * grid.num_axes
+        shape[ax] = grid.shape[ax]
+        k2 = k2 + (ks**2).reshape(shape)
+    factor = jnp.asarray(-k2)
+
+    def op(data, t=0.0, args=None):
+        data = jnp.asarray(data)
+        result = jnp.fft.ifftn(factor * jnp.fft.fftn(data))
+        if not jnp.issubdtype(data.dtype, jnp.complexfloating):
+            result = jnp.real(result).astype(data.dtype)
+        return result
+
+    return op
+
+
 @CartesianGrid.register_operator("laplace", rank_in=0, rank_out=0)
-def make_laplace(grid: CartesianGrid, bcs=None, *, corner_weight=None) -> Callable:
-    """Laplacian with fused ghost-cell boundary conditions."""
+def make_laplace(
+    grid: CartesianGrid, bcs=None, *, corner_weight=None, spectral: bool = False
+) -> Callable:
+    """Laplacian with fused ghost-cell boundary conditions.
+
+    With ``spectral=True`` (periodic grids only) the exact Fourier-space
+    Laplacian is applied instead of the finite-difference stencil.
+    """
+    if spectral:
+        return _make_laplace_spectral(grid)
     return wrap_with_bcs(grid, bcs, 0, _make_laplace_stencil(grid, corner_weight))
 
 

@@ -357,6 +357,17 @@ class FieldBase:
         self._data = result._data
         return self
 
+    def split_mpi(self, decomposition="auto") -> FieldBase:
+        """Shard the field data over the device mesh (reference `base.py:783`).
+
+        The reference scatters data to MPI ranks; here the returned field's
+        data is ONE global jax.Array annotated with a NamedSharding.
+        """
+        from ..parallel.mesh import GridMesh
+
+        mesh = GridMesh.from_grid(self.grid, decomposition)
+        return mesh.split_field(self)
+
     def apply(self, func, out=None, *, label: str | None = None, evaluate_args=None) -> FieldBase:
         """Apply a function or expression to the field data."""
         if isinstance(func, str):

@@ -183,6 +183,24 @@ class CylindricalSymGrid(GridBase):
             "label_y": "z",
         }
 
+    def plot(self, *args, **kwargs):
+        """Visualize the grid as its (r, z) cross-section."""
+        import matplotlib.pyplot as plt
+
+        import numpy as _np
+
+        fig, ax = plt.subplots()
+        (r0, r1), (z0, z1) = self.axes_bounds
+        for r in _np.linspace(r0, r1, self.shape[0] + 1):
+            ax.axvline(r, color="k", lw=0.5)
+        for z in _np.linspace(z0, z1, self.shape[1] + 1):
+            ax.axhline(z, color="k", lw=0.5)
+        ax.set_xlim(r0, r1)
+        ax.set_ylim(z0, z1)
+        ax.set_xlabel("r")
+        ax.set_ylabel("z")
+        return ax
+
     def slice(self, indices: Sequence[int]):
         """Return a subgrid for the given axes (r -> polar, z -> Cartesian)."""
         from .cartesian import CartesianGrid

@@ -1,6 +1,12 @@
 """Trackers analyzing the simulation at interrupt times."""
 
-from .base import FinishedSimulation, TrackerBase, TrackerCollection, get_named_trackers
+from .base import (
+    FinishedSimulation,
+    TrackerBase,
+    TrackerCollection,
+    get_named_trackers,
+    registered_trackers,
+)
 from .interrupts import (
     ConstantInterrupts,
     FixedInterrupts,

@@ -156,3 +156,8 @@ def get_named_trackers() -> dict[str, type[TrackerBase]]:
     from . import trackers  # noqa: F401
 
     return dict(TrackerBase._subclasses)
+
+
+def registered_trackers() -> list[str]:
+    """Names of all registered trackers (reference `trackers/base.py:359`)."""
+    return sorted(get_named_trackers())

@@ -114,6 +114,48 @@ def test_solve_with_storage_and_adaptive(rng):
     assert np.all(np.isfinite(np.asarray(result.data)))
 
 
+def test_wave_mixed_bcs_adaptive_rk45(rng):
+    """BASELINE config 3: WavePDE with mixed periodic/Dirichlet/Neumann BCs
+    solved with adaptive RK45."""
+    grid = pde.UnitGrid([16, 16], periodic=[True, False])
+    bc = {"x": "periodic", "y-": {"value": 0}, "y+": {"derivative": 0}}
+    eq = pde.WavePDE(speed=1, bc=bc)
+    u0 = pde.ScalarField.from_expression(
+        pde.CartesianGrid([(0, 16), (0, 16)], (16, 16), periodic=[True, False]),
+        "exp(-((x-8)**2 + (y-8)**2))",
+    )
+    u0 = pde.ScalarField(grid, u0.data)
+    init = eq.get_initial_condition(u0)
+    result, info = eq.solve(
+        state=init, t_range=1, solver="runge-kutta", adaptive=True,
+        tolerance=1e-6, tracker=None, ret_info=True,
+    )
+    assert np.all(np.isfinite(np.asarray(result[0].data)))
+    # match a fine fixed-dt reference
+    ref = eq.solve(init, t_range=1, dt=1e-3, solver="runge-kutta", tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(result[0].data), np.asarray(ref[0].data), atol=1e-4
+    )
+
+
+def test_swift_hohenberg_mixed_bcs_adaptive(rng):
+    """BASELINE config 3 (variant): SwiftHohenberg with mixed BCs + RK45."""
+    grid = pde.UnitGrid([12, 12], periodic=[True, False])
+    bc = {"x": "periodic", "y-": {"value": 0}, "y+": {"derivative": 0}}
+    eq = pde.SwiftHohenbergPDE(rate=0.1, bc=bc)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+    result = eq.solve(state, t_range=1, solver="runge-kutta", adaptive=True,
+                      tolerance=1e-6, tracker=None)
+    assert np.all(np.isfinite(np.asarray(result.data)))
+
+
+def test_field_split_mpi(rng):
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    sharded = field.split_mpi("auto")
+    np.testing.assert_allclose(np.asarray(sharded.data), np.asarray(field.data))
+
+
 def test_restart_from_storage(rng):
     """Any stored state can re-seed solve() (checkpoint/resume primitive)."""
     grid = pde.UnitGrid([8, 8], periodic=True)

@@ -33,3 +33,13 @@ class AllenCahnPDE(PDEBase):
             raise TypeError("`state` must be ScalarField")
         laplace = state.laplace(bc=self.bc, label="evolution rate", args={"t": t})
         return self.mobility * (self.interface_width * laplace - state**3 + state)
+
+    def make_fused_euler_window(self, state, dt: float):
+        """Fused Pallas Euler window via the expression stencil lowering."""
+        from .base import make_fused_window_via_expression
+
+        rhs = (
+            f"{self.mobility!r} * ({self.interface_width!r} * laplace(c)"
+            " - c**3 + c)"
+        )
+        return make_fused_window_via_expression(self, state, dt, rhs, self.bc)

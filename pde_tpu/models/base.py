@@ -276,6 +276,22 @@ class SDEBase(PDEBase):
         return noise_step
 
 
+def make_fused_window_via_expression(pde_obj, state, dt: float, rhs_str: str, bc):
+    """Build a fused Pallas Euler window by routing through the expression
+    compiler's stencil lowering (see `models/pde.py`).
+
+    Predefined scalar PDE classes use this to get the same temporal-blocking
+    kernels as expression-defined PDEs. Raises NotImplementedError when the
+    configuration is unsupported.
+    """
+    if getattr(pde_obj, "is_sde", False):
+        raise NotImplementedError("Fused window does not support noise")
+    from .pde import PDE
+
+    eq = PDE({"c": rhs_str}, bc=bc)
+    return eq.make_fused_euler_window(state, dt)
+
+
 def expr_prod(factor: float, expression: str) -> str:
     """Helper for building expression strings with prefactors."""
     if factor == 0:

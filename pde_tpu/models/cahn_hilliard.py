@@ -47,12 +47,12 @@ class CahnHilliardPDE(PDEBase):
                 raise NotImplementedError("Fused window requires periodic BCs")
         gamma = float(self.interface_width)
 
-        def make_step(lap, n_cols):
+        def make_step(ops):
             def step(work):
-                lap_c = lap(work)
+                lap_c = ops.lap(work)
                 c = work[1:-1, :]
                 mu = c * c * c - c - gamma * lap_c
-                return work[2:-2, :] + dt * lap(mu)
+                return work[2:-2, :] + dt * ops.lap(mu)
 
             return step
 

@@ -34,3 +34,10 @@ class KPZInterfacePDE(SDEBase):
         result = result + self.lmbda * state.gradient_squared(bc=self.bc, args={"t": t})
         result.label = "evolution rate"
         return result
+
+    def make_fused_euler_window(self, state, dt: float):
+        """Fused Pallas Euler window via the expression stencil lowering."""
+        from .base import make_fused_window_via_expression
+
+        rhs = f"{self.nu!r} * laplace(c) + {self.lmbda!r} * gradient_squared(c)"
+        return make_fused_window_via_expression(self, state, dt, rhs, self.bc)

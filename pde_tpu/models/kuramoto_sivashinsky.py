@@ -38,3 +38,15 @@ class KuramotoSivashinskyPDE(SDEBase):
         )
         result.label = "evolution rate"
         return result
+
+    def make_fused_euler_window(self, state, dt: float):
+        """Fused Pallas Euler window via the expression stencil lowering."""
+        from .base import make_fused_window_via_expression
+
+        if self.bc_lap != self.bc:
+            raise NotImplementedError("Fused window requires bc_lap == bc")
+        rhs = (
+            f"-{self.nu!r} * laplace(laplace(c)) - laplace(c)"
+            " - 0.5 * gradient_squared(c)"
+        )
+        return make_fused_window_via_expression(self, state, dt, rhs, self.bc)

@@ -330,31 +330,114 @@ class PDE(SDEBase):
             fields.append(field.__class__(field.grid, data=rate, label=field.label))
         return FieldCollection(fields)
 
-    def make_fused_euler_window(self, state: FieldBase, dt: float):
-        """Emit a fused Pallas temporal-blocking kernel for rhs of the form
-        ``laplace(g(c) + a*laplace(c))`` (e.g. Cahn-Hilliard) or
-        ``a*laplace(c)`` (diffusion) with periodic BCs.
+    # pointwise sympy functions the stencil lowering knows how to emit
+    _POINTWISE_FUNCS = {
+        "sin": "sin", "cos": "cos", "tan": "tan", "exp": "exp", "log": "log",
+        "sqrt": "sqrt", "tanh": "tanh", "sinh": "sinh", "cosh": "cosh",
+        "Abs": "abs",
+    }
 
-        The expression compiler inspects the sympy tree; when the structure
-        matches, the whole Euler step — both stencils and the pointwise
-        nonlinearity — runs in VMEM with several steps per HBM pass.
-        Raises NotImplementedError when the structure or platform is
-        unsupported, in which case solvers use the generic XLA lowering.
+    def _lower_stencil_expr(self, expr, var_sym, helpers):
+        """Recursively lower a sympy rhs to an in-VMEM evaluator.
+
+        Returns ``(fn, depth)`` where ``fn(work) -> array`` produces the value
+        on ``work`` shrunk by `depth` rows per side. Supported nodes: the field
+        symbol, numbers, Add/Mul/Pow, common pointwise functions, and the
+        stencil operators ``laplace`` / ``gradient_squared`` (arbitrarily
+        composed — each application consumes one halo row per side).
         """
         from sympy.core.function import AppliedUndef
 
+        def trim(value, amount):
+            if amount == 0 or jnp.ndim(value) == 0:
+                return value
+            return value[amount:-amount, :]
+
+        def lower(e):
+            if e == var_sym:
+                return (lambda w: w), 0
+            if e.is_Number:
+                if not e.is_real:
+                    raise NotImplementedError("complex coefficients unsupported")
+                value = float(e)
+                return (lambda w: value), 0
+            if isinstance(e, AppliedUndef):
+                name = e.func.__name__
+                if name == "laplace" and len(e.args) == 1:
+                    fn, d = lower(e.args[0])
+                    return (lambda w: helpers.lap(fn(w))), d + 1
+                if name == "gradient_squared" and len(e.args) == 1:
+                    fn, d = lower(e.args[0])
+                    return (lambda w: helpers.gradient_squared(fn(w))), d + 1
+                raise NotImplementedError(f"operator `{name}` has no stencil lowering")
+            if isinstance(e, (sympy.Add, sympy.Mul)):
+                parts = [lower(a) for a in e.args]
+                depth = max(d for _, d in parts)
+                fns = [(fn, depth - d) for fn, d in parts]
+                if isinstance(e, sympy.Add):
+                    def combined(w, _fns=fns):
+                        total = None
+                        for fn, extra in _fns:
+                            value = trim(fn(w), extra)
+                            total = value if total is None else total + value
+                        return total
+                else:
+                    def combined(w, _fns=fns):
+                        total = None
+                        for fn, extra in _fns:
+                            value = trim(fn(w), extra)
+                            total = value if total is None else total * value
+                        return total
+                return combined, depth
+            if isinstance(e, sympy.Pow):
+                base_fn, d = lower(e.args[0])
+                if not e.args[1].is_Number or not e.args[1].is_real:
+                    raise NotImplementedError("unsupported exponent")
+                exponent = float(e.args[1])
+                if exponent == int(exponent) and 0 < exponent <= 4:
+                    n = int(exponent)
+
+                    def powered(w, _fn=base_fn, _n=n):
+                        value = _fn(w)
+                        result = value
+                        for _ in range(_n - 1):
+                            result = result * value
+                        return result
+
+                    return powered, d
+                return (lambda w: base_fn(w) ** exponent), d
+            if isinstance(e, sympy.Function) and type(e).__name__ in self._POINTWISE_FUNCS:
+                fn, d = lower(e.args[0])
+                jfn = getattr(jnp, self._POINTWISE_FUNCS[type(e).__name__])
+                return (lambda w: jfn(fn(w))), d
+            raise NotImplementedError(f"no stencil lowering for `{e}`")
+
+        return lower(expr)
+
+    def make_fused_euler_window(self, state: FieldBase, dt: float):
+        """Emit a fused Pallas temporal-blocking kernel for the rhs.
+
+        The expression compiler lowers arbitrary compositions of ``laplace``
+        and ``gradient_squared`` with pointwise math (covers diffusion, KPZ,
+        Allen-Cahn, Cahn-Hilliard, Kuramoto-Sivashinsky, Swift-Hohenberg, ...)
+        into a single kernel advancing several Euler steps per HBM pass; the
+        composition depth determines the halo consumed per step.
+        Raises NotImplementedError when the structure or platform is
+        unsupported, in which case solvers use the generic XLA lowering.
+        """
         from ..grids.boundaries.axes import BoundariesList
         from ..ops.pallas_cartesian import (
+            _HALO,
             PallasUnsupportedError,
             make_chunked_window_2d,
         )
-        from ..utils.expressions import _get_jax_modules
 
         if (
             self.is_sde
             or self.post_step_hook is not None
             or len(self.variables) != 1
             or self.consts
+            or self.user_funcs
             or not isinstance(state, DataFieldBase)
             or state.rank != 0
         ):
@@ -365,77 +448,52 @@ class PDE(SDEBase):
         if expr.has(sympy.Symbol("t")) or any(
             expr.has(sympy.Symbol(ax)) for ax in state.grid.axes
         ):
-            raise NotImplementedError("Fused window requires autonomous rhs")
+            raise NotImplementedError("Fused window requires an autonomous rhs")
 
-        def is_laplace(e):
-            return isinstance(e, AppliedUndef) and e.func.__name__ == "laplace"
+        # all stencil operators must use periodic boundary conditions
+        for func in self._operators[var]:
+            bc = self._resolve_bc(var, func)
+            bcs = state.grid.get_boundary_conditions(bc)
+            if not isinstance(bcs, BoundariesList) or not all(
+                b.periodic for b in bcs
+            ):
+                raise NotImplementedError("Fused window requires periodic BCs")
 
-        # match rhs == coeff * laplace(inner) (a single outer Laplacian term)
-        outer_coeff, outer = sympy.S.One, None
-        if is_laplace(expr):
-            outer = expr
-        elif isinstance(expr, sympy.Mul):
-            coeffs = [a for a in expr.args if not a.has(AppliedUndef)]
-            laps = [a for a in expr.args if is_laplace(a)]
-            if len(laps) == 1 and len(coeffs) + 1 == len(expr.args):
-                outer_coeff = sympy.Mul(*coeffs)
-                outer = laps[0]
-        if outer is None or not outer_coeff.is_number:
-            raise NotImplementedError("rhs is not an outer Laplacian")
+        # probe the lowering once (host-side) to find the stencil depth
+        class _Probe:
+            cols = 0
 
-        inner = sympy.expand(outer.args[0])
-        lap_coeff = sympy.S.Zero
-        g_terms = []
-        for term in sympy.Add.make_args(inner):
-            if term.has(AppliedUndef):
-                # must be coeff * laplace(var)
-                factors = sympy.Mul.make_args(term)
-                lap_factors = [f for f in factors if is_laplace(f)]
-                num_factors = [f for f in factors if not f.has(AppliedUndef)]
-                if (
-                    len(lap_factors) != 1
-                    or len(num_factors) + 1 != len(factors)
-                    or lap_factors[0].args != (var_sym,)
-                ):
-                    raise NotImplementedError("unsupported nested operator structure")
-                coeff = sympy.Mul(*num_factors)
-                if not coeff.is_number:
-                    raise NotImplementedError("non-numeric Laplacian coefficient")
-                lap_coeff += coeff
-            else:
-                g_terms.append(term)
-        g_expr = sympy.Add(*g_terms) if g_terms else sympy.S.Zero
-        if g_expr.free_symbols - {var_sym}:
-            raise NotImplementedError("nonlinearity depends on extra symbols")
+            @staticmethod
+            def lap(x):
+                return x
 
-        # boundary conditions must be periodic everywhere
-        bc = self._resolve_bc(var, "laplace")
-        bcs = state.grid.get_boundary_conditions(bc)
-        if not isinstance(bcs, BoundariesList) or not all(b.periodic for b in bcs):
-            raise NotImplementedError("Fused window requires periodic BCs")
+            @staticmethod
+            def gradient_squared(x):
+                return x
 
-        if not (outer_coeff.is_real and lap_coeff.is_real):
-            raise NotImplementedError("Fused window requires real coefficients")
-        g_fn = sympy.lambdify([var_sym], g_expr, modules=list(_get_jax_modules()))
-        a_outer = float(outer_coeff)
-        a_lap = float(lap_coeff)
-        has_inner_lap = a_lap != 0.0
+        try:
+            _, depth = self._lower_stencil_expr(expr, var_sym, _Probe)
+        except NotImplementedError:
+            raise
+        if depth == 0 or depth > _HALO:
+            raise NotImplementedError(f"stencil depth {depth} out of range")
 
-        def make_step(lap, n_cols):
+        def make_step(ops):
+            rhs_fn, d = self._lower_stencil_expr(expr, var_sym, ops)
+
             def step(work):
-                if has_inner_lap:
-                    lap_c = lap(work)
-                    c = work[1:-1, :]
-                    mu = jnp.broadcast_to(jnp.asarray(g_fn(c)), c.shape) + a_lap * lap_c
-                    return work[2:-2, :] + (dt * a_outer) * lap(mu)
-                c = work[1:-1, :]
-                mu = jnp.broadcast_to(jnp.asarray(g_fn(c)), c.shape)
-                return c[1:-1, :] + (dt * a_outer) * lap(mu)
+                rate = rhs_fn(work)
+                center = work[d:-d, :]
+                return center + dt * jnp.broadcast_to(
+                    jnp.asarray(rate), center.shape
+                )
 
             return step
 
         try:
-            return make_chunked_window_2d(state.grid, make_step, 2, dtype=state.dtype)
+            return make_chunked_window_2d(
+                state.grid, make_step, depth, dtype=state.dtype
+            )
         except PallasUnsupportedError as err:
             raise NotImplementedError(str(err)) from err
 

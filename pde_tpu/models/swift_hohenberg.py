@@ -46,3 +46,16 @@ class SwiftHohenbergPDE(PDEBase):
         )
         result.label = "evolution rate"
         return result
+
+    def make_fused_euler_window(self, state, dt: float):
+        """Fused Pallas Euler window via the expression stencil lowering."""
+        from .base import make_fused_window_via_expression
+
+        if self.bc_lap != self.bc:
+            raise NotImplementedError("Fused window requires bc_lap == bc")
+        rhs = (
+            f"({self.rate!r} - {self.kc2!r}**2) * c"
+            f" - 2 * {self.kc2!r} * laplace(c) - laplace(laplace(c))"
+            f" + {self.delta!r} * c**2 - c**3"
+        )
+        return make_fused_window_via_expression(self, state, dt, rhs, self.bc)

@@ -189,18 +189,36 @@ def make_fused_stencil_window_2d(
     itemsize = np.dtype(dtype).itemsize
     band = _pick_band(n_rows, n_cols, itemsize, k * halo_per_step)
     sx, sy = (1.0 / grid.discretization**2).tolist()
+    gx, gy = (0.5 / grid.discretization).tolist()
 
-    def lap(work):
-        up = work[:-2, :]
-        center = work[1:-1, :]
-        down = work[2:, :]
-        left = pltpu.roll(center, 1, 1)
-        right = pltpu.roll(center, n_cols - 1, 1)
-        if sx == sy:
-            return (up + down + left + right - 4.0 * center) * sx
-        return (up + down - 2.0 * center) * sx + (left + right - 2.0 * center) * sy
+    class helpers:
+        """In-VMEM stencil primitives; each consumes one halo row per side."""
 
-    step = make_step(lap, n_cols)
+        cols = n_cols
+
+        @staticmethod
+        def lap(work):
+            up = work[:-2, :]
+            center = work[1:-1, :]
+            down = work[2:, :]
+            left = pltpu.roll(center, 1, 1)
+            right = pltpu.roll(center, n_cols - 1, 1)
+            if sx == sy:
+                return (up + down + left + right - 4.0 * center) * sx
+            return (up + down - 2.0 * center) * sx + (
+                left + right - 2.0 * center
+            ) * sy
+
+        @staticmethod
+        def gradient_squared(work):
+            center = work[1:-1, :]
+            d_row = (work[2:, :] - work[:-2, :]) * gx
+            left = pltpu.roll(center, 1, 1)
+            right = pltpu.roll(center, n_cols - 1, 1)
+            d_col = (right - left) * gy
+            return d_row * d_row + d_col * d_col
+
+    step = make_step(helpers)
     halo_total = k * halo_per_step
 
     def kernel(f_hbm, out_ref, band_ref, halo_top, halo_bot, sem):

@@ -71,11 +71,9 @@ class SolverBase:
         try:
             solver_cls = cls._subclasses[name]
         except KeyError:
-            solvers = sorted(
-                k for k in cls._subclasses if not k.endswith("Solver")
-            )
             raise ValueError(
-                f"Unknown solver method `{name}`; registered solvers: {solvers}"
+                f"Unknown solver method `{name}`; registered solvers: "
+                f"{registered_solvers()}"
             ) from None
         return solver_cls(pde, **kwargs)
 

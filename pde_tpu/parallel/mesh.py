@@ -191,6 +191,38 @@ class GridMesh:
         data = jnp.zeros(local_shape, dtype=field.dtype)
         return field.__class__(sub, data=data, label=field.label)
 
+    # -- communication primitives (reference `_mesh.py:749-808`) ---------------------
+    def broadcast(self, data):
+        """Broadcast host data to all shards (identity under SPMD: the single
+        logical program already sees the value everywhere)."""
+        return data
+
+    def gather(self, data):
+        """Gather a sharded array to the host (replaces MPI gather)."""
+        return np.asarray(data)
+
+    def allgather(self, data):
+        """All-gather a sharded array; under the global-array abstraction the
+        gathered value is available to the whole program."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(np.asarray(data))
+
+    def scatter(self, data, rank: int = 0):
+        """Scatter host data over the mesh (a sharding annotation, not a copy
+        per rank)."""
+        import jax.numpy as jnp
+
+        return jax.device_put(jnp.asarray(data), self.sharding(rank))
+
+    def split_field_data(self, field_data, rank: int = 0):
+        """Shard raw field data over the mesh (reference `_mesh.py:571`)."""
+        return self.scatter(field_data, rank)
+
+    def combine_field_data(self, field_data):
+        """Combine sharded field data into one host array (reference `_mesh.py:698`)."""
+        return self.gather(field_data)
+
     def extract_boundary_conditions(self, bcs):
         """Swap in halo-exchanging boundary conditions on the subgrid.
 

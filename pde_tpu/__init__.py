@@ -17,7 +17,8 @@ Typical usage mirrors the reference README:
 
 __version__ = "0.1.0"
 
-from .utils.config import config, environment  # noqa: F401
+from .utils.config import Config, Parameter, config, environment  # noqa: F401
+from .backends import XLABackend, get_backend  # noqa: F401
 from .grids import *  # noqa: F401,F403
 from .grids.base import GridBase  # noqa: F401
 from .grids.boundaries import *  # noqa: F401,F403

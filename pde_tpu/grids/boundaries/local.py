@@ -141,6 +141,17 @@ class BCBase:
             return _PeriodicBC(grid, axis, upper, flip_sign=flip, rank=rank)
         if condition == "no-flux":
             condition, kwargs = "derivative", {"value": 0, **kwargs}
+        # callable values route through ExpressionBC with the matching target
+        if callable(kwargs.get("value")) or callable(kwargs.get("const")):
+            targets = {
+                "value": "value", "dirichlet": "value",
+                "derivative": "derivative", "neumann": "derivative",
+                "mixed": "mixed", "robin": "mixed",
+                "virtual_point": "virtual_point",
+            }
+            if condition in targets:
+                kwargs.setdefault("target", targets[condition])
+                return ExpressionBC(grid, axis, upper, rank=rank, **kwargs)
         try:
             bc_cls = BCBase._conditions[condition]
         except KeyError:

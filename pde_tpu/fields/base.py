@@ -212,21 +212,22 @@ class FieldBase:
 
     @classmethod
     def from_state(cls, attributes: dict[str, Any] | str, data=None) -> FieldBase:
-        """Recreate a field from serialized attributes and data."""
+        """Recreate a field from (serialized) attributes and data."""
         if isinstance(attributes, str):
             attributes = dict(json.loads(attributes))
         attributes = dict(attributes)
+        if isinstance(attributes.get("grid"), str) or isinstance(
+            attributes.get("fields"), str
+        ):
+            # attributes are in serialized form
+            return field_from_serialized_attributes(attributes, data)
         class_name = attributes.pop("class")
-        if isinstance(next(iter(attributes.values()), None), str) and "grid" in attributes and isinstance(attributes["grid"], str):
-            attributes = FieldBase._subclasses[class_name].unserialize_attributes(
-                {"class": class_name, **attributes}
-            )
-            attributes.pop("class", None)
         field_cls = cls._subclasses[class_name]
         return field_cls.from_state_data(attributes, data)
 
     @classmethod
     def from_state_data(cls, attributes: dict[str, Any], data=None) -> FieldBase:
+        attributes = dict(attributes)
         grid = attributes.pop("grid")
         attributes.pop("dtype", None)
         return cls(grid, data=data, **attributes)  # type: ignore[call-arg]

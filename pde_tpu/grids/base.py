@@ -12,13 +12,12 @@ to one grid + boundary-condition set, mirroring ``grid.make_operator``
 from __future__ import annotations
 
 import functools
-import itertools
 import json
 from typing import TYPE_CHECKING, Any, Callable
 
 import numpy as np
 
-from .coordinates import CartesianCoordinates, CoordinatesBase, DimensionError
+from .coordinates import CoordinatesBase, DimensionError
 
 if TYPE_CHECKING:
     from .boundaries.axes import BoundariesBase

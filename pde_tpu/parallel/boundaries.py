@@ -34,6 +34,23 @@ class ShardedBoundaries(BoundariesBase):
             )
         self.rank = bcs.rank
         self.grid = mesh.subgrid
+        # Coordinate-dependent boundary values would be evaluated on the SPMD
+        # template grid (shard 0's coordinates) and thus be wrong on other
+        # shards — reject them rather than silently miscomputing.
+        from ..grids.boundaries.local import ExpressionBC
+
+        for bc in bcs.boundaries:
+            if isinstance(bc, ExpressionBC):
+                expr = str(bc._input.get("value_expr", "")) + str(
+                    bc._input.get("const_expr", "")
+                )
+                if any(ax in expr for ax in bc.grid.axes) or callable(
+                    bc._input.get("value_expr")
+                ):
+                    raise NotImplementedError(
+                        "Coordinate-dependent boundary conditions are not "
+                        "supported on decomposed grids yet"
+                    )
         # retarget the physical boundary conditions to the local subgrid
         self._local_bcs = bcs.to_subgrid(mesh.subgrid)
         self._global_bcs = bcs

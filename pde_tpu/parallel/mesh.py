@@ -14,7 +14,7 @@ conditions are swapped for halo-exchanging ones
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

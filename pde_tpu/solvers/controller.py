@@ -14,8 +14,6 @@ import logging
 import time
 from typing import Any, Callable
 
-import numpy as np
-
 from ..fields.base import FieldBase
 from ..trackers.base import FinishedSimulation, TrackerCollection
 

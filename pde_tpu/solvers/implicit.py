@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.base import FieldBase
-from ..models.base import PDEBase, state_from_leaves, state_leaves
+from ..models.base import PDEBase, state_leaves
 from .base import ConvergenceError, SolverBase
 
 

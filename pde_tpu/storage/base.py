@@ -14,7 +14,6 @@ from ..fields.base import FieldBase
 from ..fields.collection import FieldCollection
 from ..fields.datafield_base import DataFieldBase
 from ..trackers.base import InfoDict, TrackerBase
-from ..trackers.interrupts import parse_interrupt
 
 _logger = logging.getLogger(__name__)
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 import json
 import shutil
 import subprocess
-from typing import Any
-
 import numpy as np
 
 from ..fields.base import FieldBase

@@ -59,7 +59,6 @@ def mpi_bcast(data, root: int = 0):
 def mpi_allreduce(data, operator: str = "SUM"):
     """All-reduce across devices; inside shard_map use lax.psum/pmax directly."""
     import jax
-    import jax.numpy as jnp
 
     try:
         axis_names = jax.core.get_axis_env() if hasattr(jax.core, "get_axis_env") else None

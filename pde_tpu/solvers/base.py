@@ -279,8 +279,9 @@ class AdaptiveSolverBase(SolverBase):
         backend: str = "auto",
         adaptive: bool = False,
         tolerance: float = 1e-4,
+        decomposition=None,
     ):
-        super().__init__(pde, backend=backend)
+        super().__init__(pde, backend=backend, decomposition=decomposition)
         self.adaptive = adaptive
         self.tolerance = tolerance
 

@@ -24,8 +24,10 @@ class EulerSolver(AdaptiveSolverBase):
         backend: str = "auto",
         adaptive: bool = False,
         tolerance: float = 1e-4,
+        decomposition=None,
     ):
-        super().__init__(pde, backend=backend, adaptive=adaptive, tolerance=tolerance)
+        super().__init__(pde, backend=backend, adaptive=adaptive,
+                         tolerance=tolerance, decomposition=decomposition)
 
     def _make_fixed_stepper(self, state: FieldBase, dt: float) -> Callable:
         # PDEs may provide a fused, temporally-blocked window (Pallas kernel)

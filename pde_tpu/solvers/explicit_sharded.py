@@ -30,8 +30,8 @@ class ExplicitShardedSolver(EulerSolver):
         tolerance: float = 1e-4,
         decomposition="auto",
     ):
-        super().__init__(pde, backend=backend, adaptive=adaptive, tolerance=tolerance)
-        self.decomposition = decomposition
+        super().__init__(pde, backend=backend, adaptive=adaptive,
+                         tolerance=tolerance, decomposition=decomposition)
 
 
 class ExplicitMPISolver(ExplicitShardedSolver):

@@ -22,8 +22,9 @@ class MilsteinSolver(EulerSolver):
     name = "milstein"
 
     def __init__(self, pde: PDEBase, *, backend: str = "auto", adaptive: bool = False,
-                 tolerance: float = 1e-4):
-        super().__init__(pde, backend=backend, adaptive=adaptive, tolerance=tolerance)
+                 tolerance: float = 1e-4, decomposition=None):
+        super().__init__(pde, backend=backend, adaptive=adaptive,
+                         tolerance=tolerance, decomposition=decomposition)
         if not getattr(pde, "use_noise_variance", False):
             raise RuntimeError("Milstein solver requires `use_noise_variance` enabled")
 

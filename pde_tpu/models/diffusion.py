@@ -50,6 +50,13 @@ class DiffusionPDE(SDEBase):
         if not isinstance(bcs, BoundariesList) or not all(b.periodic for b in bcs):
             raise NotImplementedError("Fused window requires periodic BCs")
         try:
+            if state.grid.num_axes == 3:
+                from ..ops.pallas_cartesian import make_fused_euler_window_3d
+
+                return make_fused_euler_window_3d(
+                    state.grid, diffusivity=self.diffusivity, dt=dt,
+                    dtype=state.dtype,
+                )
             return make_fused_euler_window_2d(
                 state.grid, diffusivity=self.diffusivity, dt=dt, dtype=state.dtype
             )

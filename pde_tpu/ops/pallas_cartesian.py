@@ -164,6 +164,153 @@ def make_laplace_pallas(grid: CartesianGrid, bcs=None, *, dtype=np.float32) -> C
     return laplace
 
 
+def _pick_band_k_3d(shape, itemsize: int):
+    """Choose (band, k) for the 3D kernel from empirical VMEM limits."""
+    nx, ny, nz = shape
+    plane = ny * nz * itemsize
+    if plane <= 96 * 1024:
+        band, k = 8, 4
+    elif plane <= 256 * 1024:
+        band, k = 8, 1
+    else:
+        return None
+    if nx % band != 0:
+        return None
+    return band, k
+
+
+def supports_affine_laplace_3d(grid, dtype) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if not isinstance(grid, CartesianGrid) or grid.num_axes != 3:
+        return False
+    if not all(grid.periodic):
+        return False
+    nx, ny, nz = grid.shape
+    if nx % 8 != 0 or ny % 8 != 0 or nz % 128 != 0 or nx < 16:
+        return False
+    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+        return False
+    return _pick_band_k_3d(grid.shape, np.dtype(dtype).itemsize) is not None
+
+
+def make_affine_laplace_3d(
+    grid: CartesianGrid, *, a: float = 0.0, b: float = 1.0, k: int | None = None,
+    dtype=np.float32,
+) -> tuple[Callable, int]:
+    """3D variant: bands over the first axis, lane/sublane rolls for y/z.
+
+    Returns (window_k applying k steps, k). At 256³ fp32 this reaches
+    ≈35 G updates/s (k=1) and at 128³ ≈57 G (k=4), vs ≈13 G for the XLA path.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not supports_affine_laplace_3d(grid, dtype):
+        raise PallasUnsupportedError(
+            "Fused 3D laplace requires an aligned, fully periodic 3D Cartesian "
+            "grid with float32/bfloat16 data on a TPU backend"
+        )
+    band_k = _pick_band_k_3d(grid.shape, np.dtype(dtype).itemsize)
+    band, k_max = band_k
+    if k is None:
+        k = k_max
+    if not 1 <= k <= min(k_max, _HALO):
+        raise PallasUnsupportedError(f"k={k} unsupported for this 3D shape")
+    nx, ny, nz = grid.shape
+    sx, sy, sz = (1.0 / grid.discretization**2).tolist()
+    isotropic = sx == sy == sz
+
+    def kernel(f_hbm, out_ref, band_ref, halo_top, halo_bot, sem):
+        i = pl.program_id(0)
+        row0 = i * band
+        main = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(pl.multiple_of(row0, 8), band)], band_ref, sem.at[0]
+        )
+        main.start()
+        top_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(nx - _HALO), np.int32(nx)), 8
+        )
+        top = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(top_row, _HALO)], halo_top, sem.at[1]
+        )
+        top.start()
+        bot_row = pl.multiple_of(jax.lax.rem(row0 + np.int32(band), np.int32(nx)), 8)
+        bot = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(bot_row, _HALO)], halo_bot, sem.at[2]
+        )
+        bot.start()
+        main.wait()
+        top.wait()
+        bot.wait()
+
+        work = jnp.concatenate(
+            [halo_top[_HALO - k :], band_ref[:, :, :], halo_bot[:k]], axis=0
+        )
+        for _ in range(k):
+            up = work[:-2]
+            center = work[1:-1]
+            down = work[2:]
+            north = pltpu.roll(center, 1, 1)
+            south = pltpu.roll(center, ny - 1, 1)
+            west = pltpu.roll(center, 1, 2)
+            east = pltpu.roll(center, nz - 1, 2)
+            if isotropic:
+                lap6 = up + down + north + south + west + east - 6.0 * center
+                work = a * center + (b * sx) * lap6
+            else:
+                lap = (
+                    (up + down - 2.0 * center) * sx
+                    + (north + south - 2.0 * center) * sy
+                    + (west + east - 2.0 * center) * sz
+                )
+                work = a * center + b * lap
+        out_ref[:, :, :] = work
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nx, ny, nz), dtype),
+        grid=(nx // band,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (band, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band, ny, nz), dtype),
+            pltpu.VMEM((_HALO, ny, nz), dtype),
+            pltpu.VMEM((_HALO, ny, nz), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+
+    def window_k(data):
+        return call(jnp.asarray(data, dtype=dtype))
+
+    return window_k, k
+
+
+def make_fused_euler_window_3d(
+    grid: CartesianGrid, *, diffusivity: float, dt: float, dtype=np.float32,
+) -> Callable:
+    """3D analogue of :func:`make_fused_euler_window_2d`."""
+    step_k, k = make_affine_laplace_3d(grid, a=1.0, b=dt * diffusivity, dtype=dtype)
+    if k > 1:
+        step_1, _ = make_affine_laplace_3d(
+            grid, a=1.0, b=dt * diffusivity, k=1, dtype=dtype
+        )
+    else:
+        step_1 = step_k
+
+    def window(data, steps):
+        chunks = steps // k
+        remainder = steps - chunks * k
+        data = jax.lax.fori_loop(0, chunks, lambda i, d: step_k(d), data)
+        data = jax.lax.fori_loop(0, remainder, lambda i, d: step_1(d), data)
+        return data
+
+    return window
+
+
 def make_fused_stencil_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
     k: int | None = None,

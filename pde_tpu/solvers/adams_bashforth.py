@@ -24,6 +24,7 @@ class AdamsBashforthSolver(SolverBase):
             raise RuntimeError("Adams-Bashforth does not support stochastic equations")
         rhs = self.pde.make_pde_rhs(state)
         post_hook, post_data_init = self._make_post_step_hook(state)
+        cast = self._make_dtype_cast(state)
 
         @jax.jit
         def run(leaves, rate_prev, t_start, steps, post_data):
@@ -31,10 +32,10 @@ class AdamsBashforthSolver(SolverBase):
                 leaves, rate_prev, post_data = carry
                 t = t_start + i * dt
                 rate_cur = rhs(leaves, t)
-                leaves = [
+                leaves = cast([
                     y + dt * (1.5 * rc - 0.5 * rp)
                     for y, rc, rp in zip(leaves, rate_cur, rate_prev, strict=True)
-                ]
+                ])
                 leaves, post_data = post_hook(leaves, t + dt, post_data)
                 return (leaves, rate_cur, post_data)
 

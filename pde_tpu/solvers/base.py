@@ -86,6 +86,19 @@ class SolverBase:
             seed = int(self.pde.rng.integers(0, 2**31 - 1)) if self.pde else 0
             self._key = jax.random.key(seed)
 
+    @staticmethod
+    def _make_dtype_cast(state: FieldBase):
+        """Pin leaf dtypes: python-float coefficients must not promote f32
+        states to f64 when x64 is enabled (would break loop carries)."""
+        dtypes = [x.dtype for x in state_leaves(state)]
+
+        def cast(leaves):
+            return [
+                jnp.asarray(x, d) for x, d in zip(leaves, dtypes, strict=True)
+            ]
+
+        return cast
+
     # -- post-step hooks -----------------------------------------------------------------------
     def _make_post_step_hook(self, state: FieldBase):
         """Returns (hook(leaves, t, data) -> (leaves, data), init_data)."""
@@ -141,6 +154,7 @@ class SolverBase:
         single_step = self._make_single_step_fixed_dt(state, dt)
         post_hook, post_data_init = self._make_post_step_hook(state)
         is_sde = self.info["stochastic"]
+        cast = self._make_dtype_cast(state)
 
         @jax.jit
         def run(leaves, key, t_start, steps, post_data):
@@ -151,7 +165,7 @@ class SolverBase:
                     sub = jax.random.fold_in(key, i)
                 else:
                     sub = key
-                leaves = single_step(leaves, t, sub)
+                leaves = cast(single_step(leaves, t, sub))
                 leaves, post_data = post_hook(leaves, t + dt, post_data)
                 return (leaves, key, post_data)
 
@@ -192,6 +206,7 @@ class SolverBase:
         single_step = self._make_single_step_fixed_dt(local_template, dt)
         post_hook, post_data_init = self._make_post_step_hook(local_template)
         is_sde = self.info["stochastic"]
+        cast = self._make_dtype_cast(state)
         ranks = self._leaf_ranks(state)
         leaf_specs = [mesh.partition_spec(r) for r in ranks]
         rep = P()
@@ -207,7 +222,7 @@ class SolverBase:
                 leaves, key, post_data = carry
                 t = t_start + i * dt
                 sub = jax.random.fold_in(key, i) if is_sde else key
-                leaves = single_step(leaves, t, sub)
+                leaves = cast(single_step(leaves, t, sub))
                 leaves, post_data = post_hook(leaves, t + dt, post_data)
                 return (leaves, key, post_data)
 
@@ -328,6 +343,7 @@ class AdaptiveSolverBase(SolverBase):
             estimate = self._make_single_step_error_estimate(state)
             post_hook, post_data_init = self._make_post_step_hook(state)
             sync_error = self._make_error_synchronizer()
+        cast = self._make_dtype_cast(state)
         tolerance = self.tolerance
         dt_min = self.dt_min
         dt_max = self.dt_max
@@ -341,6 +357,7 @@ class AdaptiveSolverBase(SolverBase):
                 leaves, t, dt_opt, steps, ok, stats, post_data = carry
                 dt_step = jnp.maximum(jnp.minimum(dt_opt, t_end - t), dt_min)
                 new_leaves, error = estimate(leaves, t, dt_step)
+                new_leaves = cast(new_leaves)
                 error_rel = sync_error(error / tolerance)
                 # also treat non-finite states as failures
                 finite = jnp.isfinite(error_rel)

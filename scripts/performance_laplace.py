@@ -5,6 +5,10 @@ Port of the reference comparison harness
 (`/root/reference/scripts/performance_laplace.py`): times our fused operator
 (jnp lowering and, on TPU, the Pallas kernel) against plain numpy/scipy
 implementations over a range of grid sizes, for periodic and no-flux BCs.
+
+Note: single-operator calls over the remote TPU tunnel are dominated by the
+~2 ms per-call dispatch floor; sustained throughput (what solvers see inside
+their compiled window loops) is measured by bench.py instead.
 """
 
 from __future__ import annotations
@@ -20,13 +24,24 @@ import time
 import numpy as np
 
 
-def time_function(func, arg, repetitions: int = 10) -> float:
-    func(arg)  # warm up / compile
+def _sync(result) -> None:
+    """Force completion without a full device->host transfer."""
+    try:
+        import jax.numpy as jnp
+
+        float(jnp.sum(result))
+    except TypeError:
+        np.asarray(result)
+
+
+def time_function(func, arg, repetitions: int = 20) -> float:
+    _sync(func(arg))  # warm up / compile
     start = time.perf_counter()
     for _ in range(repetitions):
         result = func(arg)
-    # force completion of asynchronous backends
-    np.asarray(result)
+    # device work is queued asynchronously; syncing the last result waits
+    # for the whole serially-executed queue
+    _sync(result)
     return (time.perf_counter() - start) / repetitions
 
 

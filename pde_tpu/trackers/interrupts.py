@@ -160,10 +160,15 @@ class RealtimeInterrupts(ConstantInterrupts):
             return self.initialize(t)
         now = time.monotonic()
         elapsed = now - self._last_time
-        if elapsed > 0:
-            # adapt dt so the next simulated window takes ~`duration` seconds
-            self.dt *= self.duration / elapsed
-            self.dt = max(self.dt, 1e-10)
+        # Adapt the simulated window so ~`duration` seconds of wall time pass
+        # between interrupts. Never shrink aggressively: window cost includes a
+        # constant dispatch/sync overhead (large on remote accelerators), so
+        # when a window overruns, LARGER windows amortize better — shrinking
+        # would explode the interrupt count.
+        if elapsed > 1.5 * self.duration:
+            self.dt *= 2.0
+        elif 0 < elapsed < 0.5 * self.duration:
+            self.dt *= min(self.duration / elapsed, 100.0)
         self._last_time = now
         return super().next(t)
 

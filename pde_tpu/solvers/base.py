@@ -26,6 +26,28 @@ class ConvergenceError(RuntimeError):
     """Indicates that an implicit step did not converge."""
 
 
+def adjust_dt(dt_step, error_rel):
+    """Propose the next time step from the relative error of the last one.
+
+    Mirrors the reference's adjuster (`/root/reference/pde/solvers/base.py:533`):
+    ``new_dt = dt * clip(0.9 * error_rel**-0.2, 0.1, 4.0)``, with non-finite
+    errors (NaN/inf state) treated as failures that shrink dt by 4x. The 4x
+    growth cap binds when ``0.9 * error_rel**-0.2 >= 4``, i.e.
+    ``error_rel <= (0.9/4)**5 = 0.000576650390625``; that crossover is the
+    first branch below, so tiny errors grow dt by exactly the 4x cap.
+    """
+    finite = jnp.isfinite(error_rel)
+    return jnp.where(
+        error_rel < (0.9 / 4.0) ** 5,
+        dt_step * 4.0,
+        jnp.where(
+            ~finite,
+            dt_step * 0.25,
+            dt_step * jnp.maximum(0.9 * jnp.abs(error_rel) ** -0.2, 0.1),
+        ),
+    )
+
+
 class SolverBase:
     """Base class for PDE solvers."""
 
@@ -385,17 +407,7 @@ class AdaptiveSolverBase(SolverBase):
                     jnp.where(accept, jnp.minimum(mn, dt_step), mn),
                     jnp.where(accept, jnp.maximum(mx, dt_step), mx),
                 )
-                # adjust the time step (reference `solvers/base.py:533`)
-                dt_adj = jnp.where(
-                    error_rel < 0.00057665,
-                    dt_step * 4.0,
-                    jnp.where(
-                        ~finite,
-                        dt_step * 0.25,
-                        dt_step
-                        * jnp.maximum(0.9 * jnp.abs(error_rel) ** -0.2, 0.1),
-                    ),
-                )
+                dt_adj = adjust_dt(dt_step, error_rel)
                 dt_opt = jnp.clip(dt_adj, dt_min, dt_max)
                 ok = dt_adj >= dt_min
                 return (leaves, t_new, dt_opt, steps, ok, stats, post_data)

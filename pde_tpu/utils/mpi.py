@@ -57,14 +57,20 @@ def mpi_bcast(data, root: int = 0):
 
 
 def mpi_allreduce(data, operator: str = "SUM"):
-    """All-reduce across devices; inside shard_map use lax.psum/pmax directly."""
+    """All-reduce across processes; inside shard_map use lax.psum/pmax directly.
+
+    In a single process the reduction over one participant is the identity.
+    On multi-process (multi-host) runs an object-level allreduce would need a
+    real collective, which this shim does not provide — raise rather than
+    silently returning a rank-local value.
+    """
     import jax
 
-    try:
-        axis_names = jax.core.get_axis_env() if hasattr(jax.core, "get_axis_env") else None
-    except Exception:
-        axis_names = None
-    # outside shard_map there is a single logical program: identity
-    if operator in ("SUM", "MAX", "MIN"):
-        return data
-    raise ValueError(f"Unsupported operator `{operator}`")
+    if operator not in ("SUM", "MAX", "MIN"):
+        raise ValueError(f"Unsupported operator `{operator}`")
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "Host-level allreduce across processes is not provided; perform "
+            "reductions on device (lax.psum/pmax inside shard_map) instead"
+        )
+    return data

@@ -154,3 +154,23 @@ def test_solver_backend_kwarg_accepted(diffusion_setup):
     eq, state = diffusion_setup
     result = eq.solve(state, t_range=0.1, dt=0.01, backend="numba", tracker=None)
     assert result is not None
+
+
+def test_adjust_dt_boundaries():
+    """Pin the dt adjuster at its branch boundaries (reference `base.py:533`)."""
+    from pde_tpu.solvers.base import adjust_dt
+
+    crossover = (0.9 / 4.0) ** 5
+    # tiny errors grow dt by exactly the 4x cap
+    assert float(adjust_dt(1.0, crossover / 2)) == pytest.approx(4.0)
+    assert float(adjust_dt(1.0, 0.0)) == pytest.approx(4.0)
+    # just above the crossover the smooth formula takes over continuously
+    just_above = crossover * (1 + 1e-9)
+    assert float(adjust_dt(1.0, just_above)) == pytest.approx(4.0, rel=1e-6)
+    # error at tolerance shrinks dt slightly (0.9 factor)
+    assert float(adjust_dt(1.0, 1.0)) == pytest.approx(0.9)
+    # huge errors shrink dt by at most 10x
+    assert float(adjust_dt(1.0, 1e12)) == pytest.approx(0.1)
+    # non-finite errors (NaN/inf state) shrink dt by 4x
+    assert float(adjust_dt(1.0, np.nan)) == pytest.approx(0.25)
+    assert float(adjust_dt(1.0, np.inf)) == pytest.approx(0.25)

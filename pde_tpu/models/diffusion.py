@@ -32,15 +32,19 @@ class DiffusionPDE(SDEBase):
             bc=self.bc, label="evolution rate", args={"t": t}
         )
 
-    def make_fused_euler_window(self, state: ScalarField, dt: float):
+    def make_fused_euler_window(self, state: ScalarField, dt: float, mesh=None):
         """Temporally-blocked Euler window (8 steps per HBM pass, Pallas).
 
-        Returns ``window(data, steps) -> data``. Raises NotImplementedError
-        when unsupported, in which case solvers use the generic XLA lowering.
+        Returns ``window(data, steps) -> data``. With ``mesh`` given, the
+        window operates on one shard and must run inside ``shard_map`` over
+        ``mesh.jax_mesh`` (halos exchanged via ppermute once per kernel call).
+        Raises NotImplementedError when unsupported, in which case solvers use
+        the generic XLA lowering.
         """
         from ..grids.boundaries.axes import BoundariesList
         from ..ops.pallas_cartesian import (
             PallasUnsupportedError,
+            interpret_requested,
             make_fused_euler_window_2d,
         )
 
@@ -50,6 +54,13 @@ class DiffusionPDE(SDEBase):
         if not isinstance(bcs, BoundariesList) or not all(b.periodic for b in bcs):
             raise NotImplementedError("Fused window requires periodic BCs")
         try:
+            if mesh is not None:
+                from ..parallel.fused import make_fused_euler_window_sharded
+
+                return make_fused_euler_window_sharded(
+                    mesh, diffusivity=self.diffusivity, dt=dt,
+                    dtype=state.dtype, interpret=interpret_requested(),
+                )
             if state.grid.num_axes == 3:
                 from ..ops.pallas_cartesian import make_fused_euler_window_3d
 

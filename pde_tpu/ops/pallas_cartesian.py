@@ -16,6 +16,7 @@ unaligned shapes, non-TPU backends, float64).
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -29,6 +30,11 @@ _HALO = 8  # DMA sublane alignment granule for f32
 
 class PallasUnsupportedError(NotImplementedError):
     """The configuration cannot be lowered to the fused Pallas kernel."""
+
+
+def interpret_requested() -> bool:
+    """True when Pallas kernels should run in interpret mode (CPU tests)."""
+    return os.environ.get("PDE_TPU_PALLAS_INTERPRET") == "1"
 
 
 def _pick_band(n_rows: int, n_cols: int, itemsize: int, k: int) -> int:
@@ -473,3 +479,164 @@ def make_fused_euler_window_2d(
         return data
 
     return window
+
+
+# -- halo-extended kernels for decomposed (shard_map) execution -----------------------
+#
+# On a decomposed grid each shard holds a local (n, m) block; the temporal-
+# blocking trick needs k rows/columns of neighbor data per kernel call. The
+# shard_map driver (pde_tpu.parallel.fused) exchanges width-`halo` halos via
+# paired `lax.ppermute` once per k-step call — the TPU analogue of the
+# reference's halos-inside-the-compiled-loop (`/root/reference/pde/backends/
+# numba_mpi/backend.py:163-195`) — and hands this kernel the extended array.
+# The halo width is 8 rows on TPU (the DMA sublane granule) regardless of k;
+# the kernel value-slices the (band + 2k)-row work region out of the loaded
+# block. Columns are either locally periodic (lane rolls; used when the column
+# axis is not decomposed) or halo-extended too, in which case the wrapper
+# zero-pads the lane dimension to a multiple of 128 so every DMA stays
+# tiling-aligned (Mosaic rejects lane-unaligned memref slices).
+
+
+def ext_halo_width(k: int, *, interpret: bool = False) -> int:
+    """Halo width of the extended input array for a k-step kernel."""
+    return k if interpret else _HALO
+
+
+def supports_affine_laplace_ext(
+    local_shape, dtype, k: int = 1, *, ext_cols: bool = True,
+    interpret: bool = False,
+) -> bool:
+    """Preconditions of the halo-extended fused kernel on a local shard."""
+    if len(local_shape) != 2:
+        return False
+    n_rows, n_cols = local_shape
+    halo = ext_halo_width(k, interpret=interpret)
+    # nearest-neighbor exchange must be able to supply the whole halo
+    if n_rows < halo or (ext_cols and n_cols < halo):
+        return False
+    if interpret:
+        return k >= 1
+    if jax.default_backend() != "tpu":
+        return False
+    if n_rows % 8 != 0 or n_cols % 128 != 0:
+        return False
+    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+        return False
+    return 1 <= k <= _HALO
+
+
+def _pick_band_ext(n_rows: int, n_cols_ext: int, itemsize: int, halo: int) -> int:
+    """Output-row band size dividing n_rows; input block is (band + 2*halo) rows."""
+    limit = 2 * 1024 * 1024
+    budget_rows = max(2 * halo + 1, limit // max(1, n_cols_ext * itemsize))
+    for candidate in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if candidate + 2 * halo <= budget_rows and n_rows % candidate == 0:
+            return candidate
+    return n_rows
+
+
+def make_affine_laplace_ext_2d(
+    local_shape, *, a: float = 0.0, b: float = 1.0, k: int = 1,
+    discretization, ext_cols: bool = True, dtype=np.float32,
+    interpret: bool = False,
+) -> Callable:
+    """Return ``ext -> (a*I + b*lap)^k`` on a halo-extended local block.
+
+    With ``halo = ext_halo_width(k)``, ``ext`` has shape
+    ``(n + 2*halo, m + 2*halo)`` when ``ext_cols`` else ``(n + 2*halo, m)``,
+    where ``(n, m) = local_shape``; the result has shape ``(n, m)``. Boundary
+    data comes from the halos (``ext_cols=False`` keeps columns locally
+    periodic via lane rolls — valid only when the column axis is periodic and
+    not decomposed). The caller fills the halos, so the same kernel serves
+    shard-internal edges and wrapped periodic edges.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not supports_affine_laplace_ext(
+        local_shape, dtype, k, ext_cols=ext_cols, interpret=interpret
+    ):
+        raise PallasUnsupportedError(
+            "Halo-extended fused laplace requires an aligned 2D local block "
+            "with float32/bfloat16 data on a TPU backend"
+        )
+    n_rows, n_cols = local_shape
+    halo = ext_halo_width(k, interpret=interpret)
+    itemsize = np.dtype(dtype).itemsize
+    # lane dimension of the padded input (multiple of 128 on TPU)
+    cols_ext = n_cols + 2 * halo if ext_cols else n_cols
+    lanes = cols_ext if interpret else -(-cols_ext // 128) * 128
+    band = _pick_band_ext(n_rows, lanes, itemsize, halo)
+    sx, sy = (1.0 / np.asarray(discretization) ** 2).tolist()
+    isotropic = sx == sy
+
+    def kernel(f_hbm, out_ref, work_ref, sem):
+        i = pl.program_id(0)
+        row0 = i * band  # input rows [row0, row0 + band + 2*halo)
+        cp = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(pl.multiple_of(row0, band), band + 2 * halo), :],
+            work_ref,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        if ext_cols:
+            work = work_ref[
+                halo - k : halo + k + band, halo - k : halo + k + n_cols
+            ]
+            for _ in range(k):
+                up = work[:-2, 1:-1]
+                down = work[2:, 1:-1]
+                center = work[1:-1, 1:-1]
+                left = work[1:-1, :-2]
+                right = work[1:-1, 2:]
+                if isotropic:
+                    lap4 = up + down + left + right - 4.0 * center
+                    work = a * center + (b * sx) * lap4
+                else:
+                    lap = (up + down - 2.0 * center) * sx + (
+                        left + right - 2.0 * center
+                    ) * sy
+                    work = a * center + b * lap
+        else:
+            work = work_ref[halo - k : halo + k + band, :]
+            for _ in range(k):
+                up = work[:-2, :]
+                center = work[1:-1, :]
+                down = work[2:, :]
+                left = pltpu.roll(center, 1, 1)
+                right = pltpu.roll(center, n_cols - 1, 1)
+                if isotropic:
+                    lap4 = up + down + left + right - 4.0 * center
+                    work = a * center + (b * sx) * lap4
+                else:
+                    lap = (up + down - 2.0 * center) * sx + (
+                        left + right - 2.0 * center
+                    ) * sy
+                    work = a * center + b * lap
+        out_ref[:, :] = work
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
+        grid=(n_rows // band,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band + 2 * halo, lanes), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+
+    pad_lanes = lanes - cols_ext
+
+    def affine_laplace_ext(ext):
+        ext = jnp.asarray(ext, dtype=dtype)
+        if pad_lanes:
+            ext = jnp.pad(ext, ((0, 0), (0, pad_lanes)))
+        return call(ext)
+
+    return affine_laplace_ext

@@ -136,3 +136,50 @@ def test_graft_entry():
     jax.block_until_ready(out)
     assert out.shape == args[0].shape
     module.dryrun_multichip(min(8, len(jax.devices())))
+
+
+@pytest.mark.parametrize("decomposition", [[2, 1], [1, 2], [2, 2], [4, 2]])
+def test_sharded_fused_window_parity(decomposition, rng, monkeypatch):
+    """Fused Pallas window under shard_map (interpret mode) vs the XLA path."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 2), (0, 1)], (16, 16), periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.1)
+
+    from pde_tpu.solvers.euler import EulerSolver
+    from pde_tpu.solvers.controller import Controller
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    controller = Controller(solver, t_range=0.2, tracker=None)
+    res = controller.run(state, dt=0.01)
+    assert solver.info.get("fused_step") is True
+    assert solver.info["decomposition"] == decomposition
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.2, dt=0.01, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_sharded_fused_window_remainder_steps(rng, monkeypatch):
+    """Step counts not divisible by the blocking factor k use the k=1 kernel."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.05)
+
+    from pde_tpu.solvers.euler import EulerSolver
+    from pde_tpu.solvers.controller import Controller
+
+    solver = EulerSolver(eq, decomposition=[2, 2])
+    controller = Controller(solver, t_range=0.03, tracker=None)  # 3 steps
+    res = controller.run(state, dt=0.01)
+    assert solver.info.get("fused_step") is True
+    assert solver.info["steps"] == 3
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.03, dt=0.01, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )

@@ -51,10 +51,15 @@ class DiffusionPDE(SDEBase):
         if self.is_sde:
             raise NotImplementedError("Fused window does not support noise")
         bcs = state.grid.get_boundary_conditions(self.bc)
-        if not isinstance(bcs, BoundariesList) or not all(b.periodic for b in bcs):
-            raise NotImplementedError("Fused window requires periodic BCs")
+        if not isinstance(bcs, BoundariesList):
+            raise NotImplementedError("Fused window requires per-axis BCs")
+        fully_periodic = all(b.periodic for b in bcs)
         try:
             if mesh is not None:
+                if not fully_periodic:
+                    raise NotImplementedError(
+                        "Sharded fused window requires periodic BCs"
+                    )
                 from ..parallel.fused import make_fused_euler_window_sharded
 
                 return make_fused_euler_window_sharded(
@@ -62,6 +67,10 @@ class DiffusionPDE(SDEBase):
                     dtype=state.dtype, interpret=interpret_requested(),
                 )
             if state.grid.num_axes == 3:
+                if not fully_periodic:
+                    raise NotImplementedError(
+                        "3D fused window requires periodic BCs"
+                    )
                 from ..ops.pallas_cartesian import make_fused_euler_window_3d
 
                 return make_fused_euler_window_3d(
@@ -69,7 +78,9 @@ class DiffusionPDE(SDEBase):
                     dtype=state.dtype,
                 )
             return make_fused_euler_window_2d(
-                state.grid, diffusivity=self.diffusivity, dt=dt, dtype=state.dtype
+                state.grid, diffusivity=self.diffusivity, dt=dt,
+                dtype=state.dtype, bcs=None if fully_periodic else bcs,
+                interpret=interpret_requested(),
             )
         except PallasUnsupportedError as err:
             raise NotImplementedError(str(err)) from err

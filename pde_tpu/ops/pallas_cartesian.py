@@ -46,16 +46,16 @@ def _pick_band(n_rows: int, n_cols: int, itemsize: int, k: int) -> int:
     for candidate in (256, 128, 64, 32, 16, 8):
         if candidate <= budget_rows and n_rows % candidate == 0:
             return candidate
-    return 8
+    # nothing divides n_rows: one program over the whole array (interpret mode
+    # only — the TPU path requires n_rows % 8 == 0, so a candidate matched)
+    return n_rows
 
 
-def supports_affine_laplace(grid, dtype, k: int = 1) -> bool:
-    """Check the preconditions of the fused kernel."""
+def _supports_fused_shape_2d(grid, dtype, k: int = 1) -> bool:
+    """Shape/backend preconditions shared by all 2D fused kernels."""
     if jax.default_backend() != "tpu":
         return False
     if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
-        return False
-    if not all(grid.periodic):
         return False
     n_rows, n_cols = grid.shape
     if n_rows % 8 != 0 or n_cols % 128 != 0 or n_rows < 16:
@@ -68,23 +68,113 @@ def supports_affine_laplace(grid, dtype, k: int = 1) -> bool:
     return band > 2 * k  # the shrinking work region must stay inside the band
 
 
+def supports_affine_laplace(grid, dtype, k: int = 1) -> bool:
+    """Check the preconditions of the fused kernel (fully periodic case)."""
+    return _supports_fused_shape_2d(grid, dtype, k) and all(grid.periodic)
+
+
+def affine_bc_params(grid, bcs):
+    """Extract per-axis affine ghost-point parameters from boundary conditions.
+
+    Returns a tuple with one entry per axis: ``None`` for a periodic axis, or
+    ``((c, f1, f2), (c, f1, f2))`` for (low, high) where the ghost value is
+    ``c + f1*edge + f2*next_inward`` — the virtual-point formulas of the
+    reference's ConstBC classes (`/root/reference/pde/grids/boundaries/
+    local.py:1541-2104`). Returns ``None`` when all axes are periodic. Raises
+    :class:`PallasUnsupportedError` for BC types/values the fused kernels
+    cannot lower (expression/user BCs, inhomogeneous arrays, complex values).
+    """
+    from ..grids.boundaries.local import (
+        ConstBC1stOrderBase,
+        ConstBC2ndOrderBase,
+    )
+
+    params = []
+    for ax, pair in enumerate(bcs):
+        if pair.periodic:
+            if getattr(pair.low, "flip_sign", False):
+                raise PallasUnsupportedError(
+                    "Anti-periodic BCs are not supported in fused kernels"
+                )
+            params.append(None)
+            continue
+        edge_lo, edge_hi = 0, grid.shape[ax] - 1
+        sides = []
+        for bc in (pair.low, pair.high):
+            edge = edge_hi if bc.upper else edge_lo
+            inward = -1 if bc.upper else 1
+            if isinstance(bc, ConstBC1stOrderBase):
+                const, f1, idx = bc.get_virtual_point_data()
+                f2, idx2 = 0.0, edge + inward
+            elif isinstance(bc, ConstBC2ndOrderBase):
+                const, f1, idx, f2, idx2 = bc.get_virtual_point_data()
+            else:
+                raise PallasUnsupportedError(
+                    f"BC type {type(bc).__name__} is not supported in fused kernels"
+                )
+            for v in (const, f1, f2):
+                if np.ndim(v) != 0:
+                    raise PallasUnsupportedError(
+                        "Inhomogeneous BC values are not supported in fused kernels"
+                    )
+                if np.iscomplexobj(v):
+                    raise PallasUnsupportedError(
+                        "Complex BC values are not supported in fused kernels"
+                    )
+            if idx != edge or idx2 != edge + inward:
+                raise PallasUnsupportedError("Unexpected virtual-point layout")
+            sides.append((float(const), float(f1), float(f2)))
+        params.append(tuple(sides))
+    if all(p is None for p in params):
+        return None
+    return tuple(params)
+
+
+def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
+    """Preconditions of the fused kernel with physical (const-affine) BCs."""
+    if not _supports_fused_shape_2d(grid, dtype, k):
+        return False
+    try:
+        affine_bc_params(grid, bcs)
+    except PallasUnsupportedError:
+        return False
+    return True
+
+
 def make_affine_laplace_2d(
     grid: CartesianGrid, *, a: float = 0.0, b: float = 1.0, k: int = 1,
-    dtype=np.float32, interpret: bool = False,
+    dtype=np.float32, bcs=None, interpret: bool = False,
 ) -> Callable:
-    """Return ``f -> (a*I + b*lap)^k f`` as one fused kernel (periodic BCs)."""
+    """Return ``f -> (a*I + b*lap)^k f`` as one fused kernel.
+
+    Without ``bcs`` the grid must be fully periodic. With ``bcs``, axes may
+    instead carry const-affine physical BCs (Dirichlet/Neumann/Robin/
+    Curvature): their first/second-order virtual-point formulas (reference
+    `local.py:1541-2104`) are lowered into the kernel as edge fixups — edge
+    programs overwrite the ghost row each step (the BC must be re-applied at
+    every intermediate time level of the temporal block), and non-periodic
+    columns patch lanes 0/m-1 after the rolls.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if not interpret and not supports_affine_laplace(grid, dtype, k):
+    bc_params = None if bcs is None else affine_bc_params(grid, bcs)
+    if bcs is None and not all(grid.periodic):
         raise PallasUnsupportedError(
-            "Fused Pallas laplace requires a 2D periodic Cartesian grid with "
-            "aligned shape and float32/bfloat16 data on a TPU backend"
+            "Non-periodic grids require explicit boundary conditions"
+        )
+    if not interpret and not _supports_fused_shape_2d(grid, dtype, k):
+        raise PallasUnsupportedError(
+            "Fused Pallas laplace requires a 2D Cartesian grid with aligned "
+            "shape and float32/bfloat16 data on a TPU backend"
         )
     n_rows, n_cols = grid.shape
     itemsize = np.dtype(dtype).itemsize
     band = _pick_band(n_rows, n_cols, itemsize, k)
+    n_programs = n_rows // band
     sx, sy = (1.0 / grid.discretization**2).tolist()
+    bc_rows = None if bc_params is None else bc_params[0]
+    bc_cols = None if bc_params is None else bc_params[1]
 
     def kernel(f_hbm, out_ref, band_ref, halo_top, halo_bot, sem):
         i = pl.program_id(0)
@@ -94,6 +184,8 @@ def make_affine_laplace_2d(
             f_hbm.at[pl.ds(pl.multiple_of(row0, 8), band), :], band_ref, sem.at[0]
         )
         main.start()
+        # for non-periodic rows the wrapped halo reads are garbage-but-finite
+        # on the edge programs; the per-step ghost fixups below mask them
         top_row = pl.multiple_of(
             jax.lax.rem(row0 + np.int32(n_rows - _HALO), np.int32(n_rows)), 8
         )
@@ -118,12 +210,44 @@ def make_affine_laplace_2d(
             [halo_top[_HALO - k :, :], band_ref[:, :], halo_bot[:k, :]], axis=0
         )
         isotropic = sx == sy
-        for _ in range(k):
+        for s in range(k):
+            if bc_rows is not None:
+                # ghost rows at the global domain edges (programs 0 / last):
+                # at step s the first valid row of program 0 is k-s (global
+                # row 0); its ghost row k-s-1 gets the virtual-point value
+                (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_rows
+                e_lo = k - s
+                ghost_lo = c_lo + f1_lo * work[e_lo : e_lo + 1, :]
+                if f2_lo:
+                    ghost_lo = ghost_lo + f2_lo * work[e_lo + 1 : e_lo + 2, :]
+                e_hi = band + k - s - 1
+                ghost_hi = c_hi + f1_hi * work[e_hi : e_hi + 1, :]
+                if f2_hi:
+                    ghost_hi = ghost_hi + f2_hi * work[e_hi - 1 : e_hi, :]
+                rows = jax.lax.broadcasted_iota(jnp.int32, work.shape, 0)
+                work = jnp.where((rows == e_lo - 1) & (i == 0), ghost_lo, work)
+                work = jnp.where(
+                    (rows == e_hi + 1) & (i == n_programs - 1), ghost_hi, work
+                )
             up = work[:-2, :]
             center = work[1:-1, :]
             down = work[2:, :]
             left = pltpu.roll(center, 1, 1)
             right = pltpu.roll(center, n_cols - 1, 1)
+            if bc_cols is not None:
+                # patch the wrapped lanes: at lane 0 the left neighbor is the
+                # ghost value; raw rolls provide the inward neighbors
+                # (right[:,0] = center[:,1], left[:,m-1] = center[:,m-2])
+                (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
+                ghost_lo = c_lo + f1_lo * center
+                if f2_lo:
+                    ghost_lo = ghost_lo + f2_lo * right
+                ghost_hi = c_hi + f1_hi * center
+                if f2_hi:
+                    ghost_hi = ghost_hi + f2_hi * left
+                lanes = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+                left = jnp.where(lanes == 0, ghost_lo, left)
+                right = jnp.where(lanes == n_cols - 1, ghost_hi, right)
             if isotropic:
                 # fold the scale into b: fewer VPU ops in this compute-bound loop
                 lap4 = up + down + left + right - 4.0 * center
@@ -159,10 +283,12 @@ def make_affine_laplace_2d(
 
 
 def make_laplace_pallas(grid: CartesianGrid, bcs=None, *, dtype=np.float32) -> Callable:
-    """Pallas-lowered plain laplace operator (periodic 2D Cartesian grids)."""
-    if bcs is not None and not all(b.periodic for b in bcs):
-        raise PallasUnsupportedError("Pallas laplace currently requires periodic BCs")
-    op = make_affine_laplace_2d(grid, a=0.0, b=1.0, k=1, dtype=dtype)
+    """Pallas-lowered plain laplace operator (2D Cartesian grids).
+
+    Periodic and const-affine BCs (value/derivative/mixed/curvature) are
+    lowered into the kernel; other BC types raise PallasUnsupportedError.
+    """
+    op = make_affine_laplace_2d(grid, a=0.0, b=1.0, k=1, dtype=dtype, bcs=bcs)
 
     def laplace(data, t=0.0, args=None):
         return op(data)
@@ -455,18 +581,32 @@ def make_chunked_window_2d(
 
 def make_fused_euler_window_2d(
     grid: CartesianGrid, *, diffusivity: float, dt: float, dtype=np.float32,
-    k: int = _HALO,
+    k: int = _HALO, bcs=None, interpret: bool = False,
 ) -> Callable:
     """Return ``window(data, steps) -> data`` advancing `steps` Euler diffusion
-    steps with temporal blocking (k steps per HBM pass)."""
-    while k > 1 and not supports_affine_laplace(grid, dtype, k):
+    steps with temporal blocking (k steps per HBM pass).
+
+    Supports fully periodic grids and const-affine physical BCs via ``bcs``
+    (the reference's no-flux benchmark case, `performance.rst:36-45`).
+    """
+    if bcs is None:
+        supports = lambda kk: supports_affine_laplace(grid, dtype, kk)
+    else:
+        supports = lambda kk: supports_affine_laplace_bc(grid, bcs, dtype, kk)
+    if interpret:
+        supports = lambda kk: True
+    while k > 1 and not supports(k):
         k //= 2
-    if not supports_affine_laplace(grid, dtype, k):
+    if not supports(k):
         raise PallasUnsupportedError("Unsupported configuration for fused window")
-    step_k = make_affine_laplace_2d(grid, a=1.0, b=dt * diffusivity, k=k, dtype=dtype)
+    step_k = make_affine_laplace_2d(
+        grid, a=1.0, b=dt * diffusivity, k=k, dtype=dtype, bcs=bcs,
+        interpret=interpret,
+    )
     if k > 1:
         step_1 = make_affine_laplace_2d(
-            grid, a=1.0, b=dt * diffusivity, k=1, dtype=dtype
+            grid, a=1.0, b=dt * diffusivity, k=1, dtype=dtype, bcs=bcs,
+            interpret=interpret,
         )
     else:
         step_1 = step_k

@@ -62,3 +62,106 @@ def test_affine_laplace_anisotropic_interpret(rng):
     lap = grid.make_operator("laplace", bc="periodic")
     ref = jnp.asarray(lap(data), dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+# -- physical BCs lowered into the fused kernel (VERDICT item 2) --------------------
+
+BC_CASES = [
+    {"value": 0},                       # homogeneous Dirichlet (both axes)
+    {"value": 1.5},                     # inhomogeneous Dirichlet
+    {"derivative": 0},                  # no-flux Neumann — the benchmark case
+    {"derivative": 0.3},
+    {"type": "mixed", "value": 2.0, "const": 0.5},   # Robin
+    {"curvature": 0.0},                 # 2nd-order extrapolation
+    {"curvature": 1.0},
+]
+
+
+@pytest.mark.parametrize("bc_value", BC_CASES, ids=[str(c) for c in BC_CASES])
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_affine_laplace_bc_interpret(bc_value, k, rng):
+    """Const-affine BCs in the fused kernel match the XLA ghost-setter path."""
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (32, 32))
+    bcs = grid.get_boundary_conditions(bc_value)
+    data = jnp.asarray(rng.random((32, 32)), dtype=jnp.float64)
+    a, b = 1.0, 1e-4
+    kernel = make_affine_laplace_2d(
+        grid, a=a, b=b, k=k, dtype=jnp.float64, bcs=bcs, interpret=True
+    )
+    out = kernel(data)
+
+    lap = grid.make_operator("laplace", bc=bc_value)
+    ref = data
+    for _ in range(k):
+        ref = a * ref + b * lap(ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12,
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": "periodic", "y": {"derivative": 0}},
+        {"x-": {"value": 1}, "x+": {"derivative": 0.5},
+         "y-": {"type": "mixed", "value": 1.0, "const": 2.0},
+         "y+": {"curvature": 0.0}},
+        {"x": {"derivative": 0}, "y": "periodic"},
+    ],
+    ids=["periodic-x", "mixed-sides", "periodic-y"],
+)
+def test_affine_laplace_bc_per_side_interpret(bc, rng):
+    """Different BC types per side/axis, including mixed periodic axes."""
+    periodic = [ax_bc == "periodic" for ax_bc in
+                (bc.get("x", ""), bc.get("y", ""))]
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], (24, 24), periodic=periodic)
+    bcs = grid.get_boundary_conditions(bc)
+    data = jnp.asarray(rng.random((24, 24)), dtype=jnp.float64)
+    kernel = make_affine_laplace_2d(
+        grid, a=1.0, b=2e-4, k=4, dtype=jnp.float64, bcs=bcs, interpret=True
+    )
+    out = kernel(data)
+
+    lap = grid.make_operator("laplace", bc=bc)
+    ref = data
+    for _ in range(4):
+        ref = ref + 2e-4 * lap(ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12,
+                               atol=1e-12)
+
+
+def test_affine_bc_params_rejects_unsupported():
+    from pde_tpu.ops.pallas_cartesian import affine_bc_params
+
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], (16, 16))
+    # spatially varying value → inhomogeneous → rejected
+    bcs = grid.get_boundary_conditions({"value": "x + y"})
+    with pytest.raises(PallasUnsupportedError):
+        affine_bc_params(grid, bcs)
+    # fully periodic returns None (no fixups needed)
+    pgrid = pde.UnitGrid([16, 16], periodic=True)
+    assert affine_bc_params(
+        pgrid, pgrid.get_boundary_conditions("periodic")
+    ) is None
+
+
+def test_fused_euler_window_bc_solver_path(rng, monkeypatch):
+    """End-to-end: DiffusionPDE with no-flux BCs hits the fused path."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.1, bc={"derivative": 0})
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-4)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+    # no-flux conserves mass
+    assert float(res.integral) == pytest.approx(float(state.integral), rel=1e-9)

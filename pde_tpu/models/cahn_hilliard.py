@@ -38,25 +38,36 @@ class CahnHilliardPDE(PDEBase):
         from ..grids.boundaries.axes import BoundariesList
         from ..ops.pallas_cartesian import (
             PallasUnsupportedError,
+            affine_bc_params,
+            interpret_requested,
             make_chunked_window_2d,
         )
 
+        params = []
         for bc in (self.bc_c, self.bc_mu):
             bcs = state.grid.get_boundary_conditions(bc)
-            if not isinstance(bcs, BoundariesList) or not all(b.periodic for b in bcs):
-                raise NotImplementedError("Fused window requires periodic BCs")
+            if not isinstance(bcs, BoundariesList):
+                raise NotImplementedError("Fused window requires per-axis BCs")
+            try:
+                params.append(affine_bc_params(state.grid, bcs))
+            except PallasUnsupportedError as err:
+                raise NotImplementedError(str(err)) from err
+        bc_c_params, bc_mu_params = params
         gamma = float(self.interface_width)
 
         def make_step(ops):
             def step(work):
-                lap_c = ops.lap(work)
+                lap_c = ops.lap(work, bc=bc_c_params)
                 c = work[1:-1, :]
                 mu = c * c * c - c - gamma * lap_c
-                return work[2:-2, :] + dt * ops.lap(mu)
+                return work[2:-2, :] + dt * ops.lap(mu, bc=bc_mu_params)
 
             return step
 
         try:
-            return make_chunked_window_2d(state.grid, make_step, 2, dtype=state.dtype)
+            return make_chunked_window_2d(
+                state.grid, make_step, 2, dtype=state.dtype,
+                interpret=interpret_requested(),
+            )
         except PallasUnsupportedError as err:
             raise NotImplementedError(str(err)) from err

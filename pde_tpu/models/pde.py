@@ -337,165 +337,312 @@ class PDE(SDEBase):
         "Abs": "abs",
     }
 
-    def _lower_stencil_expr(self, expr, var_sym, helpers):
+    def _lower_stencil_expr(self, expr, var_map, helpers, get_bc=None):
         """Recursively lower a sympy rhs to an in-VMEM evaluator.
 
-        Returns ``(fn, depth)`` where ``fn(work) -> array`` produces the value
-        on ``work`` shrunk by `depth` rows per side. Supported nodes: the field
-        symbol, numbers, Add/Mul/Pow, common pointwise functions, and the
-        stencil operators ``laplace`` / ``gradient_squared`` (arbitrarily
-        composed — each application consumes one halo row per side).
+        ``var_map`` maps field symbols to indices into the work list. Returns
+        ``(fn, depth)`` where ``fn(works) -> array`` produces the value on the
+        work arrays shrunk by `depth` rows per side. Supported nodes: field
+        symbols, numbers, Add/Mul/Pow, common pointwise functions, and the
+        stencil operators ``laplace`` / ``gradient_squared`` / ``gradient`` /
+        ``divergence`` / ``dot`` (arbitrarily composed — each derivative
+        application consumes one halo row per side; vector intermediates are
+        component tuples).
         """
         from sympy.core.function import AppliedUndef
 
+        if get_bc is None:
+            get_bc = lambda op_name: None
+
         def trim(value, amount):
+            if isinstance(value, tuple):
+                return tuple(trim(v, amount) for v in value)
             if amount == 0 or jnp.ndim(value) == 0:
                 return value
             return value[amount:-amount, :]
 
         def lower(e):
-            if e == var_sym:
-                return (lambda w: w), 0
+            """Returns (fn, depth, is_vector)."""
+            if e in var_map:
+                idx = var_map[e]
+                return (lambda ws, _i=idx: ws[_i]), 0, False
             if e.is_Number:
                 if not e.is_real:
                     raise NotImplementedError("complex coefficients unsupported")
                 value = float(e)
-                return (lambda w: value), 0
+                return (lambda ws: value), 0, False
             if isinstance(e, AppliedUndef):
                 name = e.func.__name__
                 if name == "laplace" and len(e.args) == 1:
-                    fn, d = lower(e.args[0])
-                    return (lambda w: helpers.lap(fn(w))), d + 1
+                    fn, d, vec = lower(e.args[0])
+                    if vec:
+                        raise NotImplementedError("vector laplace unsupported")
+                    bc = get_bc("laplace")
+                    return (lambda ws: helpers.lap(fn(ws), bc=bc)), d + 1, False
                 if name == "gradient_squared" and len(e.args) == 1:
-                    fn, d = lower(e.args[0])
-                    return (lambda w: helpers.gradient_squared(fn(w))), d + 1
+                    fn, d, vec = lower(e.args[0])
+                    if vec:
+                        raise NotImplementedError("gradient_squared of vector")
+                    bc = get_bc("gradient_squared")
+                    return (
+                        (lambda ws: helpers.gradient_squared(fn(ws), bc=bc)),
+                        d + 1,
+                        False,
+                    )
+                if name == "gradient" and len(e.args) == 1:
+                    fn, d, vec = lower(e.args[0])
+                    if vec:
+                        raise NotImplementedError("gradient of vector unsupported")
+                    bc = get_bc("gradient")
+
+                    def grad_fn(ws, _fn=fn, _bc=bc):
+                        value = _fn(ws)
+                        return (
+                            helpers.d_row(value, bc=_bc),
+                            helpers.d_col(value, bc=_bc),
+                        )
+
+                    return grad_fn, d + 1, True
+                if name == "divergence" and len(e.args) == 1:
+                    fn, d, vec = lower(e.args[0])
+                    if not vec:
+                        raise NotImplementedError("divergence needs a vector")
+                    bc = get_bc("divergence")
+
+                    def div_fn(ws, _fn=fn, _bc=bc):
+                        vx, vy = _fn(ws)
+                        return helpers.d_row(vx, bc=_bc) + helpers.d_col(vy, bc=_bc)
+
+                    return div_fn, d + 1, False
+                if name in ("dot", "inner") and len(e.args) == 2:
+                    fa, da, va = lower(e.args[0])
+                    fb, db, vb = lower(e.args[1])
+                    if not (va and vb):
+                        raise NotImplementedError("dot needs two vectors")
+                    depth = max(da, db)
+
+                    def dot_fn(ws, _fa=fa, _fb=fb, _ea=depth - da, _eb=depth - db):
+                        ax, ay = trim(_fa(ws), _ea)
+                        bx, by = trim(_fb(ws), _eb)
+                        return ax * bx + ay * by
+
+                    return dot_fn, depth, False
                 raise NotImplementedError(f"operator `{name}` has no stencil lowering")
             if isinstance(e, (sympy.Add, sympy.Mul)):
                 parts = [lower(a) for a in e.args]
-                depth = max(d for _, d in parts)
-                fns = [(fn, depth - d) for fn, d in parts]
+                depth = max(d for _, d, _v in parts)
+                n_vec = sum(v for _, _d, v in parts)
+                fns = [(fn, depth - d, v) for fn, d, v in parts]
                 if isinstance(e, sympy.Add):
-                    def combined(w, _fns=fns):
+                    if n_vec not in (0, len(parts)):
+                        raise NotImplementedError("cannot add scalar and vector")
+
+                    def combined(ws, _fns=fns, _vec=n_vec > 0):
                         total = None
-                        for fn, extra in _fns:
-                            value = trim(fn(w), extra)
-                            total = value if total is None else total + value
+                        for fn, extra, _v in _fns:
+                            value = trim(fn(ws), extra)
+                            if total is None:
+                                total = value
+                            elif _vec:
+                                total = tuple(t + v for t, v in zip(total, value))
+                            else:
+                                total = total + value
                         return total
-                else:
-                    def combined(w, _fns=fns):
-                        total = None
-                        for fn, extra in _fns:
-                            value = trim(fn(w), extra)
-                            total = value if total is None else total * value
-                        return total
-                return combined, depth
+
+                    return combined, depth, n_vec > 0
+                if n_vec > 1:
+                    raise NotImplementedError("product of vectors (use dot)")
+
+                def combined(ws, _fns=fns):
+                    total = None
+                    vec_value = None
+                    for fn, extra, v in _fns:
+                        value = trim(fn(ws), extra)
+                        if v:
+                            vec_value = value
+                        elif total is None:
+                            total = value
+                        else:
+                            total = total * value
+                    if vec_value is not None:
+                        if total is None:
+                            return vec_value
+                        return tuple(total * c for c in vec_value)
+                    return total
+
+                return combined, depth, n_vec > 0
             if isinstance(e, sympy.Pow):
-                base_fn, d = lower(e.args[0])
+                base_fn, d, vec = lower(e.args[0])
+                if vec:
+                    raise NotImplementedError("power of a vector")
                 if not e.args[1].is_Number or not e.args[1].is_real:
                     raise NotImplementedError("unsupported exponent")
                 exponent = float(e.args[1])
                 if exponent == int(exponent) and 0 < exponent <= 4:
                     n = int(exponent)
 
-                    def powered(w, _fn=base_fn, _n=n):
-                        value = _fn(w)
+                    def powered(ws, _fn=base_fn, _n=n):
+                        value = _fn(ws)
                         result = value
                         for _ in range(_n - 1):
                             result = result * value
                         return result
 
-                    return powered, d
-                return (lambda w: base_fn(w) ** exponent), d
+                    return powered, d, False
+                return (lambda ws: base_fn(ws) ** exponent), d, False
             if isinstance(e, sympy.Function) and type(e).__name__ in self._POINTWISE_FUNCS:
-                fn, d = lower(e.args[0])
+                fn, d, vec = lower(e.args[0])
+                if vec:
+                    raise NotImplementedError("pointwise function of a vector")
                 jfn = getattr(jnp, self._POINTWISE_FUNCS[type(e).__name__])
-                return (lambda w: jfn(fn(w))), d
+                return (lambda ws: jfn(fn(ws))), d, False
             raise NotImplementedError(f"no stencil lowering for `{e}`")
 
-        return lower(expr)
+        fn, depth, vec = lower(expr)
+        if vec:
+            raise NotImplementedError("rhs must be a scalar expression")
+        return fn, depth
 
     def make_fused_euler_window(self, state: FieldBase, dt: float):
         """Emit a fused Pallas temporal-blocking kernel for the rhs.
 
-        The expression compiler lowers arbitrary compositions of ``laplace``
-        and ``gradient_squared`` with pointwise math (covers diffusion, KPZ,
-        Allen-Cahn, Cahn-Hilliard, Kuramoto-Sivashinsky, Swift-Hohenberg, ...)
-        into a single kernel advancing several Euler steps per HBM pass; the
-        composition depth determines the halo consumed per step.
-        Raises NotImplementedError when the structure or platform is
-        unsupported, in which case solvers use the generic XLA lowering.
+        The expression compiler lowers arbitrary compositions of ``laplace``,
+        ``gradient``, ``divergence``, ``dot``, and ``gradient_squared`` with
+        pointwise math (covers diffusion, KPZ, Allen-Cahn, Cahn-Hilliard,
+        Kuramoto-Sivashinsky, Swift-Hohenberg, Brusselator, wave, ...) into a
+        single kernel advancing several Euler steps per HBM pass; coupled
+        multi-field systems (FieldCollection states) share the pass, and the
+        composition depth determines the halo consumed per step. Raises
+        NotImplementedError when the structure or platform is unsupported, in
+        which case solvers use the generic XLA lowering.
         """
         from ..grids.boundaries.axes import BoundariesList
         from ..ops.pallas_cartesian import (
             _HALO,
             PallasUnsupportedError,
+            affine_bc_params,
+            interpret_requested,
+            make_chunked_multi_window_2d,
             make_chunked_window_2d,
         )
 
         if (
             self.is_sde
             or self.post_step_hook is not None
-            or len(self.variables) != 1
             or self.consts
             or self.user_funcs
-            or not isinstance(state, DataFieldBase)
-            or state.rank != 0
         ):
             raise NotImplementedError("Fused window unsupported for this PDE")
-        var = self.variables[0]
-        var_sym = sympy.Symbol(var)
-        expr = sympy.expand(self._rhs_expr[var]._sympy_expr)
-        if expr.has(sympy.Symbol("t")) or any(
-            expr.has(sympy.Symbol(ax)) for ax in state.grid.axes
+        if isinstance(state, FieldCollection):
+            fields = list(state)
+        elif isinstance(state, DataFieldBase):
+            fields = [state]
+        else:
+            raise NotImplementedError("Fused window unsupported for this state")
+        if len(fields) != len(self.variables) or any(
+            f.rank != 0 for f in fields
         ):
-            raise NotImplementedError("Fused window requires an autonomous rhs")
+            raise NotImplementedError("Fused window requires scalar fields")
+        if len({f.dtype for f in fields}) != 1:
+            raise NotImplementedError("Fused window requires uniform dtypes")
+        grid = fields[0].grid
+        interpret = interpret_requested()
 
-        # all stencil operators must use periodic boundary conditions
-        for func in self._operators[var]:
-            bc = self._resolve_bc(var, func)
-            bcs = state.grid.get_boundary_conditions(bc)
-            if not isinstance(bcs, BoundariesList) or not all(
-                b.periodic for b in bcs
+        var_map = {
+            sympy.Symbol(v): i for i, v in enumerate(self.variables)
+        }
+        exprs = []
+        bc_table: dict[tuple[str, str], object] = {}
+        for var in self.variables:
+            expr = sympy.expand(self._rhs_expr[var]._sympy_expr)
+            if expr.has(sympy.Symbol("t")) or any(
+                expr.has(sympy.Symbol(ax)) for ax in grid.axes
             ):
-                raise NotImplementedError("Fused window requires periodic BCs")
+                raise NotImplementedError("Fused window requires an autonomous rhs")
+            # every stencil operator needs periodic or const-affine BCs, which
+            # lower into the kernel as ghost fixups (reference virtual-point
+            # formulas, `local.py:1541-2104`)
+            for func in self._operators[var]:
+                bc = self._resolve_bc(var, func)
+                bcs = grid.get_boundary_conditions(bc)
+                if not isinstance(bcs, BoundariesList):
+                    raise NotImplementedError("Fused window requires per-axis BCs")
+                try:
+                    bc_table[(var, func)] = affine_bc_params(grid, bcs)
+                except PallasUnsupportedError as err:
+                    raise NotImplementedError(str(err)) from err
+            exprs.append(expr)
+
+        def make_get_bc(var):
+            return lambda op_name: bc_table.get((var, op_name))
 
         # probe the lowering once (host-side) to find the stencil depth
         class _Probe:
             cols = 0
+            lap = staticmethod(lambda x, bc=None: x)
+            gradient_squared = staticmethod(lambda x, bc=None: x)
+            d_row = staticmethod(lambda x, bc=None: x)
+            d_col = staticmethod(lambda x, bc=None: x)
 
-            @staticmethod
-            def lap(x):
-                return x
-
-            @staticmethod
-            def gradient_squared(x):
-                return x
-
-        try:
-            _, depth = self._lower_stencil_expr(expr, var_sym, _Probe)
-        except NotImplementedError:
-            raise
+        depths = [self._lower_stencil_expr(e, var_map, _Probe)[1] for e in exprs]
+        depth = max(depths)
         if depth == 0 or depth > _HALO:
             raise NotImplementedError(f"stencil depth {depth} out of range")
 
-        def make_step(ops):
-            rhs_fn, d = self._lower_stencil_expr(expr, var_sym, ops)
+        if len(fields) == 1:
 
-            def step(work):
-                rate = rhs_fn(work)
-                center = work[d:-d, :]
-                return center + dt * jnp.broadcast_to(
-                    jnp.asarray(rate), center.shape
+            def make_step(ops):
+                rhs_fn, d = self._lower_stencil_expr(
+                    exprs[0], var_map, ops, make_get_bc(self.variables[0])
                 )
+
+                def step(work):
+                    rate = rhs_fn([work])
+                    center = work[d:-d, :]
+                    return center + dt * jnp.broadcast_to(
+                        jnp.asarray(rate), center.shape
+                    )
+
+                return step
+
+            try:
+                return make_chunked_window_2d(
+                    grid, make_step, depth, dtype=fields[0].dtype,
+                    interpret=interpret,
+                )
+            except PallasUnsupportedError as err:
+                raise NotImplementedError(str(err)) from err
+
+        def make_multi_step(ops):
+            rhs_fns = [
+                self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
+                for e, v in zip(exprs, self.variables)
+            ]
+
+            def step(works):
+                new = []
+                for f, (rhs_fn, d) in enumerate(rhs_fns):
+                    rate = rhs_fn(works)
+                    if jnp.ndim(rate) != 0 and depth - d:
+                        rate = rate[depth - d : -(depth - d), :]
+                    center = works[f][depth:-depth, :]
+                    new.append(
+                        center
+                        + dt * jnp.broadcast_to(jnp.asarray(rate), center.shape)
+                    )
+                return new
 
             return step
 
         try:
-            return make_chunked_window_2d(
-                state.grid, make_step, depth, dtype=state.dtype
+            window = make_chunked_multi_window_2d(
+                grid, make_multi_step, depth, len(fields),
+                dtype=fields[0].dtype, interpret=interpret,
             )
         except PallasUnsupportedError as err:
             raise NotImplementedError(str(err)) from err
+        window.multi_field = True
+        return window
 
     def make_post_step_hook(self, state: FieldBase):
         if self.post_step_hook is None:

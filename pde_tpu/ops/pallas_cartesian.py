@@ -443,45 +443,70 @@ def make_fused_euler_window_3d(
     return window
 
 
-def make_fused_stencil_window_2d(
-    grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
-    k: int | None = None,
-) -> tuple[Callable, int]:
-    """Generic temporal-blocking kernel: k in-VMEM steps per HBM pass.
+def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):
+    """In-VMEM stencil primitives; each consumes one halo row per side.
 
-    `make_step(lap, n_cols)` must return ``step(work) -> work`` shrinking the
-    row dimension by ``2*halo_per_step`` (the provided `lap` helper computes a
-    5-point Laplacian shrinking rows by 2, columns periodic via lane rolls).
-    Returns (window_k(data) applying k steps, k).
+    Every primitive takes an optional ``bc=(bc_rows, bc_cols)`` of affine
+    ghost parameters (see :func:`affine_bc_params`): when given, the operand's
+    ghost row at the global domain edge is rewritten before the stencil
+    (edge programs only, masked by program id) and the wrapped lanes are
+    patched after the rolls. The edge position inside the shrinking work
+    array is derived from its shape: ``(rows - band) // 2`` halo rows remain,
+    so program 0's first valid row sits at that index. Applying the BC to the
+    operator's operand (which may be a derived array like ``c**3``) mirrors
+    the reference's per-operator ghost-cell application.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    if k is None:
-        k = max(1, _HALO // halo_per_step)
-    if not supports_affine_laplace(grid, dtype, k * halo_per_step):
-        raise PallasUnsupportedError(
-            "Fused stencil window requires a 2D periodic Cartesian grid with "
-            "aligned shape and float32/bfloat16 data on a TPU backend"
-        )
-    n_rows, n_cols = grid.shape
-    itemsize = np.dtype(dtype).itemsize
-    band = _pick_band(n_rows, n_cols, itemsize, k * halo_per_step)
+    n_cols = grid.shape[1]
     sx, sy = (1.0 / grid.discretization**2).tolist()
     gx, gy = (0.5 / grid.discretization).tolist()
 
-    class helpers:
-        """In-VMEM stencil primitives; each consumes one halo row per side."""
+    def fix_ghost_rows(w, bc_rows):
+        if bc_rows is None:
+            return w
+        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_rows
+        hr = (w.shape[0] - band) // 2  # remaining halo rows on each side
+        i = pl.program_id(0)
+        e_lo = hr  # first globally valid row on program 0
+        ghost_lo = c_lo + f1_lo * w[e_lo : e_lo + 1, :]
+        if f2_lo:
+            ghost_lo = ghost_lo + f2_lo * w[e_lo + 1 : e_lo + 2, :]
+        e_hi = w.shape[0] - 1 - hr  # last globally valid row on the last program
+        ghost_hi = c_hi + f1_hi * w[e_hi : e_hi + 1, :]
+        if f2_hi:
+            ghost_hi = ghost_hi + f2_hi * w[e_hi - 1 : e_hi, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        w = jnp.where((rows == e_lo - 1) & (i == 0), ghost_lo, w)
+        w = jnp.where((rows == e_hi + 1) & (i == n_programs - 1), ghost_hi, w)
+        return w
 
+    def neighbors_cols(center, bc_cols):
+        """(left, right) lane neighbors honoring column BCs at lanes 0/m-1."""
+        left = pltpu.roll(center, 1, 1)
+        right = pltpu.roll(center, n_cols - 1, 1)
+        if bc_cols is not None:
+            (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
+            ghost_lo = c_lo + f1_lo * center
+            if f2_lo:
+                ghost_lo = ghost_lo + f2_lo * right
+            ghost_hi = c_hi + f1_hi * center
+            if f2_hi:
+                ghost_hi = ghost_hi + f2_hi * left
+            lanes = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+            left = jnp.where(lanes == 0, ghost_lo, left)
+            right = jnp.where(lanes == n_cols - 1, ghost_hi, right)
+        return left, right
+
+    class helpers:
         cols = n_cols
 
         @staticmethod
-        def lap(work):
+        def lap(work, bc=None):
+            bc_rows, bc_cols = bc if bc is not None else (None, None)
+            work = fix_ghost_rows(work, bc_rows)
             up = work[:-2, :]
             center = work[1:-1, :]
             down = work[2:, :]
-            left = pltpu.roll(center, 1, 1)
-            right = pltpu.roll(center, n_cols - 1, 1)
+            left, right = neighbors_cols(center, bc_cols)
             if sx == sy:
                 return (up + down + left + right - 4.0 * center) * sx
             return (up + down - 2.0 * center) * sx + (
@@ -489,82 +514,207 @@ def make_fused_stencil_window_2d(
             ) * sy
 
         @staticmethod
-        def gradient_squared(work):
+        def gradient_squared(work, bc=None):
+            bc_rows, bc_cols = bc if bc is not None else (None, None)
+            work = fix_ghost_rows(work, bc_rows)
             center = work[1:-1, :]
             d_row = (work[2:, :] - work[:-2, :]) * gx
-            left = pltpu.roll(center, 1, 1)
-            right = pltpu.roll(center, n_cols - 1, 1)
+            left, right = neighbors_cols(center, bc_cols)
             d_col = (right - left) * gy
             return d_row * d_row + d_col * d_col
 
+        @staticmethod
+        def d_row(work, bc=None):
+            """Central derivative along axis 0 (shrinks one row per side)."""
+            bc_rows = bc[0] if bc is not None else None
+            work = fix_ghost_rows(work, bc_rows)
+            return (work[2:, :] - work[:-2, :]) * gx
+
+        @staticmethod
+        def d_col(work, bc=None):
+            """Central derivative along axis 1 (columns periodic via rolls)."""
+            bc_cols = bc[1] if bc is not None else None
+            center = work[1:-1, :]
+            left, right = neighbors_cols(center, bc_cols)
+            return (right - left) * gy
+
+    return helpers
+
+
+def make_fused_multi_stencil_window_2d(
+    grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
+    dtype=np.float32, k: int | None = None, interpret: bool = False,
+) -> tuple[Callable, int]:
+    """Temporal-blocking kernel over ``n_fields`` coupled field planes.
+
+    ``make_step(helpers)`` must return ``step(works) -> works`` mapping a list
+    of ``n_fields`` work arrays to new ones, each shrunk by
+    ``2*halo_per_step`` rows (the helpers provide 5-point laplace, squared
+    gradient, and central derivatives; columns are periodic via lane rolls).
+    All fields share one HBM pass per k steps: each program issues 3 DMAs per
+    field (band + two 8-row halos) and writes each band once. Covers coupled
+    systems (reaction-diffusion, wave; reference 2-field states,
+    `/root/reference/pde/pdes/wave.py:25`). Returns (window_k(datas) -> list,
+    k).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if k is None:
+        k = max(1, _HALO // halo_per_step)
+    # periodicity is not required here: non-periodic axes are handled by the
+    # BC-aware helpers (the caller passes affine ghost params per operator)
+    if not interpret and not _supports_fused_shape_2d(
+        grid, dtype, k * halo_per_step
+    ):
+        raise PallasUnsupportedError(
+            "Fused stencil window requires a 2D Cartesian grid with "
+            "aligned shape and float32/bfloat16 data on a TPU backend"
+        )
+    n_rows, n_cols = grid.shape
+    itemsize = np.dtype(dtype).itemsize
+    # scale the VMEM budget by the number of resident field planes
+    band = _pick_band(n_rows, n_cols * n_fields, itemsize, k * halo_per_step)
+    helpers = _make_stencil_helpers(grid, pl, pltpu, band, n_rows // band)
     step = make_step(helpers)
     halo_total = k * halo_per_step
+    F = n_fields
 
-    def kernel(f_hbm, out_ref, band_ref, halo_top, halo_bot, sem):
+    def kernel(*refs):
+        ins = refs[:F]
+        outs = refs[F : 2 * F]
+        band_refs = refs[2 * F : 3 * F]
+        tops = refs[3 * F : 4 * F]
+        bots = refs[4 * F : 5 * F]
+        sem = refs[5 * F]
         i = pl.program_id(0)
         row0 = i * band
-        main = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(pl.multiple_of(row0, 8), band), :], band_ref, sem.at[0]
-        )
-        main.start()
         top_row = pl.multiple_of(
             jax.lax.rem(row0 + np.int32(n_rows - _HALO), np.int32(n_rows)), 8
         )
-        top = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(top_row, _HALO), :], halo_top, sem.at[1]
-        )
-        top.start()
         bot_row = pl.multiple_of(
             jax.lax.rem(row0 + np.int32(band), np.int32(n_rows)), 8
         )
-        bot = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(bot_row, _HALO), :], halo_bot, sem.at[2]
-        )
-        bot.start()
-        main.wait()
-        top.wait()
-        bot.wait()
+        copies = []
+        for f in range(F):
+            for j, (src, dst) in enumerate((
+                (ins[f].at[pl.ds(pl.multiple_of(row0, 8), band), :], band_refs[f]),
+                (ins[f].at[pl.ds(top_row, _HALO), :], tops[f]),
+                (ins[f].at[pl.ds(bot_row, _HALO), :], bots[f]),
+            )):
+                cp = pltpu.make_async_copy(src, dst, sem.at[3 * f + j])
+                cp.start()
+                copies.append(cp)
+        for cp in copies:
+            cp.wait()
 
-        work = jnp.concatenate(
-            [halo_top[_HALO - halo_total :, :], band_ref[:, :], halo_bot[:halo_total, :]],
-            axis=0,
-        )
+        works = [
+            jnp.concatenate(
+                [
+                    tops[f][_HALO - halo_total :, :],
+                    band_refs[f][:, :],
+                    bots[f][:halo_total, :],
+                ],
+                axis=0,
+            )
+            for f in range(F)
+        ]
         for _ in range(k):
-            work = step(work)
-        out_ref[:, :] = work
+            works = step(works)
+        for f in range(F):
+            outs[f][:, :] = works[f]
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
+        out_shape=[jax.ShapeDtypeStruct((n_rows, n_cols), dtype)] * F,
         grid=(n_rows // band,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * F,
+        out_specs=[
+            pl.BlockSpec((band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * F,
+        scratch_shapes=(
+            [pltpu.VMEM((band, n_cols), dtype)] * F
+            + [pltpu.VMEM((_HALO, n_cols), dtype)] * (2 * F)
+            + [pltpu.SemaphoreType.DMA((3 * F,))]
         ),
-        scratch_shapes=[
-            pltpu.VMEM((band, n_cols), dtype),
-            pltpu.VMEM((_HALO, n_cols), dtype),
-            pltpu.VMEM((_HALO, n_cols), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        interpret=interpret,
+    )
+
+    def window_k(datas):
+        out = call(*[jnp.asarray(d, dtype=dtype) for d in datas])
+        return list(out)
+
+    return window_k, k
+
+
+def make_chunked_multi_window_2d(
+    grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
+    dtype=np.float32, interpret: bool = False,
+) -> Callable:
+    """Return ``window(datas, steps)`` chunking steps into k-step kernel calls."""
+    step_k, k = make_fused_multi_stencil_window_2d(
+        grid, make_step, halo_per_step, n_fields, dtype=dtype,
+        interpret=interpret,
+    )
+    if k > 1:
+        step_1, _ = make_fused_multi_stencil_window_2d(
+            grid, make_step, halo_per_step, n_fields, dtype=dtype, k=1,
+            interpret=interpret,
+        )
+    else:
+        step_1 = step_k
+
+    def window(datas, steps):
+        chunks = steps // k
+        remainder = steps - chunks * k
+        datas = tuple(datas)
+        datas = jax.lax.fori_loop(
+            0, chunks, lambda i, d: tuple(step_k(list(d))), datas
+        )
+        datas = jax.lax.fori_loop(
+            0, remainder, lambda i, d: tuple(step_1(list(d))), datas
+        )
+        return list(datas)
+
+    return window
+
+
+def make_fused_stencil_window_2d(
+    grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
+    k: int | None = None, interpret: bool = False,
+) -> tuple[Callable, int]:
+    """Single-field convenience wrapper of the multi-field window kernel.
+
+    `make_step(helpers)` must return ``step(work) -> work`` shrinking the
+    row dimension by ``2*halo_per_step``. Returns (window_k(data), k).
+    """
+
+    def multi_make_step(helpers):
+        step = make_step(helpers)
+        return lambda works: [step(works[0])]
+
+    window_multi, k = make_fused_multi_stencil_window_2d(
+        grid, multi_make_step, halo_per_step, 1, dtype=dtype, k=k,
+        interpret=interpret,
     )
 
     def window_k(data):
-        return call(jnp.asarray(data, dtype=dtype))
+        return window_multi([data])[0]
 
     return window_k, k
 
 
 def make_chunked_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
+    interpret: bool = False,
 ) -> Callable:
     """Return ``window(data, steps)`` chunking steps into k-step kernel calls."""
     step_k, k = make_fused_stencil_window_2d(
-        grid, make_step, halo_per_step, dtype=dtype
+        grid, make_step, halo_per_step, dtype=dtype, interpret=interpret
     )
     if k > 1:
         step_1, _ = make_fused_stencil_window_2d(
-            grid, make_step, halo_per_step, dtype=dtype, k=1
+            grid, make_step, halo_per_step, dtype=dtype, k=1, interpret=interpret
         )
     else:
         step_1 = step_k

@@ -94,16 +94,21 @@ class EulerSolver(AdaptiveSolverBase):
             )
             sharding = mesh.sharding(0)
         self.info["fused_step"] = True
+        multi = getattr(window, "multi_field", False)
 
         def fused_stepper(state_obj, t_start, t_end):
             steps = max(1, round((t_end - t_start) / dt))
-            (data,) = state_leaves(state_obj)
+            leaves = state_leaves(state_obj)
             if sharding is not None:
-                data = jax.device_put(data, sharding)
-            data = run(data, jnp.asarray(steps))
+                leaves = [jax.device_put(x, sharding) for x in leaves]
+            if multi:
+                leaves = list(run(leaves, jnp.asarray(steps)))
+            else:
+                (data,) = leaves
+                leaves = [run(data, jnp.asarray(steps))]
             self.info["steps"] += steps
             return (
-                state_from_leaves(state_obj, [data]),
+                state_from_leaves(state_obj, leaves),
                 t_start + steps * dt,
             )
 

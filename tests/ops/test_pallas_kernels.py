@@ -165,3 +165,126 @@ def test_fused_euler_window_bc_solver_path(rng, monkeypatch):
     )
     # no-flux conserves mass
     assert float(res.integral) == pytest.approx(float(state.integral), rel=1e-9)
+
+
+# -- multi-field fused windows (VERDICT item 4) --------------------------------------
+
+
+def _solve_fused_vs_xla(eq, state, t_range, dt, monkeypatch, expect_fused=True):
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=t_range, tracker=None).run(state, dt=dt)
+    assert solver.info.get("fused_step", False) is expect_fused
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=t_range, dt=dt, tracker=None)
+    return res, ref
+
+
+def test_fused_window_brusselator(rng, monkeypatch):
+    """Two-field reaction-diffusion hits the fused multi-plane kernel."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    v = pde.ScalarField.random_uniform(grid, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "1 + u**2 * v - 2.2 * u + 0.1 * laplace(u)",
+        "v": "1.2 * u - u**2 * v + 0.02 * laplace(v)",
+    })
+    res, ref = _solve_fused_vs_xla(eq, state, 0.1, 0.01, monkeypatch)
+    for r, e in zip(res, ref):
+        np.testing.assert_allclose(
+            np.asarray(r.data), np.asarray(e.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_fused_window_wave_system(rng, monkeypatch):
+    """Wave-like system where one rhs has stencil depth 0."""
+    grid = pde.UnitGrid([16, 32], periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    v = pde.ScalarField(grid, data=0.0, label="v")
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({"u": "v", "v": "0.5 * laplace(u)"})
+    res, ref = _solve_fused_vs_xla(eq, state, 0.1, 0.01, monkeypatch)
+    for r, e in zip(res, ref):
+        np.testing.assert_allclose(
+            np.asarray(r.data), np.asarray(e.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_fused_window_gradient_divergence(rng, monkeypatch):
+    """divergence(gradient(c)) lowers to the fused kernel and matches laplace."""
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], (16, 16), periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.PDE({"c": "0.001 * divergence(gradient(c))"})
+    res, ref = _solve_fused_vs_xla(eq, state, 0.05, 0.01, monkeypatch)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_window_dot_gradients(rng, monkeypatch):
+    """dot(gradient(a), gradient(b)) lowers to the fused kernel (vs XLA path)."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    v = pde.ScalarField.random_uniform(grid, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "0.1 * laplace(u) + 0.05 * dot(gradient(u), gradient(v))",
+        "v": "0.1 * laplace(v)",
+    })
+    res, ref = _solve_fused_vs_xla(eq, state, 0.1, 0.01, monkeypatch)
+    for r, e in zip(res, ref):
+        np.testing.assert_allclose(
+            np.asarray(r.data), np.asarray(e.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_fused_window_brusselator_neumann(rng, monkeypatch):
+    """The Brusselator example config (non-periodic UnitGrid, auto Neumann
+    BCs) hits the fused multi-field kernel with in-kernel ghost fixups."""
+    grid = pde.UnitGrid([16, 16])  # not periodic -> auto_periodic_neumann
+    u = pde.ScalarField(grid, 1.0, label="u")
+    v = 3.0 + 0.1 * pde.ScalarField.random_normal(grid, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "laplace(u) + 1 - 4 * u + u**2 * v",
+        "v": "0.1 * laplace(v) + 3 * u - u**2 * v",
+    })
+    res, ref = _solve_fused_vs_xla(eq, state, 0.1, 0.01, monkeypatch)
+    for r, e in zip(res, ref):
+        np.testing.assert_allclose(
+            np.asarray(r.data), np.asarray(e.data), rtol=1e-12, atol=1e-12
+        )
+
+
+def test_fused_window_cahn_hilliard_noflux(rng, monkeypatch):
+    """Cahn-Hilliard with no-flux BCs (its physical default) fuses."""
+    grid = pde.CartesianGrid([(0, 8), (0, 8)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+    eq = pde.CahnHilliardPDE(interface_width=1.0, bc_c={"derivative": 0},
+                             bc_mu={"derivative": 0})
+    res, ref = _solve_fused_vs_xla(eq, state, 0.05, 1e-3, monkeypatch)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-11, atol=1e-12
+    )
+    # no-flux Cahn-Hilliard conserves mass
+    assert float(res.integral) == pytest.approx(float(state.integral), rel=1e-9)
+
+
+def test_fused_window_expression_mixed_bcs(rng, monkeypatch):
+    """Expression PDE with different const BCs per side fuses correctly."""
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng, label="c")
+    eq = pde.PDE(
+        {"c": "0.001 * laplace(c) - 0.1 * c"},
+        bc={"x-": {"value": 1}, "x+": {"derivative": 0},
+            "y-": {"derivative": 0.2}, "y+": {"type": "mixed", "value": 1.0, "const": 0.3}},
+    )
+    res, ref = _solve_fused_vs_xla(eq, state, 0.05, 1e-3, monkeypatch)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-11, atol=1e-12
+    )

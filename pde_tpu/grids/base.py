@@ -281,15 +281,18 @@ class GridBase:
         """
         from .boundaries.axes import BoundariesBase
 
-        bcs = BoundariesBase.from_data(bc, grid=self, rank=rank)
         if self._mesh is not None:
-            # this grid is the local template of a decomposition: swap in
-            # halo-exchanging boundary conditions (reference `_mesh.py:535`)
+            # this grid is the local template of a decomposition: parse the
+            # specification on the GLOBAL grid (so coordinate expressions and
+            # boundary-value arrays refer to global coordinates/shapes), then
+            # swap in halo-exchanging conditions (reference `_mesh.py:535`)
             from ..parallel.boundaries import ShardedBoundaries
 
-            if not isinstance(bcs, ShardedBoundaries):
-                bcs = self._mesh.extract_boundary_conditions(bcs)
-        return bcs
+            if isinstance(bc, ShardedBoundaries):
+                return bc
+            bcs = BoundariesBase.from_data(bc, grid=self._mesh.basegrid, rank=rank)
+            return self._mesh.extract_boundary_conditions(bcs)
+        return BoundariesBase.from_data(bc, grid=self, rank=rank)
 
     # -- operators -------------------------------------------------------------------
     @classmethod

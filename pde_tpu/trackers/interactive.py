@@ -1,23 +1,18 @@
 """Interactive napari tracker running the viewer in a separate process.
 
 Reference: `/root/reference/pde/trackers/interactive.py:27-310`. napari is an
-optional dependency; importing this module without it raises ImportError.
+optional dependency: the queue plumbing (NapariViewer, the tracker protocol)
+works without it — only launching the real viewer process requires napari.
+Tests inject a fake ``process_target`` to exercise the queue protocol.
 """
 
 from __future__ import annotations
 
 import multiprocessing as mp
 import queue
-from typing import Any
+from typing import Any, Callable
 
 import numpy as np
-
-try:
-    import napari  # noqa: F401
-except ImportError as _err:  # pragma: no cover — napari is optional
-    raise ImportError(
-        "InteractivePlotTracker requires the optional `napari` package"
-    ) from _err
 
 from ..fields.base import FieldBase
 from .base import InfoDict, TrackerBase
@@ -25,7 +20,7 @@ from .base import InfoDict, TrackerBase
 
 def napari_process(data_channel: mp.Queue, initial_data: dict[str, Any]) -> None:
     """Runs the napari viewer in a separate process, fed from a queue."""
-    import napari
+    import napari  # the optional dependency is only needed in this process
 
     viewer = napari.Viewer(show=True)
     layers = {}
@@ -53,14 +48,28 @@ def napari_process(data_channel: mp.Queue, initial_data: dict[str, Any]) -> None
 class NapariViewer:
     """Allows pushing field updates to a napari viewer in another process."""
 
-    def __init__(self, state: FieldBase, t_initial: float = 0):
+    def __init__(
+        self,
+        state: FieldBase,
+        t_initial: float = 0,
+        process_target: Callable | None = None,
+    ):
+        if process_target is None:
+            try:
+                import napari  # noqa: F401
+            except ImportError as err:
+                raise ImportError(
+                    "InteractivePlotTracker requires the optional `napari` "
+                    "package"
+                ) from err
+            process_target = napari_process
         self._queue: mp.Queue = mp.Queue()
         initial = {
             name: {"data": np.asarray(layer["data"])}
             for name, layer in state._get_napari_data().items()
         }
         self._process = mp.Process(
-            target=napari_process, args=(self._queue, initial), daemon=True
+            target=process_target, args=(self._queue, initial), daemon=True
         )
         self._process.start()
 
@@ -84,14 +93,15 @@ class InteractivePlotTracker(TrackerBase):
     name = "interactive"
 
     def __init__(self, interrupts=1, *, close: bool = True, show_time: bool = False,
-                 interval=None):
+                 interval=None, _process_target: Callable | None = None):
         super().__init__(interrupts=interrupts, interval=interval)
         self.close = close
         self.show_time = show_time
+        self._process_target = _process_target
         self._viewer: NapariViewer | None = None
 
     def initialize(self, state: FieldBase, info: InfoDict | None = None) -> float:
-        self._viewer = NapariViewer(state)
+        self._viewer = NapariViewer(state, process_target=self._process_target)
         return super().initialize(state, info)
 
     def handle(self, state: FieldBase, t: float) -> None:

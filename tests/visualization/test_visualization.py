@@ -118,24 +118,22 @@ def test_movie_requires_ffmpeg():
         assert Movie.is_available()
 
 
-def test_movie_storage_requires_ffmpeg(tmp_path):
+def test_movie_storage_backend_selection(tmp_path):
     import shutil
 
     from pde_tpu.storage.movie import MovieStorage
 
-    if shutil.which("ffmpeg") is None:
-        with pytest.raises(RuntimeError, match="ffmpeg"):
-            MovieStorage(str(tmp_path / "movie.avi"))
-    else:
-        grid = pde.UnitGrid([16, 16])
-        field = pde.ScalarField.random_uniform(grid, rng=np.random.default_rng(0))
-        storage = MovieStorage(str(tmp_path / "movie.avi"), vmin=0, vmax=1)
-        storage.start_writing(field)
-        storage.append(field, 0.0)
-        storage.append(field * 0.5, 1.0)
-        storage.end_writing()
-        restored = MovieStorage(str(tmp_path / "movie.avi"))
-        assert len(restored) == 2
-        np.testing.assert_allclose(
-            np.asarray(restored[0].data), np.asarray(field.data), atol=1e-3
-        )
+    storage = MovieStorage(str(tmp_path / "movie.avi"), vmin=0, vmax=1)
+    expected = "ffmpeg" if shutil.which("ffmpeg") else "raw"
+    assert storage._backend == expected
+    grid = pde.UnitGrid([16, 16])
+    field = pde.ScalarField.random_uniform(grid, rng=np.random.default_rng(0))
+    storage.start_writing(field)
+    storage.append(field, 0.0)
+    storage.append(field * 0.5, 1.0)
+    storage.end_writing()
+    restored = MovieStorage(str(tmp_path / "movie.avi"))
+    assert len(restored) == 2
+    np.testing.assert_allclose(
+        np.asarray(restored[0].data), np.asarray(field.data), atol=1e-3
+    )

@@ -19,5 +19,8 @@ u = pde.ScalarField(grid, a, label="u")
 v = b / a + 0.1 * pde.ScalarField.random_normal(grid, label="v")
 state = pde.FieldCollection([u, v])
 
-sol = eq.solve(state, t_range=5, dt=1e-3)
+sol, info = eq.solve(state, t_range=5, dt=1e-3, ret_info=True)
+# on TPU the coupled system runs as one fused Pallas window (several Euler
+# steps per HBM pass); elsewhere the XLA lowering is used
+print("fused kernel:", info["solver"].get("fused_step", False))
 sol.plot(title="Brusselator")

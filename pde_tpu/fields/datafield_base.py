@@ -373,8 +373,13 @@ class DataFieldBase(FieldBase):
         return self
 
     def get_boundary_values(self, axis: int, upper: bool, bc=None):
-        """Field values on the specified boundary (midpoint of cell and ghost)."""
-        full = self.get_full_data(bc)
+        """Field values on the specified boundary (midpoint of cell and ghost).
+
+        Unlike the reference (which reuses previously set ghost cells when
+        ``bc is None``, `datafield_base.py:810`), fields here carry no ghost
+        state, so ``None`` extrapolates with the auto periodic/Neumann default.
+        """
+        full = self.get_full_data(bc if bc is not None else "auto_periodic_neumann")
         n = self.grid.num_axes
         sel_edge: list[Any] = [slice(1, -1)] * n
         sel_ghost: list[Any] = [slice(1, -1)] * n

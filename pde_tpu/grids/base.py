@@ -420,8 +420,15 @@ class GridBase:
 
     # -- point handling -----------------------------------------------------------------
     def point_to_cartesian(self, points, *, full: bool = False):
-        """Convert grid coordinates to Cartesian coordinates."""
-        points = self._coords_full(np.atleast_1d(points)) if full else np.atleast_1d(points)
+        """Convert grid coordinates to Cartesian coordinates.
+
+        With ``full=True`` the input already carries all ``dim`` coordinates;
+        otherwise symmetric grid coordinates are expanded via ``_coords_full``
+        (reference `grids/base.py:690`).
+        """
+        points = np.atleast_1d(points)
+        if not full:
+            points = self._coords_full(points)
         return self.c.pos_to_cart(points)
 
     def point_from_cartesian(self, points, *, full: bool = False):

@@ -76,7 +76,7 @@ def test_polar_point_transforms():
     # cartesian point (3, 0, ...) has radius 3
     r = grid.point_from_cartesian(np.array([[3.0, 0.0]]))
     np.testing.assert_allclose(r, [[3.0]])
-    cart = grid.point_to_cartesian(np.array([[2.0]]), full=True)
+    cart = grid.point_to_cartesian(np.array([[2.0]]))
     assert np.linalg.norm(cart) == pytest.approx(2.0)
 
 

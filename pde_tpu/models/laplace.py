@@ -58,7 +58,43 @@ def helmholtz_decomposition(field: VectorField, bc):
     r"""Decompose `field` into a gradient part and a divergence-free part.
 
     Returns (potential, solenoidal) with field = grad(potential) + solenoidal.
+
+    On fully periodic Cartesian grids the projection is computed in Fourier
+    space with the *discrete* central-difference symbols
+    ``i sin(k dx) / dx``, so the solenoidal part is divergence-free under the
+    same discrete divergence operator that produced the source (composing the
+    compact-stencil Poisson solve with ``gradient`` would leave an O(1)
+    residual because ``div(grad(·))`` is the wide 2h-stencil Laplacian).
     """
+    from ..grids.cartesian import CartesianGrid
+
+    grid = field.grid
+    if isinstance(grid, CartesianGrid) and all(grid.periodic):
+        data = jnp.asarray(field.data)
+        shape = grid.shape
+        dx = np.asarray(grid.discretization)
+        # discrete spectral symbol of the central first derivative per axis
+        ik = []
+        for ax, (n, d) in enumerate(zip(shape, dx)):
+            k = 2 * np.pi * np.fft.fftfreq(n, d=d)
+            sym = 1j * np.sin(k * d) / d
+            if n % 2 == 0:
+                sym[n // 2] = 0.0  # sin(pi) evaluates to ~1e-16, not 0
+            sh = [1] * len(shape)
+            sh[ax] = n
+            ik.append(jnp.asarray(sym.reshape(sh)))
+        f_hat = jnp.fft.fftn(data, axes=range(1, data.ndim))
+        div_hat = sum(ik[ax] * f_hat[ax] for ax in range(len(shape)))
+        denom = sum(ik[ax] * ik[ax] for ax in range(len(shape)))
+        singular = denom == 0
+        phi_hat = jnp.where(singular, 0.0, div_hat / jnp.where(singular, 1.0, denom))
+        grad_hat = jnp.stack([ik[ax] * phi_hat for ax in range(len(shape))])
+        phi = jnp.real(jnp.fft.ifftn(phi_hat, axes=range(phi_hat.ndim)))
+        grad_phi = jnp.real(jnp.fft.ifftn(grad_hat, axes=range(1, data.ndim)))
+        potential = ScalarField(grid, data=phi, label="potential")
+        solenoidal = VectorField(grid, data=data - grad_phi, label="solenoidal")
+        return potential, solenoidal
+
     bcs = field.grid.get_boundary_conditions(bc)
     source = field.divergence(bcs)
     potential = solve_poisson_equation(source, bcs)

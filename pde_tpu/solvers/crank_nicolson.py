@@ -21,8 +21,9 @@ class CrankNicolsonSolver(SolverBase):
     name = "crank-nicolson"
 
     def __init__(self, pde: PDEBase, *, maxiter: int = 100, maxerror: float = 1e-4,
-                 explicit_fraction: float = 0, backend: str = "auto"):
-        super().__init__(pde, backend=backend)
+                 explicit_fraction: float = 0, backend: str = "auto",
+                 decomposition=None):
+        super().__init__(pde, backend=backend, decomposition=decomposition)
         self.maxiter = maxiter
         self.maxerror = maxerror
         self.explicit_fraction = explicit_fraction

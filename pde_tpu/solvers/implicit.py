@@ -52,8 +52,8 @@ class ImplicitSolver(SolverBase):
     name = "implicit"
 
     def __init__(self, pde: PDEBase, *, maxiter: int = 100, maxerror: float = 1e-4,
-                 backend: str = "auto"):
-        super().__init__(pde, backend=backend)
+                 backend: str = "auto", decomposition=None):
+        super().__init__(pde, backend=backend, decomposition=decomposition)
         self.maxiter = maxiter
         self.maxerror = maxerror
 

@@ -232,3 +232,62 @@ def test_sharded_inhomogeneous_bc_array_value(rng):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
     )
+
+
+@pytest.mark.parametrize("solver", ["runge-kutta", "adams-bashforth",
+                                    "implicit", "crank-nicolson"])
+def test_sharded_parity_other_solvers(solver, rng):
+    """Domain decomposition is solver-agnostic: every deterministic solver
+    matches its serial run bit-for-bit."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.2)
+    ref = eq.solve(state, t_range=0.1, dt=0.01, solver=solver, tracker=None)
+    res = eq.solve(state, t_range=0.1, dt=0.01, solver=solver,
+                   decomposition=[2, 2], tracker=None)
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(ref.data))
+
+
+def test_sharded_field_collection_parity(rng):
+    """Coupled 2-field systems decompose correctly."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    v = pde.ScalarField.random_uniform(grid, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({"u": "0.1 * laplace(u) + v - u", "v": "0.2 * laplace(v) - v + u"})
+    ref = eq.solve(state, t_range=0.1, dt=0.01, tracker=None)
+    res = eq.solve(state, t_range=0.1, dt=0.01, solver="explicit_sharded",
+                   adaptive=False, decomposition=[2, 2], tracker=None)
+    for a, b in zip(res, ref):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+
+
+def test_sharded_vector_field_parity(rng):
+    """Rank-1 states shard with replicated component axes."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.VectorField.random_uniform(grid, rng=rng)
+
+    class VectorDiffusion(pde.PDEBase):
+        def evolution_rate(self, s, t=0):
+            return 0.3 * s.laplace("periodic")
+
+    eq = VectorDiffusion()
+    ref = eq.solve(state, t_range=0.1, dt=0.01, tracker=None)
+    res = eq.solve(state, t_range=0.1, dt=0.01, solver="explicit_sharded",
+                   adaptive=False, decomposition=[2, 2], tracker=None)
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(ref.data))
+
+
+def test_sharded_with_trackers_and_storage(rng):
+    """Trackers and storage work on decomposed runs (host-side gather)."""
+    from pde_tpu.storage import MemoryStorage
+
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    storage = MemoryStorage()
+    eq = pde.DiffusionPDE(0.2)
+    eq.solve(state, t_range=0.2, dt=0.01, solver="explicit_sharded",
+             adaptive=False, decomposition=[2, 2],
+             tracker=storage.tracker(0.1))
+    assert len(storage) == 3
+    assert storage[2].grid.shape == (16, 16)

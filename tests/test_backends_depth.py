@@ -1,0 +1,93 @@
+"""Backend-facade and misc integration depth.
+
+The facade mirrors the reference's backend registry surface
+(`/root/reference/pde/backends/registry.py:36,278`) over the single XLA path.
+"""
+
+import numpy as np
+import pytest
+
+import pde_tpu as pde
+from pde_tpu.backends import XLABackend, get_backend
+
+
+def test_get_backend_names():
+    for name in ["auto", "jax", "numpy", "numba"]:
+        backend = get_backend(name)
+        assert isinstance(backend, XLABackend)
+
+
+def test_backend_compile_function(rng):
+    backend = get_backend("auto")
+    fn = backend.compile_function(lambda x: x * 2)
+    np.testing.assert_allclose(np.asarray(fn(np.ones(4))), 2.0)
+
+
+def test_backend_make_operator(rng):
+    grid = pde.UnitGrid([8], periodic=True)
+    backend = get_backend("auto")
+    op = backend.make_operator(grid, "laplace", bc="periodic")
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    direct = field.laplace("periodic")
+    np.testing.assert_allclose(np.asarray(op(field.data)),
+                               np.asarray(direct.data), atol=1e-12)
+
+
+def test_backend_numpy_conversions():
+    backend = get_backend("auto")
+    arr = np.arange(4.0)
+    native = backend.numpy_to_native(arr)
+    back = backend.native_to_numpy(native)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_solve_accepts_any_backend_name(rng):
+    grid = pde.UnitGrid([8], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    results = [
+        pde.DiffusionPDE(0.1).solve(state, t_range=0.05, dt=0.01,
+                                    backend=name, tracker=None)
+        for name in ["auto", "numpy", "numba", "jax"]
+    ]
+    for r in results[1:]:
+        np.testing.assert_array_equal(np.asarray(r.data),
+                                      np.asarray(results[0].data))
+
+
+def test_registered_operators_listing():
+    ops = pde.UnitGrid([4]).operators()
+    assert "laplace" in ops and "gradient" in ops
+
+
+def test_mpi_shims():
+    from pde_tpu.utils import mpi
+
+    assert mpi.size >= 1
+    assert mpi.rank == 0
+    assert mpi.is_main
+    assert mpi.mpi_bcast(42) == 42
+    assert mpi.mpi_allreduce(3.0, "SUM") == 3.0
+    with pytest.raises(ValueError):
+        mpi.mpi_allreduce(1.0, "PROD")
+    with pytest.raises(NotImplementedError):
+        mpi.mpi_send(None, 0)
+    with pytest.raises(NotImplementedError):
+        mpi.mpi_recv(None, 0)
+
+
+def test_docstring_template_fill():
+    from pde_tpu.utils.docstrings import fill_in_docstring
+
+    @fill_in_docstring
+    def fn():
+        """{ARG_BOUNDARIES}"""
+
+    assert fn.__doc__ and "Boundary conditions" in fn.__doc__
+
+
+def test_progress_bar_utilities():
+    from pde_tpu.utils.output import display_progress, get_progress_bar_class
+
+    cls = get_progress_bar_class()
+    items = list(display_progress(range(5), enabled=False))
+    assert items == [0, 1, 2, 3, 4]

@@ -19,7 +19,13 @@ import sys
 import time
 
 
-def bench_diffusion(size: int = 4096, steps_per_window: int = 1000, windows: int = 3):
+def bench_diffusion(size: int = 4096, steps_per_window: int = 16384, windows: int = 3):
+    """Throughput over 3 tracker windows of `steps_per_window` Euler steps.
+
+    Window size amortizes the ~25-30 ms per-call dispatch latency of the
+    remote axon tunnel (a local TPU would not need windows this large); the
+    per-step kernel cost is what BASELINE.json targets.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -4,11 +4,12 @@ The hot path of explicit PDE stepping is HBM-bandwidth bound: the XLA lowering
 of one Euler diffusion step costs ~5 full-array HBM passes (pad copy + fused
 stencil/axpy), ≈45 G cell-updates/s at 4096² on TPU v5e. This kernel computes
 ``k`` successive steps of ``f <- a*f + b*laplace(f)`` per HBM pass: each
-program DMAs one row band plus an 8-row halo into VMEM, advances k=8 steps
+program DMAs one row band plus a k-row halo into VMEM, advances k steps
 in-register (the valid region shrinks by one row per step, exactly consuming
 the halo), and writes the band once. Columns are periodic via lane rolls.
-Measured ≈132 G cell-updates/s at 4096² — ~3x the XLA path and 13x the
-project's 1e10 baseline target on a single chip.
+Measured ≈1.8e11 cell-updates/s at 4096² with k=16 — ~3.8x the XLA path and
+18x the project's 1e10 baseline target on a single chip (VPU-bound; see
+docs/BENCHMARKS.md roofline).
 
 Falls back to the jnp lowering whenever preconditions fail (non-periodic BCs,
 unaligned shapes, non-TPU backends, float64).
@@ -62,7 +63,7 @@ def _supports_fused_shape_2d(grid, dtype, k: int = 1) -> bool:
         return False
     if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
         return False
-    if not 1 <= k <= _HALO:
+    if not 1 <= k <= 2 * _HALO:
         return False
     band = _pick_band(n_rows, n_cols, np.dtype(dtype).itemsize, k)
     return band > 2 * k  # the shrinking work region must stay inside the band
@@ -172,6 +173,7 @@ def make_affine_laplace_2d(
     itemsize = np.dtype(dtype).itemsize
     band = _pick_band(n_rows, n_cols, itemsize, k)
     n_programs = n_rows // band
+    halo = -(-k // _HALO) * _HALO  # k rounded up to the 8-row DMA granule
     sx, sy = (1.0 / grid.discretization**2).tolist()
     bc_rows = None if bc_params is None else bc_params[0]
     bc_cols = None if bc_params is None else bc_params[1]
@@ -187,17 +189,17 @@ def make_affine_laplace_2d(
         # for non-periodic rows the wrapped halo reads are garbage-but-finite
         # on the edge programs; the per-step ghost fixups below mask them
         top_row = pl.multiple_of(
-            jax.lax.rem(row0 + np.int32(n_rows - _HALO), np.int32(n_rows)), 8
+            jax.lax.rem(row0 + np.int32(n_rows - halo), np.int32(n_rows)), 8
         )
         top = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(top_row, _HALO), :], halo_top, sem.at[1]
+            f_hbm.at[pl.ds(top_row, halo), :], halo_top, sem.at[1]
         )
         top.start()
         bot_row = pl.multiple_of(
             jax.lax.rem(row0 + np.int32(band), np.int32(n_rows)), 8
         )
         bot = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(bot_row, _HALO), :], halo_bot, sem.at[2]
+            f_hbm.at[pl.ds(bot_row, halo), :], halo_bot, sem.at[2]
         )
         bot.start()
         main.wait()
@@ -207,7 +209,7 @@ def make_affine_laplace_2d(
         # work region: band plus k halo rows on each side; each of the k steps
         # shrinks the valid region by one row per side
         work = jnp.concatenate(
-            [halo_top[_HALO - k :, :], band_ref[:, :], halo_bot[:k, :]], axis=0
+            [halo_top[halo - k :, :], band_ref[:, :], halo_bot[:k, :]], axis=0
         )
         isotropic = sx == sy
         for s in range(k):
@@ -269,8 +271,8 @@ def make_affine_laplace_2d(
         ),
         scratch_shapes=[
             pltpu.VMEM((band, n_cols), dtype),
-            pltpu.VMEM((_HALO, n_cols), dtype),
-            pltpu.VMEM((_HALO, n_cols), dtype),
+            pltpu.VMEM((halo, n_cols), dtype),
+            pltpu.VMEM((halo, n_cols), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -561,6 +563,8 @@ def make_fused_multi_stencil_window_2d(
     from jax.experimental.pallas import tpu as pltpu
 
     if k is None:
+        # one 8-row halo granule per side: k=16 measured slower here (the
+        # per-field VMEM working set doubles and the kernel is VPU-bound)
         k = max(1, _HALO // halo_per_step)
     # periodicity is not required here: non-periodic axes are handled by the
     # BC-aware helpers (the caller passes affine ghost params per operator)
@@ -578,6 +582,7 @@ def make_fused_multi_stencil_window_2d(
     helpers = _make_stencil_helpers(grid, pl, pltpu, band, n_rows // band)
     step = make_step(helpers)
     halo_total = k * halo_per_step
+    halo = -(-halo_total // _HALO) * _HALO  # rounded to the DMA granule
     F = n_fields
 
     def kernel(*refs):
@@ -590,7 +595,7 @@ def make_fused_multi_stencil_window_2d(
         i = pl.program_id(0)
         row0 = i * band
         top_row = pl.multiple_of(
-            jax.lax.rem(row0 + np.int32(n_rows - _HALO), np.int32(n_rows)), 8
+            jax.lax.rem(row0 + np.int32(n_rows - halo), np.int32(n_rows)), 8
         )
         bot_row = pl.multiple_of(
             jax.lax.rem(row0 + np.int32(band), np.int32(n_rows)), 8
@@ -599,8 +604,8 @@ def make_fused_multi_stencil_window_2d(
         for f in range(F):
             for j, (src, dst) in enumerate((
                 (ins[f].at[pl.ds(pl.multiple_of(row0, 8), band), :], band_refs[f]),
-                (ins[f].at[pl.ds(top_row, _HALO), :], tops[f]),
-                (ins[f].at[pl.ds(bot_row, _HALO), :], bots[f]),
+                (ins[f].at[pl.ds(top_row, halo), :], tops[f]),
+                (ins[f].at[pl.ds(bot_row, halo), :], bots[f]),
             )):
                 cp = pltpu.make_async_copy(src, dst, sem.at[3 * f + j])
                 cp.start()
@@ -611,7 +616,7 @@ def make_fused_multi_stencil_window_2d(
         works = [
             jnp.concatenate(
                 [
-                    tops[f][_HALO - halo_total :, :],
+                    tops[f][halo - halo_total :, :],
                     band_refs[f][:, :],
                     bots[f][:halo_total, :],
                 ],
@@ -634,7 +639,7 @@ def make_fused_multi_stencil_window_2d(
         ] * F,
         scratch_shapes=(
             [pltpu.VMEM((band, n_cols), dtype)] * F
-            + [pltpu.VMEM((_HALO, n_cols), dtype)] * (2 * F)
+            + [pltpu.VMEM((halo, n_cols), dtype)] * (2 * F)
             + [pltpu.SemaphoreType.DMA((3 * F,))]
         ),
         interpret=interpret,
@@ -647,34 +652,49 @@ def make_fused_multi_stencil_window_2d(
     return window_k, k
 
 
+def _make_binary_chunked_window(build_step, k: int):
+    """Return ``window(state, steps)`` decomposing steps over kernels of
+    blocking factor k, k/2, ..., 1 so remainders cost O(log k) HBM passes
+    instead of one pass per leftover step."""
+    kernels = []
+    kk = k
+    while kk >= 1:
+        kernels.append((kk, build_step(kk)))
+        kk //= 2
+
+    def window(state, steps):
+        remaining = steps
+        for kk, step_fn in kernels:
+            chunks = remaining // kk
+            state = jax.lax.fori_loop(0, chunks, lambda i, d: step_fn(d), state)
+            remaining = remaining - chunks * kk
+        return state
+
+    return window
+
+
 def make_chunked_multi_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, interpret: bool = False,
 ) -> Callable:
     """Return ``window(datas, steps)`` chunking steps into k-step kernel calls."""
-    step_k, k = make_fused_multi_stencil_window_2d(
+    # probe the largest supported k, then build one kernel per power of two
+    _, k = make_fused_multi_stencil_window_2d(
         grid, make_step, halo_per_step, n_fields, dtype=dtype,
         interpret=interpret,
     )
-    if k > 1:
-        step_1, _ = make_fused_multi_stencil_window_2d(
-            grid, make_step, halo_per_step, n_fields, dtype=dtype, k=1,
+
+    def build(kk):
+        step, _ = make_fused_multi_stencil_window_2d(
+            grid, make_step, halo_per_step, n_fields, dtype=dtype, k=kk,
             interpret=interpret,
         )
-    else:
-        step_1 = step_k
+        return lambda d: tuple(step(list(d)))
+
+    window_t = _make_binary_chunked_window(build, k)
 
     def window(datas, steps):
-        chunks = steps // k
-        remainder = steps - chunks * k
-        datas = tuple(datas)
-        datas = jax.lax.fori_loop(
-            0, chunks, lambda i, d: tuple(step_k(list(d))), datas
-        )
-        datas = jax.lax.fori_loop(
-            0, remainder, lambda i, d: tuple(step_1(list(d))), datas
-        )
-        return list(datas)
+        return list(window_t(tuple(datas), steps))
 
     return window
 
@@ -731,7 +751,7 @@ def make_chunked_window_2d(
 
 def make_fused_euler_window_2d(
     grid: CartesianGrid, *, diffusivity: float, dt: float, dtype=np.float32,
-    k: int = _HALO, bcs=None, interpret: bool = False,
+    k: int = 2 * _HALO, bcs=None, interpret: bool = False,
 ) -> Callable:
     """Return ``window(data, steps) -> data`` advancing `steps` Euler diffusion
     steps with temporal blocking (k steps per HBM pass).
@@ -749,26 +769,14 @@ def make_fused_euler_window_2d(
         k //= 2
     if not supports(k):
         raise PallasUnsupportedError("Unsupported configuration for fused window")
-    step_k = make_affine_laplace_2d(
-        grid, a=1.0, b=dt * diffusivity, k=k, dtype=dtype, bcs=bcs,
-        interpret=interpret,
-    )
-    if k > 1:
-        step_1 = make_affine_laplace_2d(
-            grid, a=1.0, b=dt * diffusivity, k=1, dtype=dtype, bcs=bcs,
+
+    def build(kk):
+        return make_affine_laplace_2d(
+            grid, a=1.0, b=dt * diffusivity, k=kk, dtype=dtype, bcs=bcs,
             interpret=interpret,
         )
-    else:
-        step_1 = step_k
 
-    def window(data, steps):
-        chunks = steps // k
-        remainder = steps - chunks * k
-        data = jax.lax.fori_loop(0, chunks, lambda i, d: step_k(d), data)
-        data = jax.lax.fori_loop(0, remainder, lambda i, d: step_1(d), data)
-        return data
-
-    return window
+    return _make_binary_chunked_window(build, k)
 
 
 # -- halo-extended kernels for decomposed (shard_map) execution -----------------------

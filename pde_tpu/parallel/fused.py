@@ -109,14 +109,6 @@ def make_fused_euler_window_sharded(
         pad = make_halo_pad(mesh, (h, h if ext_cols else 0))
         return lambda d: step(pad(d))
 
-    block_k = build(k)
-    block_1 = build(1) if k > 1 else block_k
+    from ..ops.pallas_cartesian import _make_binary_chunked_window
 
-    def window(local, steps):
-        chunks = steps // k
-        remainder = steps - chunks * k
-        local = jax.lax.fori_loop(0, chunks, lambda i, d: block_k(d), local)
-        local = jax.lax.fori_loop(0, remainder, lambda i, d: block_1(d), local)
-        return local
-
-    return window
+    return _make_binary_chunked_window(build, k)

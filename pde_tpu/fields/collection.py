@@ -353,6 +353,11 @@ class FieldCollection(FieldBase):
             fig.savefig(filename)
         return refs
 
+    def _update_plot(self, references) -> None:
+        """Update a multi-panel plot produced by :meth:`plot` in place."""
+        for field, ref in zip(self._fields, references, strict=True):
+            field._update_plot(ref)
+
     def _get_napari_data(self, **kwargs):
         result = {}
         for f in self._fields:

@@ -453,26 +453,61 @@ class DataFieldBase(FieldBase):
         return im
 
     def plot(self, kind: str = "auto", *args, title=None, filename=None, ax=None, **kwargs):
-        """Plot the field (line plot in 1d, image in 2d)."""
+        """Plot the field (line plot in 1d, image in 2d).
+
+        Returns a :class:`~pde_tpu.utils.plotting.PlotReference` whose artist
+        can be updated in place via :meth:`_update_plot` — the mechanism
+        behind cheap live PlotTracker updates (reference
+        `tools/plotting.py:175`).
+        """
         import matplotlib.pyplot as plt
+
+        from ..utils.plotting import PlotReference
 
         if ax is None:
             _, ax = plt.subplots()
         if kind == "auto":
             kind = "line" if self.grid.num_axes == 1 else "image"
         if kind == "line":
-            ref = self._plot_line(ax, *args, **kwargs)
+            element = self._plot_line(ax, *args, **kwargs)
         elif kind == "image":
-            ref = self._plot_image(ax, *args, **kwargs)
+            element = self._plot_image(ax, *args, **kwargs)
         elif kind == "vector":
-            ref = self._plot_vector(ax, *args, **kwargs)
+            element = self._plot_vector(ax, *args, **kwargs)
         else:
             raise ValueError(f"Unknown plot kind `{kind}`")
         if title:
             ax.set_title(title)
         if filename:
             ax.figure.savefig(filename)
-        return ref
+        return PlotReference(ax, element, dict(kwargs, kind=kind))
+
+    def _update_plot(self, reference) -> None:
+        """Update a plot produced by :meth:`plot` with this field's data."""
+        kind = reference.parameters.get("kind", "auto")
+        element = reference.element
+        if kind == "line":
+            line_data = self.get_line_data(
+                scalar=reference.parameters.get("scalar", "auto"),
+                extract=reference.parameters.get("extract", "auto"),
+            )
+            element.set_data(line_data["data_x"], np.real(line_data["data_y"]))
+            reference.ax.relim()
+            reference.ax.autoscale_view()
+        elif kind == "image":
+            img_data = self.get_image_data(
+                scalar=reference.parameters.get("scalar", "auto")
+            )
+            data = np.real(img_data["data"])
+            element.set_data(data)
+            element.set_clim(float(data.min()), float(data.max()))
+        elif kind == "vector":
+            if reference.parameters.get("method", "quiver") != "quiver":
+                raise NotImplementedError("Only quiver plots can be updated")
+            data = self.get_vector_data()
+            element.set_UVC(data["data_x"], data["data_y"])
+        else:
+            raise NotImplementedError(f"Cannot update plot kind `{kind}`")
 
     def _plot_vector(self, ax, **kwargs):
         raise NotImplementedError

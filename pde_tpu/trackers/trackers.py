@@ -124,6 +124,7 @@ class PlotTracker(TransformedTrackerBase):
         self.max_fps = max_fps
         self.plot_args = plot_args or {}
         self._figure = None
+        self._plot_ref = None
         self._last_plot_time = -np.inf
 
     def initialize(self, state: FieldBase, info: InfoDict | None = None) -> float:
@@ -137,22 +138,42 @@ class PlotTracker(TransformedTrackerBase):
             return
         state = self._transform(state, t)
         plt = self._plt
+        title = (
+            self.title.format(time=t)
+            if isinstance(self.title, str)
+            else self.title(state, t)
+        )
+        # live updates: re-use the figure and update the artists in place
+        # (reference PlotReference machinery, `tools/plotting.py:175`)
+        if self._plot_ref is not None:
+            try:
+                state._update_plot(self._plot_ref)
+                self._figure.suptitle(title)
+                self._finish_frame()
+                return
+            except (NotImplementedError, AttributeError, ValueError):
+                self._plot_ref = None  # fall back to a full redraw
         if self._figure is not None:
             plt.close(self._figure)
         self._figure = plt.figure()
-        title = self.title.format(time=t) if isinstance(self.title, str) else self.title(state, t)
         if hasattr(state, "plot"):
             try:
-                state.plot(ax=self._figure.gca(), **self.plot_args)
+                ref = state.plot(ax=self._figure.gca(), **self.plot_args)
             except TypeError:
-                state.plot(**self.plot_args)
+                ref = state.plot(**self.plot_args)
+                self._figure = plt.gcf()
+            if hasattr(state, "_update_plot"):
+                self._plot_ref = ref
         self._figure.suptitle(title)
         if self.tight_layout:
             self._figure.tight_layout()
+        self._finish_frame()
+
+    def _finish_frame(self) -> None:
         if self.output_file:
             self._figure.savefig(self.output_file)
         if self.show:
-            plt.pause(0.001)
+            self._plt.pause(0.001)
         self._last_plot_time = time.monotonic()
 
     def finalize(self, info: InfoDict | None = None) -> None:

@@ -105,3 +105,121 @@ def test_movie_class_unavailable_without_ffmpeg(tmp_path):
     assert not Movie.is_available()
     with pytest.raises(RuntimeError):
         Movie(str(tmp_path / "m.mp4"))
+
+
+# -- live-updating plot infrastructure (reference tools/plotting.py:175-708) -----------
+
+
+def test_plot_reference_line_update(rng):
+    grid = pde.CartesianGrid([(0, 1)], 16)
+    f1 = pde.ScalarField.random_uniform(grid, rng=rng)
+    f2 = pde.ScalarField.random_uniform(grid, rng=rng)
+    ref = f1.plot(kind="line")
+    from pde_tpu.utils.plotting import PlotReference
+
+    assert isinstance(ref, PlotReference)
+    f2._update_plot(ref)
+    np.testing.assert_allclose(ref.element.get_ydata(), np.asarray(f2.data))
+    plt.close("all")
+
+
+def test_plot_reference_image_update(rng):
+    grid = pde.UnitGrid([8, 8])
+    f1 = pde.ScalarField.random_uniform(grid, rng=rng)
+    f2 = pde.ScalarField.random_uniform(grid, rng=rng)
+    ref = f1.plot(kind="image")
+    f2._update_plot(ref)
+    np.testing.assert_allclose(
+        np.asarray(ref.element.get_array()),
+        np.asarray(f2.get_image_data()["data"]),
+    )
+    plt.close("all")
+
+
+def test_plot_reference_collection_update(rng):
+    grid = pde.UnitGrid([6, 6])
+    fc1 = pde.FieldCollection(
+        [pde.ScalarField.random_uniform(grid, rng=rng, label=l) for l in "ab"]
+    )
+    fc2 = pde.FieldCollection(
+        [pde.ScalarField.random_uniform(grid, rng=rng, label=l) for l in "ab"]
+    )
+    refs = fc1.plot()
+    fc2._update_plot(refs)
+    plt.close("all")
+
+
+def test_plot_tracker_reuses_figure(rng, tmp_path):
+    """The tracker updates artists in place instead of re-creating figures."""
+    grid = pde.UnitGrid([8, 8], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    tracker = pde.PlotTracker(interrupts=0.02, show=False)
+    eq = pde.DiffusionPDE(0.5)
+    eq.solve(state, t_range=0.1, dt=0.01, tracker=tracker)
+    assert tracker._plot_ref is not None  # live-update path engaged
+    fig_count = len(plt.get_fignums())
+    assert fig_count <= 2  # one reused figure (plus possible stragglers)
+    plt.close("all")
+
+
+def test_plot_on_axes_decorator(rng):
+    from pde_tpu.utils.plotting import PlotReference, plot_on_axes
+
+    class Thing:
+        @plot_on_axes(update_method="_update_my_plot")
+        def plot(self, ax, **kwargs):
+            (line,) = ax.plot([0, 1], [0, 1])
+            return line
+
+        def _update_my_plot(self, reference):
+            reference.element.set_ydata([1, 0])
+
+    t = Thing()
+    ref = t.plot(title="hello")
+    assert isinstance(ref, PlotReference)
+    assert ref.ax.get_title() == "hello"
+    t.plot(action="update", ax=ref)
+    np.testing.assert_allclose(ref.element.get_ydata(), [1, 0])
+    with pytest.raises(TypeError):
+        t.plot(action="update", ax=None)
+    plt.close("all")
+
+
+def test_plot_on_figure_decorator():
+    from pde_tpu.utils.plotting import plot_on_figure
+
+    class Panel:
+        @plot_on_figure
+        def plot(self, fig, **kwargs):
+            ax = fig.add_subplot(111)
+            ax.plot([0, 1])
+            return fig
+
+    ref = Panel().plot(title="panel")
+    assert ref.parameters is not None
+    plt.close("all")
+
+
+def test_plotting_contexts():
+    from pde_tpu.utils.plotting import (
+        BasicPlottingContext,
+        get_plotting_context,
+        in_jupyter_notebook,
+    )
+
+    assert not in_jupyter_notebook()
+    ctx = get_plotting_context(title="t")
+    assert isinstance(ctx, BasicPlottingContext)
+    with ctx:
+        plt.plot([0, 1])
+    assert ctx.fig is not None
+    first_fig = ctx.fig
+    with ctx:
+        pass  # reuse
+    assert ctx.fig is first_fig
+    ctx.close()
+    # passing an existing context returns it
+    assert get_plotting_context(ctx) is ctx
+    with pytest.raises(TypeError):
+        get_plotting_context("nope")
+    plt.close("all")

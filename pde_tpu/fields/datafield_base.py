@@ -340,10 +340,35 @@ class DataFieldBase(FieldBase):
         return interp(self._data, jnp.asarray(point))
 
     def interpolate_to_grid(self, grid: GridBase, *, fill=None, label=None):
-        """Interpolate the field onto a (compatible) new grid."""
-        if grid.num_axes != self.grid.num_axes:
-            raise DomainError("Grids must have the same number of axes")
-        points = grid.cell_coords
+        """Interpolate the field onto a new grid.
+
+        Grids of the same class map their coordinates directly; different
+        grid classes (e.g. polar → Cartesian via
+        :meth:`~pde_tpu.grids.spherical.SphericalSymGridBase.get_cartesian_grid`)
+        are routed through Cartesian coordinates, which requires a scalar
+        field (vector components would need a basis change). Reference:
+        cross-class interpolation in `fields/datafield_base.py`.
+        """
+        if type(grid) is type(self.grid) and grid.num_axes == self.grid.num_axes:
+            points = grid.cell_coords
+        else:
+            if self.rank != 0:
+                raise NotImplementedError(
+                    "Interpolation between different grid classes requires a "
+                    "scalar field"
+                )
+            if grid.dim != self.grid.dim:
+                raise DomainError("Grids must embed in the same dimension")
+            cart = grid.point_to_cartesian(
+                np.asarray(grid.cell_coords).reshape(-1, grid.num_axes)
+            )
+            src_pts = self.grid.point_from_cartesian(cart)
+            interp = self.make_interpolator(fill=fill)
+            data = interp(self._data, jnp.asarray(src_pts))
+            return self.__class__(
+                grid, data=jnp.reshape(data, grid.shape),
+                label=label or self.label,
+            )
         interp = self.make_interpolator(fill=fill)
         data = interp(self._data, jnp.asarray(points))
         return self.__class__(grid, data=data, label=label or self.label)

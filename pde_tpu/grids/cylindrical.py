@@ -123,6 +123,35 @@ class CylindricalSymGrid(GridBase):
         ring_areas = np.pi * ((rs + dr / 2) ** 2 - (rs - dr / 2) ** 2)
         return [ring_areas, np.full(self.shape[1], dz)]
 
+    def get_cartesian_grid(self, mode: str = "valid", num: int | None = None):
+        """Return a 3D Cartesian grid covering this cylindrical grid.
+
+        Reference `/root/reference/pde/grids/cylindrical.py:399`: 'valid'
+        inscribes the xy-square in the circular cross-section; 'full'
+        circumscribes it. The z axis is carried over unchanged.
+        """
+        from .cartesian import CartesianGrid
+
+        r_outer = self.axes_bounds[0][1]
+        if mode in ("valid", "inscribed"):
+            bound = r_outer / np.sqrt(2)
+        elif mode in ("full", "circumscribed"):
+            bound = r_outer
+        else:
+            raise ValueError(f"Unsupported mode `{mode}`")
+        z_lo, z_hi = self.axes_bounds[1]
+        if num is None:
+            nums = [
+                round(2 * bound / self.discretization[0]),
+                round(2 * bound / self.discretization[0]),
+                self.shape[1],
+            ]
+        else:
+            nums = [num, num, num]
+        return CartesianGrid(
+            [(-bound, bound), (-bound, bound), (z_lo, z_hi)], nums
+        )
+
     def _coords_symmetric(self, points):
         # (r, φ, z) -> (r, z)
         return points[..., [0, 2]]

@@ -78,6 +78,31 @@ class SphericalSymGridBase(GridBase):
     def has_hole(self) -> bool:
         return self.axes_bounds[0][0] > 0
 
+    def get_cartesian_grid(self, mode: str = "valid", num: int | None = None):
+        """Return a Cartesian grid covering this symmetric grid.
+
+        Reference `/root/reference/pde/grids/spherical.py:358`: 'valid' (or
+        'inscribed') keeps only fully resolved points (the Cartesian cube is
+        inscribed in the sphere); 'full' (or 'circumscribed') covers the whole
+        sphere.
+        """
+        from .cartesian import CartesianGrid
+
+        r_outer = self.axes_bounds[0][1]
+        if mode in ("valid", "inscribed"):
+            if mode == "valid" and self.has_hole:
+                self._logger.warning(
+                    "Sphere has a hole; not all Cartesian points are valid"
+                )
+            bound = r_outer / np.sqrt(self.dim)
+        elif mode in ("full", "circumscribed"):
+            bound = r_outer
+        else:
+            raise ValueError(f"Unsupported mode `{mode}`")
+        if num is None:
+            num = round(2 * bound / self.discretization[0])
+        return CartesianGrid([(-bound, bound)] * self.dim, num)
+
     @property
     def radius(self):
         r_inner, r_outer = self.axes_bounds[0]

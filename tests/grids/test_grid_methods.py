@@ -127,3 +127,49 @@ def test_volume_from_radius():
 
     assert volume_from_radius(2.0, 2) == pytest.approx(np.pi * 4)
     assert volume_from_radius(2.0, 3) == pytest.approx(4 / 3 * np.pi * 8)
+
+
+@pytest.mark.parametrize(
+    "grid",
+    [pde.PolarSymGrid(2, 16), pde.SphericalSymGrid(2, 16)],
+    ids=["polar", "spherical"],
+)
+@pytest.mark.parametrize("mode", ["valid", "full"])
+def test_get_cartesian_grid(grid, mode):
+    """Reference `/root/reference/pde/grids/spherical.py:358`."""
+    cg = grid.get_cartesian_grid(mode)
+    assert isinstance(cg, pde.CartesianGrid)
+    assert cg.num_axes == grid.dim
+    bound = cg.axes_bounds[0][1]
+    if mode == "valid":
+        assert bound == pytest.approx(2 / np.sqrt(grid.dim))
+    else:
+        assert bound == pytest.approx(2.0)
+    with pytest.raises(ValueError):
+        grid.get_cartesian_grid("nonsense")
+
+
+def test_get_cartesian_grid_cylindrical():
+    grid = pde.CylindricalSymGrid(2, (0, 4), (8, 16))
+    cg = grid.get_cartesian_grid("full")
+    assert cg.num_axes == 3
+    assert cg.axes_bounds[2] == (0.0, 4.0)
+    assert cg.axes_bounds[0][1] == pytest.approx(2.0)
+
+
+def test_interpolate_to_cartesian_grid():
+    """Cross-grid-class interpolation: radial field onto a Cartesian grid."""
+    grid = pde.PolarSymGrid(2, 64)
+    field = pde.ScalarField.from_expression(grid, "exp(-r**2)")
+    cg = grid.get_cartesian_grid("valid", num=24)
+    cart = field.interpolate_to_grid(cg)
+    exact = pde.ScalarField.from_expression(cg, "exp(-(x**2 + y**2))")
+    np.testing.assert_allclose(np.asarray(cart.data), np.asarray(exact.data),
+                               atol=5e-3)
+
+
+def test_interpolate_to_grid_rejects_vector_cross_class():
+    grid = pde.PolarSymGrid(2, 8)
+    vf = pde.VectorField(grid, data=np.zeros((2, 8)))
+    with pytest.raises(NotImplementedError):
+        vf.interpolate_to_grid(grid.get_cartesian_grid("valid", num=4))

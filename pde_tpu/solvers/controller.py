@@ -14,6 +14,8 @@ import logging
 import time
 from typing import Any, Callable
 
+import numpy as np
+
 from ..fields.base import FieldBase
 from ..trackers.base import FinishedSimulation, TrackerCollection
 
@@ -69,13 +71,45 @@ class Controller:
 
         return handle_stop_iteration
 
+    def _make_time_sync(self) -> Callable | None:
+        """Multi-process synchronization of the next interrupt time.
+
+        On multi-host runs trackers execute on process 0 only (they perform
+        host-side IO); the window end time they produce is broadcast to every
+        process so the SPMD device programs stay in sync — the TPU analogue of
+        the reference's rank-0 ``t_next`` broadcast with its ``-inf`` shutdown
+        sentinel (`/root/reference/pde/solvers/controller.py:146-342`).
+        Returns ``None`` in single-process runs (no synchronization needed).
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return None
+        from jax.experimental import multihost_utils
+
+        def sync(t_next: float, stop: bool) -> tuple[float, bool]:
+            payload = np.array([t_next, 1.0 if stop else 0.0], dtype=np.float64)
+            out = multihost_utils.broadcast_one_to_all(payload)
+            return float(out[0]), bool(out[1])
+
+        return sync
+
     def run(self, initial_state: FieldBase, dt: float | None = None) -> FieldBase | None:
         """Run the simulation; returns the final state.
 
-        Reference: `solvers/controller.py:410`.
+        Reference: `solvers/controller.py:410`. On multi-process (multi-host)
+        runs, trackers run on process 0 only and interrupt times are
+        broadcast (see :meth:`_make_time_sync`).
         """
+        import jax
+
         t_start, t_end = self.t_range
         state = initial_state.copy()
+        sync = self._make_time_sync()
+        is_main = jax.process_index() == 0
+        if sync is not None and not is_main:
+            # client processes: no host-side tracker actions
+            self.trackers = TrackerCollection([])
 
         # initialize the stepper (compilation happens lazily on first call)
         compile_start = time.monotonic()
@@ -96,7 +130,14 @@ class Controller:
             status, msg = handle_stop(err, t_start)
             self.trackers.finalize(info=self.diagnostics)
             self.info["successful"] = status == 0
+            if sync is not None:
+                sync(t_start, True)
             return state
+        if sync is not None:
+            t_tracker, stop = sync(t_tracker, False)
+            if stop:  # process 0 stopped during initialization
+                self.info["successful"] = True
+                return state
         profiler["tracker"] += time.monotonic() - tracker_start
 
         self.info["solver_start"] = str(datetime.datetime.now())
@@ -115,7 +156,13 @@ class Controller:
                 except StopIteration as err:
                     status, msg = handle_stop(err, t)
                     successful = status == 0
+                    if sync is not None:
+                        sync(t, True)
                     break
+                if sync is not None:
+                    t_tracker, stop = sync(t_tracker, False)
+                    if stop:
+                        break
                 profiler["tracker"] += time.monotonic() - tracker_start
 
                 # advance to the next interrupt (one compiled device call)

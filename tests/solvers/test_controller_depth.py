@@ -106,3 +106,12 @@ def test_tracker_overhead_warning_mechanism(rng):
     controller.run(state, dt=0.01)
     prof = controller.diagnostics["controller"]["profiler"]
     assert prof.get("tracker", 0) > 0
+
+
+def test_time_sync_single_process(rng):
+    """Single-process runs need no interrupt-time broadcast."""
+    from pde_tpu.solvers import Controller, EulerSolver
+
+    solver = EulerSolver(pde.DiffusionPDE(0.1))
+    controller = Controller(solver, t_range=0.05, tracker=None)
+    assert controller._make_time_sync() is None

@@ -67,15 +67,12 @@ class DiffusionPDE(SDEBase):
                     dtype=state.dtype, interpret=interpret_requested(),
                 )
             if state.grid.num_axes == 3:
-                if not fully_periodic:
-                    raise NotImplementedError(
-                        "3D fused window requires periodic BCs"
-                    )
                 from ..ops.pallas_cartesian import make_fused_euler_window_3d
 
                 return make_fused_euler_window_3d(
                     state.grid, diffusivity=self.diffusivity, dt=dt,
-                    dtype=state.dtype,
+                    dtype=state.dtype, bcs=None if fully_periodic else bcs,
+                    interpret=interpret_requested(),
                 )
             return make_fused_euler_window_2d(
                 state.grid, diffusivity=self.diffusivity, dt=dt,

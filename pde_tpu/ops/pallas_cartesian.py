@@ -313,12 +313,12 @@ def _pick_band_k_3d(shape, itemsize: int):
     return band, k
 
 
-def supports_affine_laplace_3d(grid, dtype) -> bool:
-    if jax.default_backend() != "tpu":
-        return False
+def supports_affine_laplace_3d(grid, dtype, *, interpret: bool = False) -> bool:
     if not isinstance(grid, CartesianGrid) or grid.num_axes != 3:
         return False
-    if not all(grid.periodic):
+    if interpret:
+        return _pick_band_k_3d(grid.shape, np.dtype(dtype).itemsize) is not None
+    if jax.default_backend() != "tpu":
         return False
     nx, ny, nz = grid.shape
     if nx % 8 != 0 or ny % 8 != 0 or nz % 128 != 0 or nx < 16:
@@ -330,19 +330,27 @@ def supports_affine_laplace_3d(grid, dtype) -> bool:
 
 def make_affine_laplace_3d(
     grid: CartesianGrid, *, a: float = 0.0, b: float = 1.0, k: int | None = None,
-    dtype=np.float32,
+    dtype=np.float32, bcs=None, interpret: bool = False,
 ) -> tuple[Callable, int]:
     """3D variant: bands over the first axis, lane/sublane rolls for y/z.
 
     Returns (window_k applying k steps, k). At 256³ fp32 this reaches
     ≈35 G updates/s (k=1) and at 128³ ≈57 G (k=4), vs ≈13 G for the XLA path.
+    Like the 2D kernel, const-affine BCs lower as in-kernel ghost fixups:
+    plane rewrites at the banded axis (edge programs) and sublane/lane patches
+    after the rolls.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if not supports_affine_laplace_3d(grid, dtype):
+    bc_params = None if bcs is None else affine_bc_params(grid, bcs)
+    if bcs is None and not all(grid.periodic):
         raise PallasUnsupportedError(
-            "Fused 3D laplace requires an aligned, fully periodic 3D Cartesian "
+            "Non-periodic grids require explicit boundary conditions"
+        )
+    if not supports_affine_laplace_3d(grid, dtype, interpret=interpret):
+        raise PallasUnsupportedError(
+            "Fused 3D laplace requires an aligned 3D Cartesian "
             "grid with float32/bfloat16 data on a TPU backend"
         )
     band_k = _pick_band_k_3d(grid.shape, np.dtype(dtype).itemsize)
@@ -352,8 +360,12 @@ def make_affine_laplace_3d(
     if not 1 <= k <= min(k_max, _HALO):
         raise PallasUnsupportedError(f"k={k} unsupported for this 3D shape")
     nx, ny, nz = grid.shape
+    n_programs = nx // band
     sx, sy, sz = (1.0 / grid.discretization**2).tolist()
     isotropic = sx == sy == sz
+    bc_x = None if bc_params is None else bc_params[0]
+    bc_y = None if bc_params is None else bc_params[1]
+    bc_z = None if bc_params is None else bc_params[2]
 
     def kernel(f_hbm, out_ref, band_ref, halo_top, halo_bot, sem):
         i = pl.program_id(0)
@@ -381,7 +393,23 @@ def make_affine_laplace_3d(
         work = jnp.concatenate(
             [halo_top[_HALO - k :], band_ref[:, :, :], halo_bot[:k]], axis=0
         )
-        for _ in range(k):
+        for s in range(k):
+            if bc_x is not None:
+                # ghost planes at the global x edges (programs 0 / last)
+                (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_x
+                e_lo = k - s
+                ghost_lo = c_lo + f1_lo * work[e_lo : e_lo + 1]
+                if f2_lo:
+                    ghost_lo = ghost_lo + f2_lo * work[e_lo + 1 : e_lo + 2]
+                e_hi = band + k - s - 1
+                ghost_hi = c_hi + f1_hi * work[e_hi : e_hi + 1]
+                if f2_hi:
+                    ghost_hi = ghost_hi + f2_hi * work[e_hi - 1 : e_hi]
+                planes = jax.lax.broadcasted_iota(jnp.int32, work.shape, 0)
+                work = jnp.where((planes == e_lo - 1) & (i == 0), ghost_lo, work)
+                work = jnp.where(
+                    (planes == e_hi + 1) & (i == n_programs - 1), ghost_hi, work
+                )
             up = work[:-2]
             center = work[1:-1]
             down = work[2:]
@@ -389,6 +417,28 @@ def make_affine_laplace_3d(
             south = pltpu.roll(center, ny - 1, 1)
             west = pltpu.roll(center, 1, 2)
             east = pltpu.roll(center, nz - 1, 2)
+            if bc_y is not None:
+                (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_y
+                ghost_lo = c_lo + f1_lo * center
+                if f2_lo:
+                    ghost_lo = ghost_lo + f2_lo * south
+                ghost_hi = c_hi + f1_hi * center
+                if f2_hi:
+                    ghost_hi = ghost_hi + f2_hi * north
+                ys = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+                north = jnp.where(ys == 0, ghost_lo, north)
+                south = jnp.where(ys == ny - 1, ghost_hi, south)
+            if bc_z is not None:
+                (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_z
+                ghost_lo = c_lo + f1_lo * center
+                if f2_lo:
+                    ghost_lo = ghost_lo + f2_lo * east
+                ghost_hi = c_hi + f1_hi * center
+                if f2_hi:
+                    ghost_hi = ghost_hi + f2_hi * west
+                zs = jax.lax.broadcasted_iota(jnp.int32, center.shape, 2)
+                west = jnp.where(zs == 0, ghost_lo, west)
+                east = jnp.where(zs == nz - 1, ghost_hi, east)
             if isotropic:
                 lap6 = up + down + north + south + west + east - 6.0 * center
                 work = a * center + (b * sx) * lap6
@@ -415,6 +465,7 @@ def make_affine_laplace_3d(
             pltpu.VMEM((_HALO, ny, nz), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        interpret=interpret,
     )
 
     def window_k(data):
@@ -425,24 +476,22 @@ def make_affine_laplace_3d(
 
 def make_fused_euler_window_3d(
     grid: CartesianGrid, *, diffusivity: float, dt: float, dtype=np.float32,
+    bcs=None, interpret: bool = False,
 ) -> Callable:
     """3D analogue of :func:`make_fused_euler_window_2d`."""
-    step_k, k = make_affine_laplace_3d(grid, a=1.0, b=dt * diffusivity, dtype=dtype)
-    if k > 1:
-        step_1, _ = make_affine_laplace_3d(
-            grid, a=1.0, b=dt * diffusivity, k=1, dtype=dtype
+    _, k = make_affine_laplace_3d(
+        grid, a=1.0, b=dt * diffusivity, dtype=dtype, bcs=bcs,
+        interpret=interpret,
+    )
+
+    def build(kk):
+        step, _ = make_affine_laplace_3d(
+            grid, a=1.0, b=dt * diffusivity, k=kk, dtype=dtype, bcs=bcs,
+            interpret=interpret,
         )
-    else:
-        step_1 = step_k
+        return step
 
-    def window(data, steps):
-        chunks = steps // k
-        remainder = steps - chunks * k
-        data = jax.lax.fori_loop(0, chunks, lambda i, d: step_k(d), data)
-        data = jax.lax.fori_loop(0, remainder, lambda i, d: step_1(d), data)
-        return data
-
-    return window
+    return _make_binary_chunked_window(build, k)
 
 
 def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):

@@ -56,15 +56,12 @@ class DiffusionPDE(SDEBase):
         fully_periodic = all(b.periodic for b in bcs)
         try:
             if mesh is not None:
-                if not fully_periodic:
-                    raise NotImplementedError(
-                        "Sharded fused window requires periodic BCs"
-                    )
                 from ..parallel.fused import make_fused_euler_window_sharded
 
                 return make_fused_euler_window_sharded(
                     mesh, diffusivity=self.diffusivity, dt=dt,
-                    dtype=state.dtype, interpret=interpret_requested(),
+                    dtype=state.dtype, bcs=None if fully_periodic else bcs,
+                    interpret=interpret_requested(),
                 )
             if state.grid.num_axes == 3:
                 from ..ops.pallas_cartesian import make_fused_euler_window_3d

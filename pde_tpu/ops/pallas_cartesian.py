@@ -885,9 +885,9 @@ def _pick_band_ext(n_rows: int, n_cols_ext: int, itemsize: int, halo: int) -> in
 def make_affine_laplace_ext_2d(
     local_shape, *, a: float = 0.0, b: float = 1.0, k: int = 1,
     discretization, ext_cols: bool = True, dtype=np.float32,
-    interpret: bool = False,
+    bc_params=None, interpret: bool = False,
 ) -> Callable:
-    """Return ``ext -> (a*I + b*lap)^k`` on a halo-extended local block.
+    """Return ``(ext, edge_flags) -> (a*I + b*lap)^k`` on a halo-extended block.
 
     With ``halo = ext_halo_width(k)``, ``ext`` has shape
     ``(n + 2*halo, m + 2*halo)`` when ``ext_cols`` else ``(n + 2*halo, m)``,
@@ -896,13 +896,19 @@ def make_affine_laplace_ext_2d(
     periodic via lane rolls — valid only when the column axis is periodic and
     not decomposed). The caller fills the halos, so the same kernel serves
     shard-internal edges and wrapped periodic edges.
+
+    ``edge_flags`` is an int32 ``(4,)`` array ``[row_lo, row_hi, col_lo,
+    col_hi]`` marking whether this shard sits at the corresponding GLOBAL
+    domain edge; where a flag is set and ``bc_params`` carries affine ghost
+    parameters for that axis, the kernel rewrites the ghost row/column each
+    step instead of trusting the (garbage) halo — the decomposed analogue of
+    the single-device BC fixups.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if not supports_affine_laplace_ext(
-        local_shape, dtype, k, ext_cols=ext_cols, interpret=interpret
-    ):
+    if not supports_affine_laplace_ext(local_shape, dtype, k, ext_cols=ext_cols,
+                                       interpret=interpret):
         raise PallasUnsupportedError(
             "Halo-extended fused laplace requires an aligned 2D local block "
             "with float32/bfloat16 data on a TPU backend"
@@ -914,10 +920,13 @@ def make_affine_laplace_ext_2d(
     cols_ext = n_cols + 2 * halo if ext_cols else n_cols
     lanes = cols_ext if interpret else -(-cols_ext // 128) * 128
     band = _pick_band_ext(n_rows, lanes, itemsize, halo)
+    n_programs = n_rows // band
     sx, sy = (1.0 / np.asarray(discretization) ** 2).tolist()
     isotropic = sx == sy
+    bc_rows = None if bc_params is None else bc_params[0]
+    bc_cols = None if bc_params is None else bc_params[1]
 
-    def kernel(f_hbm, out_ref, work_ref, sem):
+    def kernel(flags_ref, f_hbm, out_ref, work_ref, sem):
         i = pl.program_id(0)
         row0 = i * band  # input rows [row0, row0 + band + 2*halo)
         cp = pltpu.make_async_copy(
@@ -927,11 +936,51 @@ def make_affine_laplace_ext_2d(
         )
         cp.start()
         cp.wait()
+
+        def fix_rows(work, s):
+            if bc_rows is None:
+                return work
+            (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_rows
+            e_lo = k - s  # first globally valid row on the low-edge shard
+            ghost_lo = c_lo + f1_lo * work[e_lo : e_lo + 1, :]
+            if f2_lo:
+                ghost_lo = ghost_lo + f2_lo * work[e_lo + 1 : e_lo + 2, :]
+            h = work.shape[0]
+            e_hi = h - 1 - (k - s)
+            ghost_hi = c_hi + f1_hi * work[e_hi : e_hi + 1, :]
+            if f2_hi:
+                ghost_hi = ghost_hi + f2_hi * work[e_hi - 1 : e_hi, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, work.shape, 0)
+            lo_edge = (flags_ref[0] != 0) & (i == 0)
+            hi_edge = (flags_ref[1] != 0) & (i == n_programs - 1)
+            work = jnp.where((rows == e_lo - 1) & lo_edge, ghost_lo, work)
+            work = jnp.where((rows == e_hi + 1) & hi_edge, ghost_hi, work)
+            return work
+
         if ext_cols:
             work = work_ref[
                 halo - k : halo + k + band, halo - k : halo + k + n_cols
             ]
-            for _ in range(k):
+            for s in range(k):
+                work = fix_rows(work, s)
+                if bc_cols is not None:
+                    (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
+                    e_lo = k - s
+                    g_lo = c_lo + f1_lo * work[:, e_lo : e_lo + 1]
+                    if f2_lo:
+                        g_lo = g_lo + f2_lo * work[:, e_lo + 1 : e_lo + 2]
+                    w = work.shape[1]
+                    e_hi = w - 1 - (k - s)
+                    g_hi = c_hi + f1_hi * work[:, e_hi : e_hi + 1]
+                    if f2_hi:
+                        g_hi = g_hi + f2_hi * work[:, e_hi - 1 : e_hi]
+                    cols = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
+                    work = jnp.where(
+                        (cols == e_lo - 1) & (flags_ref[2] != 0), g_lo, work
+                    )
+                    work = jnp.where(
+                        (cols == e_hi + 1) & (flags_ref[3] != 0), g_hi, work
+                    )
                 up = work[:-2, 1:-1]
                 down = work[2:, 1:-1]
                 center = work[1:-1, 1:-1]
@@ -947,12 +996,32 @@ def make_affine_laplace_ext_2d(
                     work = a * center + b * lap
         else:
             work = work_ref[halo - k : halo + k + band, :]
-            for _ in range(k):
+            for s in range(k):
+                work = fix_rows(work, s)
                 up = work[:-2, :]
                 center = work[1:-1, :]
                 down = work[2:, :]
                 left = pltpu.roll(center, 1, 1)
                 right = pltpu.roll(center, n_cols - 1, 1)
+                if bc_cols is not None:
+                    (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
+                    g_lo = c_lo + f1_lo * center
+                    if f2_lo:
+                        g_lo = g_lo + f2_lo * right
+                    g_hi = c_hi + f1_hi * center
+                    if f2_hi:
+                        g_hi = g_hi + f2_hi * left
+                    lanes_i = jax.lax.broadcasted_iota(
+                        jnp.int32, center.shape, 1
+                    )
+                    left = jnp.where(
+                        (lanes_i == 0) & (flags_ref[2] != 0), g_lo, left
+                    )
+                    right = jnp.where(
+                        (lanes_i == n_cols - 1) & (flags_ref[3] != 0),
+                        g_hi,
+                        right,
+                    )
                 if isotropic:
                     lap4 = up + down + left + right - 4.0 * center
                     work = a * center + (b * sx) * lap4
@@ -967,7 +1036,10 @@ def make_affine_laplace_ext_2d(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         grid=(n_rows // band,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec(
             (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -979,11 +1051,13 @@ def make_affine_laplace_ext_2d(
     )
 
     pad_lanes = lanes - cols_ext
+    no_edges = jnp.zeros((4,), jnp.int32)
 
-    def affine_laplace_ext(ext):
+    def affine_laplace_ext(ext, edge_flags=None):
         ext = jnp.asarray(ext, dtype=dtype)
         if pad_lanes:
             ext = jnp.pad(ext, ((0, 0), (0, pad_lanes)))
-        return call(ext)
+        flags = no_edges if edge_flags is None else jnp.asarray(edge_flags, jnp.int32)
+        return call(flags, ext)
 
     return affine_laplace_ext

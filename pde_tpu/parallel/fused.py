@@ -14,6 +14,11 @@ axis-ordering trick as the reference's send-before-recv per axis). When the
 column axis is not decomposed the kernel keeps columns locally periodic via
 lane rolls and no column halo is built at all — the fast path for the common
 rows-only decomposition.
+
+Physical (const-affine) boundary conditions are supported on non-periodic
+axes: shards at a global edge skip the (meaningless) halo there and the
+kernel rewrites the ghost row/column from the virtual-point formula each
+step, gated by ``edge_flags`` computed from ``lax.axis_index``.
 """
 
 from __future__ import annotations
@@ -25,20 +30,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_halo_pad(mesh, halos: Sequence[int]) -> Callable:
+def make_halo_pad(mesh, halos: Sequence[int], periodic: Sequence[bool] | None = None) -> Callable:
     """Return ``pad(local) -> extended`` adding per-axis halos.
 
     Must be called inside ``shard_map`` over ``mesh.jax_mesh``. ``halos[ax]``
-    is the halo width added on each side of grid axis ``ax`` (0 = skip). Axes
-    with one shard wrap locally (the grid must be periodic along them);
-    decomposed axes exchange halos with both neighbors via ``lax.ppermute``.
+    is the halo width added on each side of grid axis ``ax`` (0 = skip).
+    Periodic axes wrap (locally when the axis has one shard, via circular
+    ``lax.ppermute`` otherwise); non-periodic decomposed axes use open
+    ppermute chains, so global-edge shards receive zeros there — the kernel's
+    BC fixups overwrite those entries before use.
     """
     axis_names = mesh.axis_names
     decomposition = mesh.decomposition
+    if periodic is None:
+        periodic = [True] * len(decomposition)
 
     def pad(local):
-        for ax, (name, n_shards, h) in enumerate(
-            zip(axis_names, decomposition, halos, strict=True)
+        for ax, (name, n_shards, h, per) in enumerate(
+            zip(axis_names, decomposition, halos, periodic, strict=True)
         ):
             if h == 0:
                 continue
@@ -50,10 +59,21 @@ def make_halo_pad(mesh, halos: Sequence[int]) -> Callable:
                 slice(0, h) if i == ax else slice(None) for i in range(local.ndim)
             )
             if n_shards == 1:
-                before, after = local[lo], local[hi]
-            else:
+                if per:
+                    before, after = local[lo], local[hi]
+                else:
+                    # physical edges on both sides: content is overwritten by
+                    # the kernel's BC fixups, only the shape matters
+                    before = jnp.zeros_like(local[lo])
+                    after = jnp.zeros_like(local[hi])
+            elif per:
                 fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
                 bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+                before = jax.lax.ppermute(local[lo], name, fwd)
+                after = jax.lax.ppermute(local[hi], name, bwd)
+            else:
+                fwd = [(i, i + 1) for i in range(n_shards - 1)]
+                bwd = [(i, i - 1) for i in range(1, n_shards)]
                 before = jax.lax.ppermute(local[lo], name, fwd)
                 after = jax.lax.ppermute(local[hi], name, bwd)
             local = jnp.concatenate([before, local, after], axis=ax)
@@ -63,30 +83,42 @@ def make_halo_pad(mesh, halos: Sequence[int]) -> Callable:
 
 
 def make_fused_euler_window_sharded(
-    mesh, *, diffusivity: float, dt: float, dtype=np.float32,
+    mesh, *, diffusivity: float, dt: float, dtype=np.float32, bcs=None,
     interpret: bool = False, k: int = 8,
 ) -> Callable:
     """Sharded analogue of ``make_fused_euler_window_2d``.
 
     Returns ``window(local_data, steps) -> local_data`` meant to be traced
     INSIDE ``shard_map`` over ``mesh.jax_mesh``; ``local_data`` is one shard
-    of the field. Requires a fully periodic 2D Cartesian grid whose subgrid
-    shape passes :func:`supports_affine_laplace_ext`.
+    of the field. Axes must be periodic or carry const-affine BCs (passed via
+    ``bcs``); the subgrid shape must pass
+    :func:`supports_affine_laplace_ext`.
     """
     from ..ops.pallas_cartesian import (
         PallasUnsupportedError,
+        _make_binary_chunked_window,
+        affine_bc_params,
         ext_halo_width,
         make_affine_laplace_ext_2d,
         supports_affine_laplace_ext,
     )
 
     grid = mesh.basegrid
-    if grid.num_axes != 2 or not all(grid.periodic):
+    if grid.num_axes != 2:
         raise PallasUnsupportedError(
-            "Sharded fused window requires a fully periodic 2D Cartesian grid"
+            "Sharded fused window requires a 2D Cartesian grid"
         )
+    bc_params = None
+    if not all(grid.periodic):
+        if bcs is None:
+            raise PallasUnsupportedError(
+                "Non-periodic grids require explicit boundary conditions"
+            )
+        bc_params = affine_bc_params(grid, bcs)
     local_shape = tuple(mesh.subgrid.shape)
-    # columns stay locally periodic (lane rolls) unless the column axis is cut
+    # columns stay locally periodic (lane rolls) unless the column axis is
+    # cut or carries physical BCs (which need the extended representation
+    # only when decomposed; single-shard columns use the roll fixups)
     ext_cols = mesh.decomposition[1] > 1
     while k > 1 and not supports_affine_laplace_ext(
         local_shape, dtype, k, ext_cols=ext_cols, interpret=interpret
@@ -99,16 +131,31 @@ def make_fused_euler_window_sharded(
             "Local shard shape unsupported by the halo-extended kernel"
         )
     disc = grid.discretization
+    periodic = [bool(p) for p in grid.periodic]
+    axis_names = mesh.axis_names
+    decomposition = mesh.decomposition
+
+    def edge_flags():
+        flags = []
+        for ax in range(2):
+            if periodic[ax]:
+                flags += [0, 0]
+            else:
+                idx = jax.lax.axis_index(axis_names[ax])
+                flags += [
+                    (idx == 0).astype(jnp.int32),
+                    (idx == decomposition[ax] - 1).astype(jnp.int32),
+                ]
+        return jnp.stack(flags)
 
     def build(kk):
         step = make_affine_laplace_ext_2d(
             local_shape, a=1.0, b=dt * diffusivity, k=kk, discretization=disc,
-            ext_cols=ext_cols, dtype=dtype, interpret=interpret,
+            ext_cols=ext_cols, dtype=dtype, bc_params=bc_params,
+            interpret=interpret,
         )
         h = ext_halo_width(kk, interpret=interpret)
-        pad = make_halo_pad(mesh, (h, h if ext_cols else 0))
-        return lambda d: step(pad(d))
-
-    from ..ops.pallas_cartesian import _make_binary_chunked_window
+        pad = make_halo_pad(mesh, (h, h if ext_cols else 0), periodic)
+        return lambda d: step(pad(d), edge_flags())
 
     return _make_binary_chunked_window(build, k)

@@ -291,3 +291,36 @@ def test_sharded_with_trackers_and_storage(rng):
              tracker=storage.tracker(0.1))
     assert len(storage) == 3
     assert storage[2].grid.shape == (16, 16)
+
+
+@pytest.mark.parametrize("decomposition", [[2, 2], [4, 1], [1, 2]])
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"derivative": 0},
+        {"x-": {"value": 1}, "x+": {"derivative": 0},
+         "y": {"type": "mixed", "value": 1.0, "const": 0.5}},
+        {"x": "periodic", "y": {"derivative": 0.2}},
+    ],
+    ids=["noflux", "mixed", "periodic-x"],
+)
+def test_sharded_fused_window_bc_parity(decomposition, bc, rng, monkeypatch):
+    """Fused sharded windows with physical BCs match the XLA path."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    periodic = [bc.get("x") == "periodic", bc.get("y") == "periodic"]
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.05, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-4)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )

@@ -11,7 +11,7 @@ instead of re-creating figures; :func:`plot_on_axes` / :func:`plot_on_figure`
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Any
 
 
 class PlotReference:

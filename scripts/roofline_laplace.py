@@ -5,8 +5,8 @@ across temporal-blocking factors k and dtypes, and reports the implied HBM
 bandwidth and VPU utilisation so the binding resource is explicit
 (docs/BENCHMARKS.md "Roofline" section).
 
-Run on one chip: `python scripts/performance, never concurrently with another
-TPU process (axon tunnel serializes).
+Run on one chip (`python scripts/roofline_laplace.py`), never concurrently
+with another TPU process (the axon tunnel serializes).
 """
 
 from __future__ import annotations

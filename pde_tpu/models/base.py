@@ -281,14 +281,28 @@ def make_fused_window_via_expression(pde_obj, state, dt: float, rhs_str: str, bc
     compiler's stencil lowering (see `models/pde.py`).
 
     Predefined scalar PDE classes use this to get the same temporal-blocking
-    kernels as expression-defined PDEs. Raises NotImplementedError when the
+    kernels as expression-defined PDEs — including simple additive noise,
+    which fuses as an Euler-Maruyama window whose increments replicate the
+    unfused stepper's stream exactly. Raises NotImplementedError when the
     configuration is unsupported.
     """
-    if getattr(pde_obj, "is_sde", False):
-        raise NotImplementedError("Fused window does not support noise")
     from .pde import PDE
 
-    eq = PDE({"c": rhs_str}, bc=bc)
+    kwargs = {}
+    if getattr(pde_obj, "is_sde", False):
+        if (
+            type(pde_obj).make_noise_variance is not SDEBase.make_noise_variance
+            or pde_obj.use_noise_realization
+            or pde_obj._noise_drift_factor != 0
+            or np.ndim(pde_obj.noise) > 0
+        ):
+            raise NotImplementedError(
+                "Fused window supports only additive scalar noise"
+            )
+        kwargs["noise"] = float(pde_obj.noise)
+        kwargs["noise_interpretation"] = pde_obj.noise_interpretation
+
+    eq = PDE({"c": rhs_str}, bc=bc, **kwargs)
     return eq.make_fused_euler_window(state, dt)
 
 

@@ -15,6 +15,7 @@ import numbers
 import re
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import sympy
@@ -523,16 +524,42 @@ class PDE(SDEBase):
             affine_bc_params,
             interpret_requested,
             make_chunked_multi_window_2d,
+            make_chunked_sde_window_2d,
             make_chunked_window_2d,
         )
 
-        if (
-            self.is_sde
-            or self.post_step_hook is not None
-            or self.consts
-            or self.user_funcs
-        ):
+        if self.post_step_hook is not None or self.consts or self.user_funcs:
             raise NotImplementedError("Fused window unsupported for this PDE")
+        if self.is_sde:
+            # only simple additive noise can fuse: the increments are then
+            # state-independent and can be generated outside the kernel with
+            # the unfused stepper's exact key folding (identical trajectories)
+            from .base import SDEBase
+
+            if (
+                type(self).make_noise_variance is not SDEBase.make_noise_variance
+                or self.use_noise_realization
+                or self._noise_drift_factor != 0
+                or len(self.variables) != 1
+            ):
+                raise NotImplementedError(
+                    "Fused window supports only additive scalar noise"
+                )
+            # Measured on v5e: XLA-side noise generation (threefry + erfinv)
+            # dominates and its forced materialization makes the fused SDE
+            # window a net LOSS (14.5 vs 21.3 G updates/s for KPZ 4096²,
+            # docs/BENCHMARKS.md). Keep it opt-in on real hardware until an
+            # in-kernel PRNG path exists; interpret mode (CPU tests) always
+            # takes it so the machinery stays validated.
+            import os
+
+            if not interpret_requested() and os.environ.get(
+                "PDE_TPU_FUSED_SDE"
+            ) != "1":
+                raise NotImplementedError(
+                    "Fused SDE windows are opt-in (PDE_TPU_FUSED_SDE=1): "
+                    "measured slower than the XLA path on TPU"
+                )
         if isinstance(state, FieldCollection):
             fields = list(state)
         elif isinstance(state, DataFieldBase):
@@ -604,6 +631,29 @@ class PDE(SDEBase):
                     )
 
                 return step
+
+            if self.is_sde:
+                # pre-scaled increments with the unfused stepper's key folding
+                noise_step = self.make_sde_noise_step(fields[0])
+                template = jnp.zeros(fields[0].data.shape, fields[0].dtype)
+
+                def noise_fn(key, indices):
+                    def one(i):
+                        sub = jax.random.fold_in(key, i)
+                        (inc,) = noise_step([template], 0.0, sub, dt)
+                        return inc
+
+                    return jax.vmap(one)(indices)
+
+                try:
+                    window = make_chunked_sde_window_2d(
+                        grid, make_step, depth, noise_fn,
+                        dtype=fields[0].dtype, interpret=interpret,
+                    )
+                except PallasUnsupportedError as err:
+                    raise NotImplementedError(str(err)) from err
+                window.needs_key = True
+                return window
 
             try:
                 return make_chunked_window_2d(

@@ -701,6 +701,173 @@ def make_fused_multi_stencil_window_2d(
     return window_k, k
 
 
+def make_fused_sde_stencil_window_2d(
+    grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
+    k: int | None = None, interpret: bool = False,
+) -> tuple[Callable, int]:
+    """Temporal-blocking Euler-Maruyama window: deterministic stencil steps
+    plus pre-scaled additive noise increments supplied as a kernel input.
+
+    ``make_step(helpers)`` is the deterministic step (as in
+    :func:`make_fused_stencil_window_2d`); the returned
+    ``window_k(data, noise) -> data`` consumes ``noise`` of shape
+    ``(k, n, m)`` holding the already-scaled increments for the k steps and
+    adds plane ``s`` after step ``s`` — matching the unfused stepper's
+    ``y + dt*rate + noise_step(...)`` exactly, so trajectories are
+    bit-comparable against the XLA path given the same noise stream. The
+    noise is generated OUTSIDE the kernel (XLA threefry) because the Pallas
+    PRNG primitives have no interpret-mode lowering; traffic is one noise
+    read per step against 2/k field passes. Reference equivalent: noise
+    inside the compiled MPI stepper (`backends/numba/_solvers.py`).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if k is None:
+        k = max(1, _HALO // halo_per_step)
+    if not interpret and not _supports_fused_shape_2d(
+        grid, dtype, k * halo_per_step
+    ):
+        raise PallasUnsupportedError(
+            "Fused SDE window requires a 2D Cartesian grid with aligned "
+            "shape and float32/bfloat16 data on a TPU backend"
+        )
+    n_rows, n_cols = grid.shape
+    itemsize = np.dtype(dtype).itemsize
+    # the (k, band+2*halo, n_cols) noise block lives in VMEM alongside the
+    # field buffers: scale the budget accordingly
+    band = _pick_band(n_rows, n_cols * (k + 1), itemsize, k * halo_per_step)
+    helpers = _make_stencil_helpers(grid, pl, pltpu, band, n_rows // band)
+    step = make_step(helpers)
+    halo_total = k * halo_per_step
+    halo = -(-halo_total // _HALO) * _HALO
+
+    def kernel(f_hbm, noise_hbm, out_ref, band_ref, halo_top, halo_bot,
+               noise_ref, sem):
+        i = pl.program_id(0)
+        row0 = i * band
+        top_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(n_rows - halo), np.int32(n_rows)), 8
+        )
+        bot_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(band), np.int32(n_rows)), 8
+        )
+        copies = []
+        for src_ref, dst in (
+            (f_hbm.at[pl.ds(pl.multiple_of(row0, 8), band), :], band_ref),
+            (f_hbm.at[pl.ds(top_row, halo), :], halo_top),
+            (f_hbm.at[pl.ds(bot_row, halo), :], halo_bot),
+        ):
+            cp = pltpu.make_async_copy(src_ref, dst, sem.at[len(copies)])
+            cp.start()
+            copies.append(cp)
+        # noise block: rows [row0-halo, row0+band+halo) of every plane, with
+        # periodic wraparound (halo rows recompute the neighbor's updates, so
+        # they must see the NEIGHBOR'S noise — the same global stream)
+        for part, (src_row, dst_lo, dst_hi) in enumerate((
+            (top_row, 0, halo),
+            (pl.multiple_of(row0, 8), halo, halo + band),
+            (bot_row, halo + band, band + 2 * halo),
+        )):
+            cp = pltpu.make_async_copy(
+                noise_hbm.at[:, pl.ds(src_row, dst_hi - dst_lo), :],
+                noise_ref.at[:, pl.ds(dst_lo, dst_hi - dst_lo), :],
+                sem.at[3 + part],
+            )
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        work = jnp.concatenate(
+            [halo_top[halo - halo_total :, :], band_ref[:, :],
+             halo_bot[:halo_total, :]],
+            axis=0,
+        )
+        for s in range(k):
+            work = step(work)
+            # after step s the work spans rows
+            # [row0 - (halo_total - (s+1)*hps), row0 + band + ...): slice the
+            # matching rows out of the noise plane (stored with `halo` rows
+            # of margin on each side)
+            margin = halo_total - (s + 1) * halo_per_step
+            noise_slab = noise_ref[
+                s, halo - margin : halo + band + margin, :
+            ]
+            work = work + noise_slab
+        out_ref[:, :] = work
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
+        grid=(n_rows // band,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band, n_cols), dtype),
+            pltpu.VMEM((halo, n_cols), dtype),
+            pltpu.VMEM((halo, n_cols), dtype),
+            pltpu.VMEM((k, band + 2 * halo, n_cols), dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )
+
+    def window_k(data, noise):
+        return call(
+            jnp.asarray(data, dtype=dtype), jnp.asarray(noise, dtype=dtype)
+        )
+
+    return window_k, k
+
+
+def make_chunked_sde_window_2d(
+    grid: CartesianGrid, make_step, halo_per_step: int, noise_fn, *,
+    dtype=np.float32, interpret: bool = False,
+) -> Callable:
+    """Return ``window(data, key, steps)`` for Euler-Maruyama stepping.
+
+    ``noise_fn(key, indices) -> (len(indices), n, m)`` must produce the
+    pre-scaled increments for the given global step indices using the SAME
+    per-index key folding as the unfused stepper, so fused and unfused runs
+    follow identical trajectories.
+    """
+    _, k = make_fused_sde_stencil_window_2d(
+        grid, make_step, halo_per_step, dtype=dtype, interpret=interpret
+    )
+    kernels = []
+    kk = k
+    while kk >= 1:
+        step_kk, _ = make_fused_sde_stencil_window_2d(
+            grid, make_step, halo_per_step, dtype=dtype, k=kk,
+            interpret=interpret,
+        )
+        kernels.append((kk, step_kk))
+        kk //= 2
+
+    def window(data, key, steps):
+        index = jnp.asarray(0, jnp.int32)
+        remaining = steps
+        for kk, step_fn in kernels:
+            chunks = remaining // kk
+
+            def body(c, carry, _kk=kk, _step=step_fn):
+                d, idx = carry
+                noise = noise_fn(key, idx + jnp.arange(_kk))
+                return (_step(d, noise), idx + _kk)
+
+            data, index = jax.lax.fori_loop(0, chunks, body, (data, index))
+            remaining = remaining - chunks * kk
+        return data
+
+    return window
+
+
 def _make_binary_chunked_window(build_step, k: int):
     """Return ``window(state, steps)`` decomposing steps over kernels of
     blocking factor k, k/2, ..., 1 so remainders cost O(log k) HBM passes

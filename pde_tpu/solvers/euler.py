@@ -34,8 +34,7 @@ class EulerSolver(AdaptiveSolverBase):
         import os
 
         if (
-            not getattr(self.pde, "is_sde", False)
-            and hasattr(self.pde, "make_fused_euler_window")
+            hasattr(self.pde, "make_fused_euler_window")
             and os.environ.get("PDE_TPU_DISABLE_FUSED") != "1"
         ):
             try:
@@ -95,13 +94,20 @@ class EulerSolver(AdaptiveSolverBase):
             sharding = mesh.sharding(0)
         self.info["fused_step"] = True
         multi = getattr(window, "multi_field", False)
+        needs_key = getattr(window, "needs_key", False)
 
         def fused_stepper(state_obj, t_start, t_end):
             steps = max(1, round((t_end - t_start) / dt))
             leaves = state_leaves(state_obj)
             if sharding is not None:
                 leaves = [jax.device_put(x, sharding) for x in leaves]
-            if multi:
+            if needs_key:
+                # same per-window key handling as the unfused SDE stepper
+                self._init_key()
+                self._key, key = jax.random.split(self._key)
+                (data,) = leaves
+                leaves = [run(data, key, jnp.asarray(steps))]
+            elif multi:
                 leaves = list(run(leaves, jnp.asarray(steps)))
             else:
                 (data,) = leaves

@@ -288,3 +288,93 @@ def test_fused_window_expression_mixed_bcs(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-11, atol=1e-12
     )
+
+
+# -- fused Euler-Maruyama (SDE) windows -------------------------------------------------
+
+
+def _solve_sde(eq_factory, state, t_range, dt, fused, monkeypatch):
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    if fused:
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    else:
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    solver = EulerSolver(eq_factory())
+    res = Controller(solver, t_range=t_range, tracker=None).run(state, dt=dt)
+    return res, solver
+
+
+def test_fused_sde_window_exact_parity(rng, monkeypatch):
+    """Fused Euler-Maruyama windows replicate the unfused noise stream
+    exactly (same key folding, increments generated outside the kernel);
+    the deterministic stencil differs only by op-order rounding."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng, label="c")
+
+    def eq_factory():
+        return pde.PDE({"c": "0.1 * laplace(c)"}, noise=0.5,
+                       rng=np.random.default_rng(123))
+
+    res_fused, solver = _solve_sde(eq_factory, state, 0.1, 0.01, True,
+                                   monkeypatch)
+    assert solver.info.get("fused_step") is True
+    res_ref, _ = _solve_sde(eq_factory, state, 0.1, 0.01, False, monkeypatch)
+    np.testing.assert_allclose(
+        np.asarray(res_fused.data), np.asarray(res_ref.data),
+        rtol=1e-12, atol=1e-13,
+    )
+
+
+def test_fused_sde_window_kpz(rng, monkeypatch):
+    """The stochastic KPZ configuration (BASELINE config 5) hits the fused
+    path through the predefined-model expression route."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField(grid, data=0.0)
+
+    def eq_factory():
+        return pde.KPZInterfacePDE(noise=0.2, rng=np.random.default_rng(7))
+
+    res_fused, solver = _solve_sde(eq_factory, state, 0.05, 1e-3, True,
+                                   monkeypatch)
+    assert solver.info.get("fused_step") is True
+    res_ref, _ = _solve_sde(eq_factory, state, 0.05, 1e-3, False, monkeypatch)
+    np.testing.assert_allclose(
+        np.asarray(res_fused.data), np.asarray(res_ref.data),
+        rtol=1e-11, atol=1e-13,
+    )
+    assert float(res_fused.fluctuations) > 0  # interface roughened
+
+
+def test_fused_sde_rejects_multiplicative(monkeypatch):
+    """State-dependent noise cannot fuse and falls back cleanly."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+
+    class Multiplicative(pde.PDE):
+        use_noise_variance = True
+
+        def make_noise_variance(self, state, *, ret_diff=False):
+            def var(leaves, t):
+                return [0.1 * y**2 for y in leaves]
+
+            if ret_diff:
+                def var_diff(leaves, t):
+                    return [0.1 * y**2 for y in leaves], [0.2 * y for y in leaves]
+
+                return var_diff
+            return var
+
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField(grid, data=1.0, label="c")
+    eq = Multiplicative({"c": "0.1 * laplace(c)"}, noise=1.0,
+                        rng=np.random.default_rng(3))
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert not solver.info.get("fused_step", False)
+    assert np.all(np.isfinite(np.asarray(res.data)))

@@ -18,9 +18,15 @@ Typical usage mirrors the reference README:
 __version__ = "0.1.0"
 
 from .utils.config import Config, Parameter, config, environment  # noqa: F401
-from .backends import XLABackend, get_backend  # noqa: F401
+from .backends import (  # noqa: F401
+    BackendBase,
+    XLABackend,
+    get_backend,
+    registered_backends,
+)
 from .grids import *  # noqa: F401,F403
-from .grids.base import GridBase  # noqa: F401
+from .grids.base import GridBase, registered_grids  # noqa: F401
+from .grids.coordinates import DimensionError  # noqa: F401
 from .grids.boundaries import *  # noqa: F401,F403
 
 try:
@@ -37,6 +43,7 @@ except ImportError:  # pragma: no cover
     pass
 try:
     from .trackers import *  # noqa: F401,F403
+    from .trackers.base import TransformedTrackerBase  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
 try:
@@ -56,3 +63,17 @@ try:
     from .parallel import GridMesh  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .models.laplace import helmholtz_decomposition  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from .storage.modelrunner import ModelrunnerStorage  # noqa: F401
+except ImportError:  # pragma: no cover — optional py-modelrunner dependency
+    pass
+
+# module aliases mirroring the reference package layout (`pde.pdes`,
+# `pde.tools`, `pde.solvers.explicit_mpi`)
+from . import models as pdes  # noqa: F401
+from . import utils as tools  # noqa: F401
+from .solvers import explicit_sharded as explicit_mpi  # noqa: F401

@@ -110,3 +110,14 @@ def get_backend(backend: str = "auto") -> XLABackend:
     if isinstance(backend, XLABackend):
         return backend
     return backends[str(backend)]
+
+
+#: Compatibility alias: the reference's abstract engine base class
+#: (`backends/base.py:65`); this framework has one XLA engine.
+BackendBase = XLABackend
+
+
+def registered_backends() -> list[str]:
+    """Names resolvable by :func:`get_backend` (reference `registry.py:36`)."""
+    return ["auto", "jax", "numba", "numba_mpi", "numpy", "pallas", "scipy",
+            "torch"]

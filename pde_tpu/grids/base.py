@@ -567,6 +567,14 @@ class GridBase:
         return float(np.mean(self.discretization))
 
 
+def registered_grids() -> list[str]:
+    """Names of all registered grid classes (reference `grids/base.py:1499`)."""
+    return sorted(
+        name for name, cls in GridBase._subclasses.items()
+        if not name.endswith("Base")
+    )
+
+
 def registered_operators() -> dict[str, list[str]]:
     """Dictionary of all registered operators, keyed by grid class name."""
     import pde_tpu.ops  # noqa: F401

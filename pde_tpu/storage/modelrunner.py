@@ -1,19 +1,12 @@
 """Storage integration with the optional `modelrunner` package.
 
-Reference: `/root/reference/pde/storage/modelrunner.py:21`. The dependency is
-optional; importing this module without it raises ImportError.
+Reference: `/root/reference/pde/storage/modelrunner.py:21`. The class is
+importable without the dependency; constructing it requires `py-modelrunner`.
 """
 
 from __future__ import annotations
 
 import numpy as np
-
-try:
-    import modelrunner  # noqa: F401
-except ImportError as _err:  # pragma: no cover — optional dependency
-    raise ImportError(
-        "ModelrunnerStorage requires the optional `py-modelrunner` package"
-    ) from _err
 
 from ..fields.base import FieldBase
 from ..trackers.base import InfoDict
@@ -21,7 +14,11 @@ from .base import StorageBase
 
 
 class ModelrunnerStorage(StorageBase):
-    """Stores time series in a :mod:`modelrunner` storage group."""
+    """Stores time series in a :mod:`modelrunner` storage group.
+
+    The ``storage`` argument is a (duck-typed) modelrunner storage group; the
+    class itself has no hard dependency on the package.
+    """
 
     def __init__(self, storage, *, loc: str = "trajectory",
                  info: InfoDict | None = None, write_mode: str = "truncate_once"):

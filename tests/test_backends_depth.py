@@ -91,3 +91,50 @@ def test_progress_bar_utilities():
     cls = get_progress_bar_class()
     items = list(display_progress(range(5), enabled=False))
     assert items == [0, 1, 2, 3, 4]
+
+
+def test_reference_api_compat_names():
+    """Names the reference exposes at top level resolve here too."""
+    import pde_tpu as pde
+
+    assert pde.BackendBase is pde.XLABackend
+    assert "CartesianGrid" in pde.registered_grids()
+    assert "numba" in pde.registered_backends()
+    assert pde.pdes.DiffusionPDE is pde.DiffusionPDE  # `pde.pdes` alias
+    assert pde.tools is pde.utils  # `pde.tools` alias
+    assert hasattr(pde, "helmholtz_decomposition")
+    assert hasattr(pde, "TransformedTrackerBase")
+    assert hasattr(pde, "DimensionError")
+    assert hasattr(pde, "ModelrunnerStorage")
+    assert hasattr(pde.explicit_mpi, "ExplicitShardedSolver")
+
+
+def test_modelrunner_storage_ducktyped(rng):
+    """ModelrunnerStorage works against a duck-typed storage group."""
+    import pde_tpu as pde
+    from pde_tpu.storage import ModelrunnerStorage
+
+    class FakeGroup:
+        def __init__(self):
+            self.arrays, self.attrs = {}, {}
+
+        def write_array(self, loc, arr, attrs=None):
+            self.arrays[loc] = arr
+            self.attrs[loc.rsplit("/", 1)[0]] = attrs or {}
+
+        def read_array(self, loc):
+            return self.arrays[loc]
+
+        def read_attrs(self, loc):
+            return self.attrs.get(loc, {})
+
+    group = FakeGroup()
+    grid = pde.UnitGrid([4, 4])
+    storage = ModelrunnerStorage(group)
+    f = pde.ScalarField(grid, data=rng.random((4, 4)))
+    storage.start_writing(f)
+    storage.append(f, 0.0)
+    storage.append(2 * f, 1.0)
+    storage.end_writing()
+    assert storage.times == [0.0, 1.0]
+    assert storage.data.shape == (2, 4, 4)

@@ -840,15 +840,22 @@ def make_chunked_sde_window_2d(
     _, k = make_fused_sde_stencil_window_2d(
         grid, make_step, halo_per_step, dtype=dtype, interpret=interpret
     )
-    kernels = []
-    kk = k
-    while kk >= 1:
+
+    def build(kk):
         step_kk, _ = make_fused_sde_stencil_window_2d(
             grid, make_step, halo_per_step, dtype=dtype, k=kk,
             interpret=interpret,
         )
-        kernels.append((kk, step_kk))
-        kk //= 2
+        return step_kk
+
+    if interpret and k > 1:  # see _make_binary_chunked_window
+        kernels = [(k, build(k)), (1, build(1))]
+    else:
+        kernels = []
+        kk = k
+        while kk >= 1:
+            kernels.append((kk, build(kk)))
+            kk //= 2
 
     def window(data, key, steps):
         index = jnp.asarray(0, jnp.int32)
@@ -871,12 +878,20 @@ def make_chunked_sde_window_2d(
 def _make_binary_chunked_window(build_step, k: int):
     """Return ``window(state, steps)`` decomposing steps over kernels of
     blocking factor k, k/2, ..., 1 so remainders cost O(log k) HBM passes
-    instead of one pass per leftover step."""
-    kernels = []
-    kk = k
-    while kk >= 1:
-        kernels.append((kk, build_step(kk)))
-        kk //= 2
+    instead of one pass per leftover step.
+
+    In interpret mode (CPU tests) only the k and 1 kernels are built — the
+    intermediate levels exist purely to save HBM passes on real hardware,
+    and tracing five kernels per window builder dominates test runtime.
+    """
+    if interpret_requested() and k > 1:
+        kernels = [(k, build_step(k)), (1, build_step(1))]
+    else:
+        kernels = []
+        kk = k
+        while kk >= 1:
+            kernels.append((kk, build_step(kk)))
+            kk //= 2
 
     def window(state, steps):
         remaining = steps

@@ -11,8 +11,11 @@ Measured ≈1.8e11 cell-updates/s at 4096² with k=16 — ~3.8x the XLA path and
 18x the project's 1e10 baseline target on a single chip (VPU-bound; see
 docs/BENCHMARKS.md roofline).
 
-Falls back to the jnp lowering whenever preconditions fail (non-periodic BCs,
-unaligned shapes, non-TPU backends, float64).
+Falls back to the jnp lowering whenever preconditions fail (unsupported BC
+types, unaligned shapes, non-TPU backends, float64). Periodic and
+const-affine BCs (Dirichlet/Neumann/Robin/curvature) lower into the kernels;
+coupled multi-field systems and shard_map-decomposed grids have their own
+variants below.
 """
 
 from __future__ import annotations

@@ -378,3 +378,45 @@ def test_fused_sde_rejects_multiplicative(monkeypatch):
     res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
     assert not solver.info.get("fused_step", False)
     assert np.all(np.isfinite(np.asarray(res.data)))
+
+
+def test_fused_window_randomized_configs(rng, monkeypatch):
+    """Property check: random BC/coefficient configurations keep the fused
+    path consistent with the XLA lowering (interpret mode)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    def random_side_bc():
+        kind = rng.choice(["value", "derivative", "mixed", "curvature"])
+        if kind == "mixed":
+            return {"type": "mixed", "value": float(rng.uniform(-1, 2)),
+                    "const": float(rng.uniform(-1, 1))}
+        return {kind: float(rng.uniform(-1, 1))}
+
+    for trial in range(6):
+        periodic = [bool(rng.integers(2)), bool(rng.integers(2))]
+        bc = {}
+        for ax, per in zip("xy", periodic):
+            if per:
+                bc[ax] = "periodic"
+            else:
+                bc[ax + "-"] = random_side_bc()
+                bc[ax + "+"] = random_side_bc()
+        grid = pde.CartesianGrid(
+            [(0, float(rng.uniform(0.5, 2))), (0, float(rng.uniform(0.5, 2)))],
+            (16, 16), periodic=periodic,
+        )
+        state = pde.ScalarField.random_uniform(grid, rng=rng)
+        eq = pde.DiffusionPDE(diffusivity=float(rng.uniform(0.01, 0.2)), bc=bc)
+
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+        solver = EulerSolver(eq)
+        res = Controller(solver, t_range=5e-4, tracker=None).run(state, dt=5e-5)
+        assert solver.info.get("fused_step") is True, f"trial {trial}: {bc}"
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+        ref = eq.solve(state, t_range=5e-4, dt=5e-5, tracker=None)
+        np.testing.assert_allclose(
+            np.asarray(res.data), np.asarray(ref.data), rtol=1e-11, atol=1e-12,
+            err_msg=f"trial {trial}: {bc}",
+        )

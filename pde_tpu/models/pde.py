@@ -504,8 +504,12 @@ class PDE(SDEBase):
             raise NotImplementedError("rhs must be a scalar expression")
         return fn, depth
 
-    def make_fused_euler_window(self, state: FieldBase, dt: float):
+    def make_fused_euler_window(self, state: FieldBase, dt: float, mesh=None):
         """Emit a fused Pallas temporal-blocking kernel for the rhs.
+
+        With ``mesh`` given the window operates on per-shard leaves inside
+        ``shard_map`` (fully periodic grids decomposed along the row axis;
+        halos move via ppermute once per kernel call).
 
         The expression compiler lowers arbitrary compositions of ``laplace``,
         ``gradient``, ``divergence``, ``dot``, and ``gradient_squared`` with
@@ -615,6 +619,47 @@ class PDE(SDEBase):
         depth = max(depths)
         if depth == 0 or depth > _HALO:
             raise NotImplementedError(f"stencil depth {depth} out of range")
+
+        if mesh is not None:
+            # decomposed: all fields share the halo-extended kernel; the halo
+            # pad (ppermute) happens outside, so only periodic BCs qualify
+            if self.is_sde:
+                raise NotImplementedError("Sharded fused window does not support noise")
+            if any(p is not None for p in bc_table.values()):
+                raise NotImplementedError(
+                    "Sharded fused expression windows require periodic BCs"
+                )
+            from ..parallel.fused import make_fused_multi_window_sharded
+
+            def make_multi_step_sharded(ops):
+                rhs_fns = [
+                    self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
+                    for e, v in zip(exprs, self.variables)
+                ]
+
+                def step(works):
+                    new = []
+                    for f, (rhs_fn, d) in enumerate(rhs_fns):
+                        rate = rhs_fn(works)
+                        if jnp.ndim(rate) != 0 and depth - d:
+                            rate = rate[depth - d : -(depth - d), :]
+                        center = works[f][depth:-depth, :]
+                        new.append(
+                            center
+                            + dt * jnp.broadcast_to(jnp.asarray(rate), center.shape)
+                        )
+                    return new
+
+                return step
+
+            try:
+                window = make_fused_multi_window_sharded(
+                    mesh, make_multi_step_sharded, depth, len(fields),
+                    dtype=fields[0].dtype, interpret=interpret,
+                )
+            except PallasUnsupportedError as err:
+                raise NotImplementedError(str(err)) from err
+            return window
 
         if len(fields) == 1:
 

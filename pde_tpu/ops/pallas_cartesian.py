@@ -704,6 +704,99 @@ def make_fused_multi_stencil_window_2d(
     return window_k, k
 
 
+def make_fused_multi_ext_window_2d(
+    grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
+    local_rows: int, dtype=np.float32, k: int | None = None,
+    interpret: bool = False,
+) -> tuple[Callable, int]:
+    """Multi-field temporal-blocking kernel on row-halo-extended local blocks.
+
+    The decomposed (shard_map) variant of
+    :func:`make_fused_multi_stencil_window_2d` for grids cut along the ROW
+    axis only: each input carries ``ext_halo_width(k*halo_per_step)`` halo
+    rows per side (filled by ppermute outside), columns stay locally periodic
+    via lane rolls, and the kernel is otherwise identical — all fields share
+    one HBM pass per k steps. ``grid`` is the GLOBAL grid (providing the
+    discretization and column extent); ``local_rows`` is the shard's row
+    count.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if k is None:
+        k = max(1, _HALO // halo_per_step)
+    n_cols = grid.shape[1]
+    if not interpret:
+        if jax.default_backend() != "tpu":
+            raise PallasUnsupportedError("TPU backend required")
+        if (
+            local_rows % 8 != 0
+            or n_cols % 128 != 0
+            or np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16))
+            or not 1 <= k * halo_per_step <= 2 * _HALO
+        ):
+            raise PallasUnsupportedError(
+                "Unsupported local shape/dtype for the multi-field ext kernel"
+            )
+    halo_total = k * halo_per_step
+    halo = ext_halo_width(halo_total, interpret=interpret)
+    if local_rows < halo:
+        raise PallasUnsupportedError("Shard too small for the halo exchange")
+    itemsize = np.dtype(dtype).itemsize
+    band = _pick_band_ext(local_rows, n_cols * n_fields, itemsize, halo)
+    helpers = _make_stencil_helpers(grid, pl, pltpu, band, local_rows // band)
+    step = make_step(helpers)
+    F = n_fields
+
+    def kernel(*refs):
+        ins = refs[:F]
+        outs = refs[F : 2 * F]
+        work_refs = refs[2 * F : 3 * F]
+        sem = refs[3 * F]
+        i = pl.program_id(0)
+        row0 = i * band  # input rows [row0, row0 + band + 2*halo)
+        copies = []
+        for f in range(F):
+            cp = pltpu.make_async_copy(
+                ins[f].at[pl.ds(pl.multiple_of(row0, band), band + 2 * halo), :],
+                work_refs[f],
+                sem.at[f],
+            )
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        works = [
+            work_refs[f][halo - halo_total : halo + halo_total + band, :]
+            for f in range(F)
+        ]
+        for _ in range(k):
+            works = step(works)
+        for f in range(F):
+            outs[f][:, :] = works[f]
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((local_rows, n_cols), dtype)] * F,
+        grid=(local_rows // band,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * F,
+        out_specs=[
+            pl.BlockSpec((band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * F,
+        scratch_shapes=(
+            [pltpu.VMEM((band + 2 * halo, n_cols), dtype)] * F
+            + [pltpu.SemaphoreType.DMA((F,))]
+        ),
+        interpret=interpret,
+    )
+
+    def window_k(datas):
+        return list(call(*[jnp.asarray(d, dtype=dtype) for d in datas]))
+
+    return window_k, k
+
+
 def make_fused_sde_stencil_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
     k: int | None = None, interpret: bool = False,

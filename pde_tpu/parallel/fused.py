@@ -159,3 +159,68 @@ def make_fused_euler_window_sharded(
         return lambda d: step(pad(d), edge_flags())
 
     return _make_binary_chunked_window(build, k)
+
+
+def make_fused_multi_window_sharded(
+    mesh, make_step, halo_per_step: int, n_fields: int, *, dtype=np.float32,
+    interpret: bool = False,
+) -> Callable:
+    """Sharded multi-field window: all fields share one HBM pass per k steps.
+
+    Returns ``window(local_datas, steps) -> local_datas`` for use INSIDE
+    ``shard_map``. Requires a fully periodic grid decomposed along the row
+    axis only (columns stay locally periodic via lane rolls); other layouts
+    raise :class:`PallasUnsupportedError` and callers fall back to XLA.
+    """
+    from ..ops.pallas_cartesian import (
+        PallasUnsupportedError,
+        ext_halo_width,
+        make_fused_multi_ext_window_2d,
+    )
+
+    grid = mesh.basegrid
+    if grid.num_axes != 2 or not all(grid.periodic):
+        raise PallasUnsupportedError(
+            "Sharded multi-field window requires a fully periodic 2D grid"
+        )
+    if mesh.decomposition[1] != 1:
+        raise PallasUnsupportedError(
+            "Sharded multi-field window supports row-axis decomposition only"
+        )
+    local_rows = mesh.subgrid.shape[0]
+
+    def build(kk):
+        step, _ = make_fused_multi_ext_window_2d(
+            grid, make_step, halo_per_step, n_fields, local_rows=local_rows,
+            dtype=dtype, k=kk, interpret=interpret,
+        )
+        h = ext_halo_width(kk * halo_per_step, interpret=interpret)
+        pad = make_halo_pad(mesh, (h, 0))
+        return lambda datas: tuple(step([pad(d) for d in datas]))
+
+    # probe the largest supported k (small shards need smaller halos)
+    k = None
+    probe_k = max(1, 8 // halo_per_step)
+    while probe_k >= 1:
+        try:
+            _, k = make_fused_multi_ext_window_2d(
+                grid, make_step, halo_per_step, n_fields,
+                local_rows=local_rows, dtype=dtype, k=probe_k,
+                interpret=interpret,
+            )
+            break
+        except PallasUnsupportedError:
+            probe_k //= 2
+    if k is None:
+        raise PallasUnsupportedError(
+            "Shard too small for any temporal-blocking factor"
+        )
+    from ..ops.pallas_cartesian import _make_binary_chunked_window
+
+    window_t = _make_binary_chunked_window(build, k)
+
+    def window(datas, steps):
+        return list(window_t(tuple(datas), steps))
+
+    window.multi_field = True
+    return window

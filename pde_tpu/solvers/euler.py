@@ -71,6 +71,7 @@ class EulerSolver(AdaptiveSolverBase):
         from ..models.base import state_from_leaves, state_leaves
 
         mesh = self._get_mesh(state)
+        n_leaves = len(state_leaves(state))
         if mesh is None:
             self._logger.info("Using fused Pallas Euler window")
             run = jax.jit(window)
@@ -82,12 +83,16 @@ class EulerSolver(AdaptiveSolverBase):
             from jax.sharding import PartitionSpec as P
 
             self._logger.info("Using sharded fused Pallas Euler window")
+            if getattr(window, "multi_field", False):
+                data_spec = [mesh.partition_spec(0)] * n_leaves
+            else:
+                data_spec = mesh.partition_spec(0)
             run = jax.jit(
                 jax.shard_map(
                     window,
                     mesh=mesh.jax_mesh,
-                    in_specs=(mesh.partition_spec(0), P()),
-                    out_specs=mesh.partition_spec(0),
+                    in_specs=(data_spec, P()),
+                    out_specs=data_spec,
                     check_vma=False,
                 )
             )

@@ -324,3 +324,72 @@ def test_sharded_fused_window_bc_parity(decomposition, bc, rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
     )
+
+
+def test_sharded_fused_multi_field_parity(rng, monkeypatch):
+    """Decomposed coupled expression PDEs hit the multi-field fused kernel."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    v = pde.ScalarField.random_uniform(grid, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "0.1 * laplace(u) + 1 - 2 * u + u**2 * v",
+        "v": "0.05 * laplace(v) + u - u**2 * v",
+    })
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=[4, 1])
+    res = Controller(solver, t_range=0.05, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.05, dt=1e-3, tracker=None)
+    for a, b in zip(res, ref):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_sharded_fused_single_field_expression(rng, monkeypatch):
+    """Decomposed single-field expression PDEs (e.g. Cahn-Hilliard trees) use
+    the same sharded multi kernel with one plane."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng, label="c")
+    eq = pde.PDE({"c": "laplace(0.5 * c**3 - c - 0.1 * laplace(c))"})
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=[2, 1])
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=1e-4)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=1e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_sharded_fused_multi_falls_back_on_column_cut(rng, monkeypatch):
+    """Column-axis decompositions fall back to the XLA path cleanly."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    state = pde.FieldCollection([u, u.copy()])
+    state[1].label = "v"
+    eq = pde.PDE({"u": "0.1 * laplace(u)", "v": "0.1 * laplace(v)"})
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=[2, 2])
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert not solver.info.get("fused_step", False)
+    ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+    for a, b in zip(res, ref):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))

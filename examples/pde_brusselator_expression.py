@@ -14,7 +14,7 @@ eq = pde.PDE(
     }
 )
 
-grid = pde.UnitGrid([32, 32])
+grid = pde.UnitGrid([128, 128])  # lane-aligned so the fused TPU kernel engages
 u = pde.ScalarField(grid, a, label="u")
 v = b / a + 0.1 * pde.ScalarField.random_normal(grid, label="v")
 state = pde.FieldCollection([u, v])

@@ -34,7 +34,7 @@ class AllenCahnPDE(PDEBase):
         laplace = state.laplace(bc=self.bc, label="evolution rate", args={"t": t})
         return self.mobility * (self.interface_width * laplace - state**3 + state)
 
-    def make_fused_euler_window(self, state, dt: float):
+    def make_fused_euler_window(self, state, dt: float, mesh=None):
         """Fused Pallas Euler window via the expression stencil lowering."""
         from .base import make_fused_window_via_expression
 
@@ -42,4 +42,5 @@ class AllenCahnPDE(PDEBase):
             f"{self.mobility!r} * ({self.interface_width!r} * laplace(c)"
             " - c**3 + c)"
         )
-        return make_fused_window_via_expression(self, state, dt, rhs, self.bc)
+        return make_fused_window_via_expression(self, state, dt, rhs,
+                                                self.bc, mesh=mesh)

@@ -276,7 +276,7 @@ class SDEBase(PDEBase):
         return noise_step
 
 
-def make_fused_window_via_expression(pde_obj, state, dt: float, rhs_str: str, bc):
+def make_fused_window_via_expression(pde_obj, state, dt: float, rhs_str: str, bc, mesh=None):
     """Build a fused Pallas Euler window by routing through the expression
     compiler's stencil lowering (see `models/pde.py`).
 
@@ -303,7 +303,7 @@ def make_fused_window_via_expression(pde_obj, state, dt: float, rhs_str: str, bc
         kwargs["noise_interpretation"] = pde_obj.noise_interpretation
 
     eq = PDE({"c": rhs_str}, bc=bc, **kwargs)
-    return eq.make_fused_euler_window(state, dt)
+    return eq.make_fused_euler_window(state, dt, mesh=mesh)
 
 
 def expr_prod(factor: float, expression: str) -> str:

@@ -31,7 +31,7 @@ class CahnHilliardPDE(PDEBase):
         mu = state**3 - state - self.interface_width * c_laplace
         return mu.laplace(bc=self.bc_mu, args={"t": t})
 
-    def make_fused_euler_window(self, state: ScalarField, dt: float):
+    def make_fused_euler_window(self, state: ScalarField, dt: float, mesh=None):
         """Temporally-blocked Euler window: the full Cahn-Hilliard step
         (two Laplacians + the cubic chemical potential) runs in VMEM, 4 steps
         per HBM pass. Raises NotImplementedError when unsupported."""
@@ -42,6 +42,22 @@ class CahnHilliardPDE(PDEBase):
             interpret_requested,
             make_chunked_window_2d,
         )
+
+        if mesh is not None:
+            # decomposed: route through the expression compiler (requires
+            # identical BCs for both Laplacians — the per-op routing cannot
+            # distinguish the inner from the outer laplace)
+            if self.bc_c != self.bc_mu:
+                raise NotImplementedError(
+                    "Sharded fused Cahn-Hilliard requires bc_c == bc_mu"
+                )
+            from .base import make_fused_window_via_expression
+
+            gamma = float(self.interface_width)
+            rhs = f"laplace(c**3 - c - {gamma!r} * laplace(c))"
+            return make_fused_window_via_expression(
+                self, state, dt, rhs, self.bc_c, mesh=mesh
+            )
 
         params = []
         for bc in (self.bc_c, self.bc_mu):

@@ -35,9 +35,10 @@ class KPZInterfacePDE(SDEBase):
         result.label = "evolution rate"
         return result
 
-    def make_fused_euler_window(self, state, dt: float):
+    def make_fused_euler_window(self, state, dt: float, mesh=None):
         """Fused Pallas Euler window via the expression stencil lowering."""
         from .base import make_fused_window_via_expression
 
         rhs = f"{self.nu!r} * laplace(c) + {self.lmbda!r} * gradient_squared(c)"
-        return make_fused_window_via_expression(self, state, dt, rhs, self.bc)
+        return make_fused_window_via_expression(self, state, dt, rhs,
+                                                self.bc, mesh=mesh)

@@ -39,7 +39,7 @@ class KuramotoSivashinskyPDE(SDEBase):
         result.label = "evolution rate"
         return result
 
-    def make_fused_euler_window(self, state, dt: float):
+    def make_fused_euler_window(self, state, dt: float, mesh=None):
         """Fused Pallas Euler window via the expression stencil lowering."""
         from .base import make_fused_window_via_expression
 
@@ -49,4 +49,5 @@ class KuramotoSivashinskyPDE(SDEBase):
             f"-{self.nu!r} * laplace(laplace(c)) - laplace(c)"
             " - 0.5 * gradient_squared(c)"
         )
-        return make_fused_window_via_expression(self, state, dt, rhs, self.bc)
+        return make_fused_window_via_expression(self, state, dt, rhs,
+                                                self.bc, mesh=mesh)

@@ -47,7 +47,7 @@ class SwiftHohenbergPDE(PDEBase):
         result.label = "evolution rate"
         return result
 
-    def make_fused_euler_window(self, state, dt: float):
+    def make_fused_euler_window(self, state, dt: float, mesh=None):
         """Fused Pallas Euler window via the expression stencil lowering."""
         from .base import make_fused_window_via_expression
 
@@ -58,4 +58,5 @@ class SwiftHohenbergPDE(PDEBase):
             f" - 2 * {self.kc2!r} * laplace(c) - laplace(laplace(c))"
             f" + {self.delta!r} * c**2 - c**3"
         )
-        return make_fused_window_via_expression(self, state, dt, rhs, self.bc)
+        return make_fused_window_via_expression(self, state, dt, rhs,
+                                                self.bc, mesh=mesh)

@@ -393,3 +393,34 @@ def test_sharded_fused_multi_falls_back_on_column_cut(rng, monkeypatch):
     ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
     for a, b in zip(res, ref):
         np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+
+
+@pytest.mark.parametrize(
+    "eq",
+    [
+        pde.KPZInterfacePDE(nu=0.3, lmbda=0.5),
+        pde.AllenCahnPDE(interface_width=0.5),
+        pde.CahnHilliardPDE(interface_width=0.2),
+        pde.KuramotoSivashinskyPDE(),
+    ],
+    ids=lambda e: type(e).__name__,
+)
+def test_sharded_fused_predefined_models(eq, rng, monkeypatch):
+    """Decomposed predefined PDEs reach the fused kernel via the expression
+    route (mesh threaded through make_fused_window_via_expression)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=[2, 1])
+    res = Controller(solver, t_range=0.005, tracker=None).run(state, dt=1e-4)
+    assert solver.info.get("fused_step") is True, type(eq).__name__
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.005, dt=1e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-11, atol=1e-12
+    )

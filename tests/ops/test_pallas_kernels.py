@@ -420,3 +420,57 @@ def test_fused_window_randomized_configs(rng, monkeypatch):
             np.asarray(res.data), np.asarray(ref.data), rtol=1e-11, atol=1e-12,
             err_msg=f"trial {trial}: {bc}",
         )
+
+
+# -- gating contracts: benchmark configs must keep their fast paths ---------------------
+
+
+def test_benchmark_configs_stay_fused(monkeypatch):
+    """Guard against gating regressions: the headline benchmark configurations
+    must pass the fused-kernel support checks (TPU backend mocked)."""
+    import pde_tpu.ops.pallas_cartesian as pc
+
+    monkeypatch.setattr(pc.jax, "default_backend", lambda: "tpu")
+
+    bench = pde.UnitGrid([4096, 4096], periodic=True)
+    # headline: periodic fp32 at k=16
+    assert pc.supports_affine_laplace(bench, np.float32, k=16)
+    # no-flux variant
+    noflux = pde.UnitGrid([4096, 4096])
+    bcs = noflux.get_boundary_conditions({"derivative": 0})
+    assert pc.supports_affine_laplace_bc(noflux, bcs, np.float32, k=16)
+    # Cahn-Hilliard 1024² (depth-2 stencil at k=4)
+    ch = pde.UnitGrid([1024, 1024], periodic=True)
+    assert pc.supports_affine_laplace(ch, np.float32, k=8)
+    # 3D 128³
+    cube = pde.UnitGrid([128, 128, 128], periodic=True)
+    assert pc.supports_affine_laplace_3d(cube, np.float32)
+    # sharded local shard of the benchmark grid over 8 devices ([8, 1])
+    assert pc.supports_affine_laplace_ext((512, 4096), np.float32, k=8,
+                                          ext_cols=False)
+    # misaligned or f64 configs must NOT claim support
+    assert not pc.supports_affine_laplace(
+        pde.UnitGrid([4096, 4096], periodic=True), np.float64, k=16
+    )
+    assert not pc.supports_affine_laplace(
+        pde.UnitGrid([100, 100], periodic=True), np.float32, k=8
+    )
+
+
+def test_benchmark_kernels_construct(monkeypatch):
+    """Kernel builders for the benchmark configs construct without error
+    (compilation happens lazily at first call, so this runs on CPU)."""
+    import pde_tpu.ops.pallas_cartesian as pc
+
+    monkeypatch.setattr(pc.jax, "default_backend", lambda: "tpu")
+    grid = pde.UnitGrid([4096, 4096], periodic=True)
+    window = pc.make_fused_euler_window_2d(
+        grid, diffusivity=0.1, dt=0.1, dtype=np.float32
+    )
+    assert callable(window)
+    noflux = pde.UnitGrid([4096, 4096])
+    bcs = noflux.get_boundary_conditions({"derivative": 0})
+    window_bc = pc.make_fused_euler_window_2d(
+        noflux, diffusivity=0.1, dt=0.1, dtype=np.float32, bcs=bcs
+    )
+    assert callable(window_bc)

@@ -205,3 +205,30 @@ def test_preserve_scalars_and_number_array():
     assert arr.dtype in (np.dtype(float), np.dtype(int), np.dtype(complex))
     arr_c = number_array([1 + 2j])
     assert np.iscomplexobj(arr_c)
+
+
+def test_config_flags_drive_operators(rng):
+    """Global config flags change operator behavior (reference
+    `tools/config.py:618-635` wiring)."""
+    grid = pde.UnitGrid([8, 8], periodic=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    base = np.asarray(field.laplace("periodic").data)
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):
+        nine = np.asarray(field.laplace("periodic").data)
+    assert not np.allclose(base, nine)
+    # flag restored after the context
+    again = np.asarray(field.laplace("periodic").data)
+    np.testing.assert_allclose(again, base)
+
+
+def test_conservative_stencil_flag(rng):
+    grid = pde.SphericalSymGrid(2, 24)
+    field = pde.ScalarField.random_colored(grid, exponent=-4, rng=rng)
+    with pde.config({"operators.conservative_stencil": True}):
+        cons = np.asarray(field.laplace({"derivative": 0}).data)
+    with pde.config({"operators.conservative_stencil": False}):
+        direct = np.asarray(field.laplace({"derivative": 0}).data)
+    # both approximate the same Laplacian but differ at the stencil level
+    # (largest deviations sit near r=0 where the flux form is better behaved)
+    assert not np.array_equal(cons, direct)
+    np.testing.assert_allclose(cons[8:], direct[8:], rtol=0.5, atol=2.0)

@@ -374,7 +374,8 @@ class DataFieldBase(FieldBase):
         return self.__class__(grid, data=data, label=label or self.label)
 
     def insert(self, point, amount) -> DataFieldBase:
-        """Deposit `amount` at `point` using linear weights (functional update)."""
+        """Deposit `amount` at `point` using linear weights (mutates this field,
+        matching the reference's in-place `insert`; returns self)."""
         grid = self.grid
         point = np.atleast_1d(np.asarray(point, dtype=float))
         frac = np.asarray(grid._grid_to_fractional(point))

@@ -138,3 +138,71 @@ def test_modelrunner_storage_ducktyped(rng):
     storage.end_writing()
     assert storage.times == [0.0, 1.0]
     assert storage.data.shape == (2, 4, 4)
+
+
+def test_remaining_api_surface(rng):
+    """Exercise the last unexercised public methods (facade + conveniences)."""
+    import jax.numpy as jnp
+
+    import pde_tpu as pde
+    from pde_tpu.backends import get_backend
+
+    backend = get_backend("auto")
+    grid = pde.UnitGrid([6, 6], periodic=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+
+    # ghost-cell setter via the facade
+    bcs = grid.get_boundary_conditions("periodic")
+    setter = backend.make_ghost_cell_setter(bcs)
+    full = setter(jnp.pad(jnp.asarray(field.data), 1))
+    np.testing.assert_allclose(np.asarray(full[0, 1:-1]),
+                               np.asarray(field.data)[-1])
+    # inner product operator
+    a = pde.VectorField.random_uniform(grid, rng=rng)
+    b = pde.VectorField.random_uniform(grid, rng=rng)
+    inner = backend.make_inner_prod_operator(a)
+    np.testing.assert_allclose(
+        np.asarray(inner(a.data, b.data)), np.asarray(a.dot(b).data),
+        rtol=1e-12,
+    )
+    # expression compilation via the facade
+    fn = backend.make_expression_function(
+        pde.ScalarExpression("2 * x + y", signature=["x", "y"])
+    )
+    assert float(fn(2.0, 3.0)) == pytest.approx(7.0)
+    # MPI synchronizer is the identity in single-process runs
+    sync = backend.make_mpi_synchronizer()
+    assert float(sync(jnp.asarray(3.0))) == pytest.approx(3.0)
+
+    # grids/fields conveniences
+    assert grid.uniform_cell_volumes
+    assert grid.compatible_with(pde.UnitGrid([6, 6], periodic=True))
+    assert not grid.compatible_with(pde.UnitGrid([4, 4]))
+    assert pde.ScalarField is pde.ScalarField.get_class_by_rank(0)
+    assert pde.Tensor2Field is pde.ScalarField.get_class_by_rank(2)
+    before = float(field.integral)
+    added = field.add_interpolated([2.5, 2.5], 1.0)  # mutates, reference-style
+    assert float(added.integral) == pytest.approx(before + 1.0)
+    vf = pde.VectorField.from_scalars([field, 2 * field])
+    np.testing.assert_allclose(np.asarray(vf.data[1]),
+                               2 * np.asarray(field.data))
+
+    # evolution-rate factory of a predefined PDE
+    eq = pde.DiffusionPDE(0.3)
+    rate_fn = eq.make_evolution_rate(field)
+    (r,) = rate_fn([jnp.asarray(field.data)], 0.0)
+    expected = eq.evolution_rate(field)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(expected.data),
+                               atol=1e-12)
+
+    # misc small surfaces
+    from pde_tpu.utils.cuboid import Cuboid
+    from pde_tpu.utils.ffmpeg import formats
+
+    c = Cuboid([0, 0], [1, 2])
+    assert len(c.vertices) == 4
+    fmt = next(iter(formats.values()))
+    assert fmt.bytes_per_channel in (1, 2)
+    expr = pde.ScalarExpression("x**2", signature=["x"])
+    compiled = expr.get_compiled()
+    assert float(compiled(3.0)) == pytest.approx(9.0)

@@ -18,7 +18,7 @@ def test_notebook(path):
     nb = nbformat.read(path, as_version=4)
     env = dict(os.environ)
     client = nbclient.NotebookClient(
-        nb, timeout=300, kernel_name="python3",
+        nb, timeout=600, kernel_name="python3",
         resources={"metadata": {"path": str(NOTEBOOK_DIR)}},
     )
     client.execute()

@@ -1,7 +1,6 @@
 """Execute the tutorial notebooks (mirrors the reference's notebook tests,
 `tests/test_examples.py` notebook branch)."""
 
-import os
 from pathlib import Path
 
 import pytest
@@ -16,7 +15,6 @@ NOTEBOOKS = sorted(NOTEBOOK_DIR.glob("*.ipynb"))
 @pytest.mark.parametrize("path", NOTEBOOKS, ids=lambda p: p.name)
 def test_notebook(path):
     nb = nbformat.read(path, as_version=4)
-    env = dict(os.environ)
     client = nbclient.NotebookClient(
         nb, timeout=600, kernel_name="python3",
         resources={"metadata": {"path": str(NOTEBOOK_DIR)}},

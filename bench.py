@@ -84,7 +84,11 @@ def _run_subprocess(disable_fused: bool, timeout: float) -> float | None:
 def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "4096"))
     budget = float(os.environ.get("BENCH_TIMEOUT", "900"))
+    # the remote compile service wedges transiently (sometimes for minutes);
+    # a second attempt usually lands on a healthy compile
     value = _run_subprocess(disable_fused=False, timeout=budget)
+    if value is None:
+        value = _run_subprocess(disable_fused=False, timeout=budget)
     fused = value is not None
     if value is None:
         value = _run_subprocess(disable_fused=True, timeout=budget)

@@ -390,3 +390,24 @@ class FieldBase:
 
     def _get_napari_data(self, **kwargs):
         raise NotImplementedError
+
+    def plot_interactive(self, viewer_args: dict | None = None, **kwargs):
+        """Show the field in an interactive napari viewer (optional dependency).
+
+        Reference: `fields/base.py:759`.
+        """
+        if self.grid.num_axes == 1:
+            raise RuntimeError("Interactive plotting needs at least 2 spatial dimensions")
+        try:
+            import napari
+        except ImportError as err:
+            raise ImportError(
+                "plot_interactive requires the optional `napari` package"
+            ) from err
+        viewer = napari.Viewer(**(viewer_args or {}))
+        for name, layer_data in self._get_napari_data(**kwargs).items():
+            layer_data = dict(layer_data)
+            layer_type = layer_data.pop("type", "image")
+            getattr(viewer, f"add_{layer_type}")(name=name, **layer_data)
+        napari.run()
+        return viewer

@@ -18,6 +18,13 @@ from ..fields.base import FieldBase
 from .base import InfoDict, TrackerBase
 
 
+def napari_available() -> bool:
+    """Whether the optional `napari` package can be imported."""
+    import importlib.util
+
+    return importlib.util.find_spec("napari") is not None
+
+
 def napari_process(data_channel: mp.Queue, initial_data: dict[str, Any]) -> None:
     """Runs the napari viewer in a separate process, fed from a queue."""
     import napari  # the optional dependency is only needed in this process

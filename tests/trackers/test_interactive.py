@@ -82,3 +82,21 @@ def test_napari_viewer_requires_napari_without_target(rng):
         pass
     with pytest.raises(ImportError):
         NapariViewer(state)
+
+
+def test_napari_available_helper():
+    from pde_tpu.trackers.interactive import napari_available
+
+    # in this environment napari is absent; the helper must not raise
+    assert napari_available() is False
+
+
+def test_field_plot_interactive_gating(rng):
+    # 1D fields are rejected before napari is even imported
+    state_1d = pde.ScalarField.random_uniform(pde.UnitGrid([8]), rng=rng)
+    with pytest.raises(RuntimeError, match="2 spatial dimensions"):
+        state_1d.plot_interactive()
+    # 2D fields require the optional napari package
+    state_2d = pde.ScalarField.random_uniform(pde.UnitGrid([4, 4]), rng=rng)
+    with pytest.raises(ImportError, match="napari"):
+        state_2d.plot_interactive()

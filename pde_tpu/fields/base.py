@@ -246,22 +246,31 @@ class FieldBase:
             dataset.attrs[k] = v
 
     @classmethod
-    def from_file(cls, filename: str) -> FieldBase:
-        """Read a field from an HDF5 file previously written by :meth:`to_file`."""
-        import h5py
-
-        with h5py.File(filename, "r") as fp:
-            if "class" in fp.attrs:
-                attrs = {k: json.loads(v) if k == "label" else v for k, v in fp.attrs.items()}
-            dataset = fp["data"]
-            attributes = {k: dataset.attrs[k] for k in dataset.attrs}
-            data = np.array(dataset)
+    def _from_hdf_dataset(cls, dataset) -> FieldBase:
+        """Rebuild a single field from an HDF5 dataset written by `_write_hdf_dataset`."""
+        attributes = {k: dataset.attrs[k] for k in dataset.attrs}
+        data = np.array(dataset)
         field_cls = cls._subclasses[attributes["class"]]
         attrs = field_cls.unserialize_attributes(attributes)
         attrs.pop("class", None)
         dtype = attrs.pop("dtype", None)
         grid = attrs.pop("grid")
         return field_cls(grid, data=jnp.asarray(data, dtype=dtype), **attrs)  # type: ignore[call-arg]
+
+    @classmethod
+    def from_file(cls, filename: str) -> FieldBase:
+        """Read a field from an HDF5 file previously written by :meth:`to_file`."""
+        import h5py
+
+        with h5py.File(filename, "r") as fp:
+            if fp.attrs.get("class") == "FieldCollection":
+                from .collection import FieldCollection
+
+                count = int(fp.attrs["count"])
+                fields = [cls._from_hdf_dataset(fp[f"field_{i}"]) for i in range(count)]
+                label = json.loads(fp.attrs["label"]) if "label" in fp.attrs else None
+                return FieldCollection(fields, label=label)
+            return cls._from_hdf_dataset(fp["data"])
 
     # -- arithmetic --------------------------------------------------------------------------
     def _unary_operation(self, op: Callable) -> FieldBase:

@@ -63,6 +63,21 @@ class FieldCollection(FieldBase):
             for f, lbl in zip(self._fields, labels, strict=True):
                 f._label = lbl
 
+    def append(self, *fields, label: str | None = None) -> FieldCollection:
+        """Return a new collection with the given fields/collections appended.
+
+        Data of all fields is copied. Reference: `fields/collection.py:575`.
+        """
+        new_fields: list[DataFieldBase] = list(self._fields)
+        for field in fields:
+            if isinstance(field, FieldCollection):
+                new_fields.extend(field.fields)
+            else:
+                new_fields.append(field)
+        return FieldCollection(
+            new_fields, copy_fields=True, label=self.label if label is None else label
+        )
+
     # -- pytree protocol ------------------------------------------------------------------
     def _tree_flatten(self):
         return tuple(self._fields), (self._grid, self._label)
@@ -277,6 +292,29 @@ class FieldCollection(FieldBase):
         if data is not None:
             collection.data = jnp.asarray(data)
         return collection
+
+    def apply(self, func, out=None, *, label: str | None = None, evaluate_args=None):
+        """Apply a function/expression; field labels name the fields in expressions.
+
+        Reference: `fields/base.py:653` — a string is evaluated with
+        :func:`~pde_tpu.utils.expressions_eval.evaluate` over the labeled
+        fields (the result is a single field); a callable is applied to the
+        packed ``.data`` view and returns a new collection.
+        """
+        if isinstance(func, str):
+            from ..utils.expressions_eval import evaluate
+
+            fields = {f.label: f for f in self._fields if f.label is not None}
+            result = evaluate(func, fields, **(evaluate_args or {}))
+            if label is not None:
+                result._label = label
+        else:
+            result = self.copy(label=label or self.label)
+            result.data = func(self.data)
+        if out is not None:
+            out.data = result.data
+            return out
+        return result
 
     def _write_hdf_dataset(self, hdf_path, **kwargs) -> None:
         for i, f in enumerate(self._fields):

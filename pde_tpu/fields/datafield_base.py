@@ -204,7 +204,10 @@ class DataFieldBase(FieldBase):
 
         Reference: `fields/datafield_base.py:900`.
         """
-        info = self.grid._get_operator_info(operator)
+        info = None
+        if isinstance(operator, str):
+            info = self.grid._resolve_axis_operator(operator)
+        info = info or self.grid._get_operator_info(operator)
         if info.rank_in != self.rank:
             raise RankError(
                 f"Operator `{operator}` expects rank {info.rank_in}, "

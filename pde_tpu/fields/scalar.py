@@ -20,6 +20,47 @@ class ScalarField(DataFieldBase):
 
     rank = 0
 
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        """Support numpy ufuncs on fields: ``np.sin(field)``, ``np.add(f, 2)``.
+
+        Reference: `fields/scalar.py:161`. The ufunc is lowered to its
+        :mod:`jax.numpy` equivalent so the call stays traceable under jit
+        (fields hold jax arrays, possibly tracers); ``out=`` targets receive
+        the computed data via their ``.data`` setter.
+        """
+        import numbers
+
+        if method != "__call__":
+            return NotImplemented
+        jnp_func = getattr(jnp, ufunc.__name__, None)
+        if jnp_func is None:
+            return NotImplemented
+        arrs = []
+        for arg in inputs:
+            if isinstance(arg, numbers.Number):
+                arrs.append(arg)
+            elif isinstance(arg, (np.ndarray, jnp.ndarray)):
+                if arg.shape not in ((), self.data.shape):
+                    raise RuntimeError(
+                        f"Data shapes incompatible ({arg.shape} != {self.data.shape})"
+                    )
+                arrs.append(arg)
+            elif isinstance(arg, self.__class__):
+                self.assert_field_compatible(arg)
+                arrs.append(arg.data)
+            else:
+                return NotImplemented
+        out = kwargs.pop("out", None)
+        if kwargs:  # unsupported ufunc kwargs like `where`
+            return NotImplemented
+        data = jnp_func(*arrs)
+        if out is not None:
+            out_field = out[0]
+            self.assert_field_compatible(out_field)
+            out_field.data = data
+            return out_field
+        return self.__class__(self.grid, data=data)
+
     @classmethod
     def from_expression(
         cls, grid: GridBase, expression: str, *, user_funcs=None, consts=None,
@@ -71,7 +112,10 @@ class ScalarField(DataFieldBase):
 
     # -- scalar conversions ------------------------------------------------------------------
     def to_scalar(self, scalar: str = "auto", *, label: str | None = None) -> ScalarField:
-        if scalar == "auto" or scalar == "abs" or scalar == "norm":
+        if scalar == "auto":
+            # unchanged copy for real fields; norm for complex ones (ref scalar.py:452)
+            data = jnp.abs(self._data) if self.is_complex else self._data
+        elif scalar == "abs" or scalar == "norm":
             data = jnp.abs(self._data)
         elif scalar == "real":
             data = jnp.real(self._data)
@@ -97,13 +141,18 @@ class ScalarField(DataFieldBase):
         if not remaining:
             raise ValueError("Cannot project out all axes")
         subgrid = self.grid.slice(remaining)
-        data = self.grid.integrate(self._data, axes=axes_idx)
-        if method == "average" or method == "mean":
-            volume = np.prod(
-                [self.grid.axes_bounds[a][1] - self.grid.axes_bounds[a][0] for a in axes_idx]
-            )
-            data = data / volume
-        elif method != "integral":
+        if method == "max":
+            data = jnp.max(self._data, axis=tuple(axes_idx))
+        elif method == "min":
+            data = jnp.min(self._data, axis=tuple(axes_idx))
+        elif method in ("integral", "average", "mean"):
+            data = self.grid.integrate(self._data, axes=axes_idx)
+            if method != "integral":
+                volume = np.prod(
+                    [self.grid.axes_bounds[a][1] - self.grid.axes_bounds[a][0] for a in axes_idx]
+                )
+                data = data / volume
+        else:
             raise ValueError(f"Unknown projection method `{method}`")
         return ScalarField(subgrid, data=data, label=label or self.label)
 

@@ -338,6 +338,34 @@ class GridBase:
             result |= set(getattr(klass, "_operators", {}) or {})
         return result
 
+    def _resolve_axis_operator(self, operator: str) -> OperatorInfo | None:
+        """Resolve per-axis derivative patterns ``d_d{ax}[_method]``/``d2_d{ax}2``.
+
+        The reference registers these on demand per axis name
+        (`backends/numba/backend.py:145-175`).
+        """
+        from ..ops.common import make_derivative, make_derivative2
+
+        if operator.startswith("d2_d") and operator.endswith("2"):
+            name = operator[len("d2_d") : -1]
+            if name in self.axes:
+                factory = functools.partial(make_derivative2, axis=self.axes.index(name))
+                return OperatorInfo(factory, rank_in=0, rank_out=0, name=operator)
+        elif operator.startswith("d_d"):
+            name = operator[len("d_d") :]
+            method = "central"
+            for direction in ("central", "forward", "backward"):
+                if name.endswith("_" + direction):
+                    method = direction
+                    name = name[: -len("_" + direction)]
+                    break
+            if name in self.axes:
+                factory = functools.partial(
+                    make_derivative, axis=self.axes.index(name), method=method
+                )
+                return OperatorInfo(factory, rank_in=0, rank_out=0, name=operator)
+        return None
+
     def make_operator(
         self, operator: str, bc, *, jit: bool = True, **kwargs
     ) -> Callable:
@@ -349,7 +377,10 @@ class GridBase:
         """
         import jax
 
-        info = self._get_operator_info(operator)
+        if isinstance(operator, str):
+            info = self._resolve_axis_operator(operator) or self._get_operator_info(operator)
+        else:
+            info = self._get_operator_info(operator)
         bcs = self.get_boundary_conditions(bc, rank=info.rank_in)
         cache = self.__dict__.setdefault("_operator_cache", {})
         from ..utils.config import config as global_config
@@ -374,7 +405,10 @@ class GridBase:
 
         ``op(data_full) -> data_valid``. Reference: `grids/base.py:1153`.
         """
-        info = self._get_operator_info(operator)
+        info = None
+        if isinstance(operator, str):
+            info = self._resolve_axis_operator(operator)
+        info = info or self._get_operator_info(operator)
         return info.factory(self, bcs=None, **kwargs)
 
     # -- integration -----------------------------------------------------------------

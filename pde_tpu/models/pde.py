@@ -34,6 +34,8 @@ _EXPRESSION_REPLACEMENT: dict[str, str] = {
     r"∇(²|\*\*2)\s*\(": r"laplace(",
     r"²": r"**2",
     r"³": r"**3",
+    # normalize to the sympy spelling so it is not mistaken for an operator
+    r"\bheaviside\(": r"Heaviside(",
 }
 
 # How common operators map to Fourier space (reference `pde.py:56-60`)

@@ -141,6 +141,7 @@ class FileStorage(StorageBase):
 
         data = np.asarray(field.data)
         if "data" not in self._file:
+            # max_length=None keeps the dataset arbitrarily resizable
             maxshape = (self.max_length,) + data.shape
             kwargs: dict[str, Any] = {}
             if self.compression:
@@ -148,13 +149,13 @@ class FileStorage(StorageBase):
             self._file.create_dataset(
                 "data",
                 shape=(0,) + data.shape,
-                maxshape=(None,) + data.shape,
+                maxshape=maxshape,
                 dtype=data.dtype,
                 chunks=(1,) + data.shape,
                 **kwargs,
             )
             self._file.create_dataset(
-                "times", shape=(0,), maxshape=(None,), dtype=float
+                "times", shape=(0,), maxshape=(self.max_length,), dtype=float
             )
             for k, v in field.attributes_serialized.items():
                 self._file.attrs[k] = v

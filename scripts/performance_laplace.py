@@ -93,6 +93,25 @@ def main() -> None:
         if size <= 1024:
             entry["numpy periodic"] = time_function(numpy_laplace_periodic, data)
             entry["scipy periodic"] = time_function(scipy_laplace_periodic, data)
+            try:  # torch CPU conv (the reference compares against torch too)
+                import torch
+
+                kernel = torch.tensor(
+                    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]]
+                ).reshape(1, 1, 3, 3)
+                tdata = torch.from_numpy(data).reshape(1, 1, size, size).float()
+
+                def torch_laplace_periodic(arr):
+                    padded = torch.nn.functional.pad(
+                        arr, (1, 1, 1, 1), mode="circular"
+                    )
+                    return torch.nn.functional.conv2d(padded, kernel)
+
+                entry["torch periodic"] = time_function(
+                    torch_laplace_periodic, tdata
+                )
+            except ImportError:
+                pass
 
         results[size] = entry
         line = "  ".join(f"{k}: {v*1e3:8.3f} ms" for k, v in entry.items())

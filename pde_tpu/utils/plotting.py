@@ -10,6 +10,7 @@ instead of re-creating figures; :func:`plot_on_axes` / :func:`plot_on_figure`
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any
 
@@ -221,3 +222,26 @@ def get_plotting_context(
     if in_jupyter_notebook():
         return JupyterPlottingContext(title=title, show=show)
     return BasicPlottingContext(title=title, show=show)
+
+
+@contextlib.contextmanager
+def napari_viewer(grid, run: bool | None = None, close: bool = False, **kwargs):
+    """Context manager yielding a napari viewer set up for `grid`.
+
+    Reference: `tools/plotting.py:775`. napari is an optional dependency.
+    """
+    try:
+        import napari
+    except ImportError as err:
+        raise ImportError("napari_viewer requires the optional `napari` package") from err
+
+    kwargs.setdefault("axis_labels", list(grid.axes))
+    kwargs.setdefault("ndisplay", 3 if grid.num_axes >= 3 else 2)
+    viewer = napari.Viewer(**kwargs)
+    yield viewer
+    if run is None:
+        run = not in_jupyter_notebook()
+    if run:
+        napari.run()
+    # `close=True` is accepted for API compatibility; napari closing is
+    # unreliable, matching the reference's behavior of not closing.

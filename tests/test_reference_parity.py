@@ -296,3 +296,90 @@ def test_ghost_cell_parity(rng):
     interior_rows = slice(1, -1)
     np.testing.assert_allclose(tpu_full[interior_rows, :], ref_full[interior_rows, :], **TOL)
     np.testing.assert_allclose(tpu_full[:, 1:-1], ref_full[:, 1:-1], **TOL)
+
+
+@pytest.mark.parametrize("kind", ["cart2", "cart3", "cylindrical"])
+def test_vector_laplace_parity(kind, rng):
+    ref_grid, tpu_grid = _pair_grids(kind)
+    dim = ref_grid.dim
+    data = rng.normal(size=(dim,) + ref_grid.shape)
+    bc = "auto_periodic_neumann"
+
+    ref_out = refpde.VectorField(ref_grid, data).laplace(bc, backend="jax")
+    tpu_out = pde_tpu.VectorField(tpu_grid, data).laplace(bc)
+    np.testing.assert_allclose(tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL)
+
+
+@pytest.mark.parametrize("central", [True, False])
+def test_gradient_squared_central_flag_parity(central, rng):
+    ref_grid, tpu_grid = _pair_grids("cart2")
+    data = rng.normal(size=ref_grid.shape)
+    bc = "auto_periodic_neumann"
+
+    ref_out = refpde.ScalarField(ref_grid, data).gradient_squared(
+        bc, backend="jax", central=central
+    )
+    tpu_out = pde_tpu.ScalarField(tpu_grid, data).gradient_squared(bc, central=central)
+    np.testing.assert_allclose(tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL)
+
+
+def test_expression_bc_parity(rng):
+    """Space-dependent expression BC values produce identical ghost effects."""
+    ref_grid, tpu_grid = _pair_grids("cart2")
+    data = rng.normal(size=ref_grid.shape)
+    bc = {"x": "periodic", "y": {"value_expression": "sin(x)"}}
+
+    ref_out = refpde.ScalarField(ref_grid, data).laplace(bc, backend="jax")
+    tpu_out = pde_tpu.ScalarField(tpu_grid, data).laplace(bc)
+    np.testing.assert_allclose(tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL)
+
+
+def test_mixed_bc_parity(rng):
+    """Robin (mixed) BCs agree with the reference."""
+    ref_grid = refpde.CartesianGrid([[0, 1]], [16])
+    tpu_grid = pde_tpu.CartesianGrid([[0, 1]], [16])
+    data = rng.normal(size=ref_grid.shape)
+    bc = {"type": "mixed", "value": 2.0, "const": 0.5}
+
+    ref_out = refpde.ScalarField(ref_grid, data).laplace(bc, backend="jax")
+    tpu_out = pde_tpu.ScalarField(tpu_grid, data).laplace(bc)
+    np.testing.assert_allclose(tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL)
+
+
+def test_curvature_bc_parity(rng):
+    ref_grid = refpde.CartesianGrid([[0, 1]], [16])
+    tpu_grid = pde_tpu.CartesianGrid([[0, 1]], [16])
+    data = rng.normal(size=ref_grid.shape)
+    bc = {"curvature": 1.5}
+
+    ref_out = refpde.ScalarField(ref_grid, data).laplace(bc, backend="jax")
+    tpu_out = pde_tpu.ScalarField(tpu_grid, data).laplace(bc)
+    np.testing.assert_allclose(tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL)
+
+
+def test_rk4_solve_trajectory_parity(rng):
+    """Fixed-dt RK4 trajectories match step for step."""
+    ref_grid, tpu_grid = _pair_grids("cart2")
+    data = rng.uniform(size=ref_grid.shape)
+
+    ref_res = refpde.AllenCahnPDE(0.3).solve(
+        refpde.ScalarField(ref_grid, data), t_range=0.2, dt=0.01,
+        backend="jax", solver="runge-kutta", adaptive=False, tracker=None,
+    )
+    tpu_res = pde_tpu.AllenCahnPDE(0.3).solve(
+        pde_tpu.ScalarField(tpu_grid, data), t_range=0.2, dt=0.01,
+        solver="runge-kutta", adaptive=False, tracker=None,
+    )
+    np.testing.assert_allclose(tpu_res.to_numpy(), np.asarray(ref_res.data), **TOL)
+
+
+def test_inhomogeneous_value_bc_array_parity(rng):
+    """Array-valued Dirichlet BCs (per boundary point) agree."""
+    ref_grid, tpu_grid = _pair_grids("cart2")
+    data = rng.normal(size=ref_grid.shape)
+    values = np.linspace(0.0, 1.0, ref_grid.shape[0])
+    bc = {"x": "periodic", "y-": {"value": values}, "y+": {"derivative": 0}}
+
+    ref_out = refpde.ScalarField(ref_grid, data).laplace(bc, backend="jax")
+    tpu_out = pde_tpu.ScalarField(tpu_grid, data).laplace(bc)
+    np.testing.assert_allclose(tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL)

@@ -151,3 +151,13 @@ def test_euler_maruyama_strong_order_half():
     # both estimates must agree with E[X]=1 within sampling error
     for dt, m in means.items():
         assert abs(m - 1.0) < 5 * sigma * np.sqrt(t_end) / np.sqrt(512), (dt, m)
+
+
+def test_adaptive_stochastic_rejected(rng):
+    """Adaptive stepping with noise raises, matching the reference
+    (`tests/solvers/test_explicit_solvers.py:283`)."""
+    grid = pde.UnitGrid([16])
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(noise=1e-6)
+    with pytest.raises(RuntimeError, match="adaptive"):
+        eq.solve(state, t_range=0.1, dt=1e-2, adaptive=True, tracker=None)

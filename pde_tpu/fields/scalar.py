@@ -66,8 +66,18 @@ class ScalarField(DataFieldBase):
         cls, grid: GridBase, expression: str, *, user_funcs=None, consts=None,
         label: str | None = None, dtype=None,
     ) -> ScalarField:
-        """Create a scalar field from a mathematical expression of the coordinates."""
+        """Create a scalar field from a mathematical expression of the coordinates.
+
+        On curvilinear grids the Cartesian coordinates of each cell are
+        available as ``cartesian[i]`` (reference `fields/scalar.py:75`).
+        """
         from ..utils.expressions import ScalarExpression
+
+        if "cartesian" in str(expression):
+            consts = dict(consts or {})
+            if "cartesian" not in consts:
+                coords_cart = grid.point_to_cartesian(grid.cell_coords)
+                consts["cartesian"] = np.moveaxis(coords_cart, -1, 0)
 
         expr = ScalarExpression(
             expression,

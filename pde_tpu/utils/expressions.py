@@ -29,7 +29,9 @@ _logger = logging.getLogger(__name__)
 _BLOCKED_NAMES = {"__builtins__", "eval", "exec", "import", "__import__", "open"}
 
 
-def parse_expr_guarded(expression: str, symbols=None, functions=None) -> sympy.Expr:
+def parse_expr_guarded(
+    expression: str, symbols=None, functions=None, *, indexed: bool = False
+) -> sympy.Expr:
     """Parse an expression with a guarded sympy namespace.
 
     Reference: `tools/expressions.py:98`.
@@ -41,6 +43,8 @@ def parse_expr_guarded(expression: str, symbols=None, functions=None) -> sympy.E
     for sym_list in symbols or []:
         for name in [sym_list] if isinstance(sym_list, str) else sym_list:
             local_dict[name] = sympy.Symbol(name)
+    if indexed:
+        local_dict["IndexedBase"] = sympy.IndexedBase
     for name in functions or []:
         local_dict[name] = sympy.Function(name)
     expr = parse_expr(
@@ -110,7 +114,11 @@ class ExpressionBase:
 
     def _check_signature(self, signature=None):
         """Validate the signature against free symbols in the expression."""
-        free = {str(s) for s in self._sympy_expr.free_symbols} - set(self.consts)
+        # Indexed atoms (`name[0]`) appear in free_symbols alongside their
+        # base Symbol; only plain Symbols participate in the signature
+        free = {
+            str(s) for s in self._sympy_expr.free_symbols if isinstance(s, sympy.Symbol)
+        } - set(self.consts)
         if signature is None:
             signature = sorted(free)
         self.vars: list[str] = []
@@ -185,13 +193,29 @@ class ExpressionBase:
         else:
             raise ValueError(f"Unknown backend `{backend}`")
         expr = self._sympy_expr
+        # consts referenced as `name[idx]` (IndexedBase) cannot be substituted
+        # into the sympy tree; bind them as extra lambdify arguments instead
+        indexed_names = {
+            str(a.base.label) for a in expr.atoms(sympy.Indexed)
+        } & set(self.consts)
         if self.consts:
-            expr = expr.subs({sympy.Symbol(k): v for k, v in self.consts.items()})
+            expr = expr.subs(
+                {
+                    sympy.Symbol(k): v
+                    for k, v in self.consts.items()
+                    if k not in indexed_names
+                }
+            )
         variables = [sympy.Symbol(v) for v in self.vars]
+        extra_args = [sympy.IndexedBase(name) for name in sorted(indexed_names)]
+        extra_vals = [self.consts[name] for name in sorted(indexed_names)]
+        func = sympy.lambdify(variables + extra_args, expr, modules=modules)
+        if extra_vals:
+            inner = func
+            func = lambda *args: inner(*args, *extra_vals)  # noqa: E731
         if single_arg:
-            func = sympy.lambdify(variables, expr, modules=modules)
             return lambda arr: func(*arr)
-        return sympy.lambdify(variables, expr, modules=modules)
+        return func
 
     def get_compiled(self, single_arg: bool = False) -> Callable:
         """Return a jitted version of the expression function."""
@@ -236,10 +260,17 @@ class ScalarExpression(ExpressionBase):
             sympy_expr = sympy.sympify(expression)
         elif isinstance(expression, str):
             functions = set(user_funcs or {})
+            if allow_indexed:
+                # `name[idx]` denotes indexing a (constant) array, e.g. the
+                # `cartesian[i]` coordinates (reference `expressions.py:607`)
+                expression = re.sub(
+                    r"\b(\w+)\s*(\[\w+\])", r"IndexedBase(\1)\2", expression
+                )
             sympy_expr = parse_expr_guarded(
                 expression,
                 symbols=[signature or [], explicit_symbols or [], list(consts or {})],
                 functions=functions,
+                indexed=allow_indexed,
             )
         elif isinstance(expression, np.ndarray) and expression.ndim == 0:
             sympy_expr = sympy.sympify(float(expression))

@@ -303,3 +303,18 @@ def test_correlated_noise_gaussian_lengthscale(rng):
         return np.mean([np.mean(np.diff(s, axis=0) ** 2) / np.var(s) for s in samples])
 
     assert roughness(4.0) < roughness(1.0)
+
+
+def test_expression_indexed_cartesian_coordinates():
+    """`cartesian[i]` exposes Cartesian coordinates, incl. curvilinear grids
+    (reference `fields/scalar.py:75`, manual 'advanced usage')."""
+    grid = pde.CylindricalSymGrid(2.0, (0, 1), (4, 4))
+    field = pde.ScalarField.from_expression(grid, "cartesian[2] + 2")
+    z = np.asarray(grid.cell_coords)[..., 1]
+    np.testing.assert_allclose(np.asarray(field.data), z + 2, atol=1e-12)
+
+    cart = pde.UnitGrid([4, 4])
+    v = pde.VectorField.from_expression(cart, ["cartesian[0]", "cartesian[1] * 3"])
+    coords = np.asarray(cart.cell_coords)
+    np.testing.assert_allclose(np.asarray(v.data[0]), coords[..., 0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v.data[1]), 3 * coords[..., 1], atol=1e-12)

@@ -302,13 +302,18 @@ def make_laplace_pallas(grid: CartesianGrid, bcs=None, *, dtype=np.float32) -> C
 
 
 def _pick_band_k_3d(shape, itemsize: int):
-    """Choose (band, k) for the 3D kernel from empirical VMEM limits."""
+    """Choose (band, k) for the 3D kernel from empirical VMEM limits.
+
+    The x halos cost only k planes each (x is the untiled major dim), so the
+    VMEM footprint is ≈ (2·band + 4k + loop temporaries) planes against the
+    16 MB scoped-vmem limit.
+    """
     nx, ny, nz = shape
     plane = ny * nz * itemsize
     if plane <= 96 * 1024:
         band, k = 8, 4
     elif plane <= 256 * 1024:
-        band, k = 8, 1
+        band, k = 8, 2
     else:
         return None
     if nx % band != 0:
@@ -338,7 +343,7 @@ def make_affine_laplace_3d(
     """3D variant: bands over the first axis, lane/sublane rolls for y/z.
 
     Returns (window_k applying k steps, k). At 256³ fp32 this reaches
-    ≈35 G updates/s (k=1) and at 128³ ≈57 G (k=4), vs ≈13 G for the XLA path.
+    ≈53 G updates/s (k=2) and at 128³ ≈86 G (k=4), vs ≈13 G for the XLA path.
     Like the 2D kernel, const-affine BCs lower as in-kernel ghost fixups:
     plane rewrites at the banded axis (edge programs) and sublane/lane patches
     after the rolls.
@@ -371,22 +376,22 @@ def make_affine_laplace_3d(
     bc_z = None if bc_params is None else bc_params[2]
 
     def kernel(f_hbm, out_ref, band_ref, halo_top, halo_bot, sem):
+        # x is the MAJOR dim of the (8,128)-tiled (y,z) planes, so x slices
+        # have no alignment granule: the halo buffers hold exactly k planes
         i = pl.program_id(0)
         row0 = i * band
         main = pltpu.make_async_copy(
             f_hbm.at[pl.ds(pl.multiple_of(row0, 8), band)], band_ref, sem.at[0]
         )
         main.start()
-        top_row = pl.multiple_of(
-            jax.lax.rem(row0 + np.int32(nx - _HALO), np.int32(nx)), 8
-        )
+        top_row = jax.lax.rem(row0 + np.int32(nx - k), np.int32(nx))
         top = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(top_row, _HALO)], halo_top, sem.at[1]
+            f_hbm.at[pl.ds(top_row, k)], halo_top, sem.at[1]
         )
         top.start()
-        bot_row = pl.multiple_of(jax.lax.rem(row0 + np.int32(band), np.int32(nx)), 8)
+        bot_row = jax.lax.rem(row0 + np.int32(band), np.int32(nx))
         bot = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(bot_row, _HALO)], halo_bot, sem.at[2]
+            f_hbm.at[pl.ds(bot_row, k)], halo_bot, sem.at[2]
         )
         bot.start()
         main.wait()
@@ -394,7 +399,7 @@ def make_affine_laplace_3d(
         bot.wait()
 
         work = jnp.concatenate(
-            [halo_top[_HALO - k :], band_ref[:, :, :], halo_bot[:k]], axis=0
+            [halo_top[:, :, :], band_ref[:, :, :], halo_bot[:, :, :]], axis=0
         )
         for s in range(k):
             if bc_x is not None:
@@ -464,8 +469,8 @@ def make_affine_laplace_3d(
         ),
         scratch_shapes=[
             pltpu.VMEM((band, ny, nz), dtype),
-            pltpu.VMEM((_HALO, ny, nz), dtype),
-            pltpu.VMEM((_HALO, ny, nz), dtype),
+            pltpu.VMEM((k, ny, nz), dtype),
+            pltpu.VMEM((k, ny, nz), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

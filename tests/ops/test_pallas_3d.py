@@ -17,7 +17,7 @@ def test_supports_3d():
     assert not supports_affine_laplace_3d(grid, np.float32)
     # band/k selection by plane size
     assert _pick_band_k_3d((128, 128, 128), 4) == (8, 4)
-    assert _pick_band_k_3d((256, 256, 256), 4) == (8, 1)
+    assert _pick_band_k_3d((256, 256, 256), 4) == (8, 2)  # k-plane halos freed VMEM
     assert _pick_band_k_3d((512, 512, 512), 4) is None
     # fallback path still runs (generic XLA lowering)
     state = pde.ScalarField.random_uniform(

@@ -178,3 +178,17 @@ def test_tensor_divergence_consistency(rng):
             np.asarray(row.divergence("periodic").data),
             atol=1e-12,
         )
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_singular_dimension_2d(periodic, rng):
+    """A 2D grid with a single cell along one axis reduces to the 1D result
+    (reference `test_cartesian_operators.py:39`)."""
+    grid2 = pde.UnitGrid([1, 16], periodic=periodic)
+    field2 = pde.ScalarField.random_uniform(grid2, rng=rng)
+    lap2 = field2.laplace("auto_periodic_neumann")
+
+    grid1 = pde.UnitGrid([16], periodic=periodic)
+    field1 = pde.ScalarField(grid1, field2.to_numpy()[0])
+    lap1 = field1.laplace("auto_periodic_neumann")
+    np.testing.assert_allclose(lap2.to_numpy()[0], lap1.to_numpy(), atol=1e-12)

@@ -117,25 +117,70 @@ class GridMesh:
         return self._subgrid
 
     def _make_subgrid(self) -> GridBase:
+        sub = self.subgrid_for(0)
+        sub._mesh = self
+        return sub
+
+    def subgrid_for(self, index) -> GridBase:
+        """Subgrid covering shard `index` (flat rank or per-axis tuple).
+
+        Mirrors the reference's per-rank subgrids (`_mesh.py:481`); shard 0's
+        subgrid serves as the SPMD template. Works for all grid classes:
+        radial splits of polar/spherical/cylindrical grids produce annular
+        subgrids via their ``(r_inner, r_outer)`` constructors.
+        """
         from ..grids.cartesian import CartesianGrid
+        from ..grids.cylindrical import CylindricalSymGrid
+        from ..grids.spherical import SphericalSymGridBase
 
         grid = self.basegrid
-        if not isinstance(grid, CartesianGrid):
-            raise NotImplementedError(
-                "Domain decomposition currently requires Cartesian grids"
-            )
+        if isinstance(index, (int, np.integer)):
+            index = np.unravel_index(int(index), self.decomposition)
         local_shape = [
             size // n for size, n in zip(grid.shape, self.decomposition, strict=True)
         ]
         bounds = []
-        for (lo, hi), n, size in zip(
-            grid.axes_bounds, self.decomposition, grid.shape, strict=True
+        for (lo, hi), n, i in zip(
+            grid.axes_bounds, self.decomposition, index, strict=True
         ):
             length = (hi - lo) / n
-            bounds.append((lo, lo + length))
-        sub = CartesianGrid(bounds, local_shape, periodic=grid.periodic)
-        sub._mesh = self
-        return sub
+            bounds.append((lo + i * length, lo + (i + 1) * length))
+        if isinstance(grid, CartesianGrid):
+            return CartesianGrid(bounds, local_shape, periodic=grid.periodic)
+        if isinstance(grid, SphericalSymGridBase):
+            return grid.__class__(bounds[0], local_shape[0])
+        if isinstance(grid, CylindricalSymGrid):
+            return CylindricalSymGrid(
+                bounds[0], bounds[1], local_shape, periodic_z=grid.periodic[1]
+            )
+        raise NotImplementedError(
+            f"Domain decomposition is not implemented for {grid.__class__.__name__}"
+        )
+
+    def assert_spmd_compatible(self) -> None:
+        """Check that one SPMD program is correct for every shard.
+
+        Shards share the compiled stepper traced on the shard-0 template, so
+        every decomposed axis must have shard-uniform stencil coefficients:
+        all Cartesian axes qualify, as does the z axis of cylindrical grids;
+        RADIAL axes do not (their stencils carry r-dependent factors), so
+        radial decompositions must run one process per shard like the
+        reference's MPI ranks — unsupported in this SPMD design.
+        """
+        from ..grids.cartesian import CartesianGrid
+        from ..grids.cylindrical import CylindricalSymGrid
+
+        grid = self.basegrid
+        if isinstance(grid, CartesianGrid):
+            return
+        if isinstance(grid, CylindricalSymGrid) and self.decomposition[0] == 1:
+            return
+        raise NotImplementedError(
+            "SPMD-decomposed solving requires shard-uniform stencils: "
+            "Cartesian grids (any axes) or cylindrical grids split along z "
+            f"only; got {grid.__class__.__name__} with decomposition "
+            f"{self.decomposition}. Mesh-level split/combine still works."
+        )
 
     # -- shardings ------------------------------------------------------------------------
     def sharding(self, rank: int = 0) -> NamedSharding:
@@ -182,6 +227,7 @@ class GridMesh:
         """Template field on the local subgrid (used to trace per-shard code)."""
         import jax.numpy as jnp
 
+        self.assert_spmd_compatible()
         sub = self.subgrid
         if isinstance(field, FieldCollection):
             return FieldCollection(

@@ -137,3 +137,66 @@ def test_mesh_1d_and_3d_decompositions(rng):
     res = eq.solve(state, t_range=0.05, dt=0.01, solver="explicit_sharded",
                    adaptive=False, decomposition=[2, 2, 2], tracker=None)
     np.testing.assert_array_equal(np.asarray(res.data), np.asarray(ref.data))
+
+
+@pytest.mark.parametrize(
+    "make_grid, decomposition",
+    [
+        (lambda: pde.PolarSymGrid(3, 4), [2]),
+        (lambda: pde.SphericalSymGrid(3, 4), [2]),
+        (lambda: pde.CylindricalSymGrid(3, (0, 3), 4, periodic_z=True), [1, 2]),
+        (lambda: pde.CylindricalSymGrid(3, (0, 3), (4, 4)), [2, 1]),
+    ],
+    ids=["polar-r", "spherical-r", "cylindrical-z", "cylindrical-r"],
+)
+def test_mesh_curvilinear_grids(make_grid, decomposition, rng):
+    """GridMesh decomposes curvilinear grids like the reference
+    (`tests/grids/test_grid_mesh.py:21-24`): radial splits yield annular
+    subgrids; split/combine round-trips the data."""
+    grid = make_grid()
+    mesh = GridMesh.from_grid(grid, decomposition)
+    assert len(mesh) == int(np.prod(decomposition))
+
+    # per-shard subgrids tile the global bounds without gaps
+    subs = [mesh.subgrid_for(i) for i in range(len(mesh))]
+    for ax in range(grid.num_axes):
+        if decomposition[ax] == 1:
+            continue
+        edges = sorted(s.axes_bounds[ax] for s in subs)
+        assert edges[0][0] == grid.axes_bounds[ax][0]
+        assert edges[-1][1] == grid.axes_bounds[ax][1]
+        for (lo1, hi1), (lo2, hi2) in zip(edges, edges[1:]):
+            assert hi1 == lo2
+
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    back = mesh.combine_field(mesh.split_field(field))
+    np.testing.assert_array_equal(back.to_numpy(), field.to_numpy())
+
+
+def test_cylindrical_z_decomposed_solve_bit_identical(rng):
+    """Solving on a z-decomposed cylindrical grid matches serial bit for bit
+    (stencil coefficients depend only on r, which every shard holds fully)."""
+    grid = pde.CylindricalSymGrid(2.0, (0, 4), (8, 16), periodic_z=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.1)
+    serial = eq.solve(field, t_range=0.1, dt=0.01, tracker=None)
+    sharded = eq.solve(field, t_range=0.1, dt=0.01, tracker=None,
+                       decomposition=[1, 2])
+    np.testing.assert_array_equal(serial.to_numpy(), sharded.to_numpy())
+
+
+def test_radial_decomposed_solve_rejected(rng):
+    """Radial decompositions cannot share one SPMD stepper (r-dependent
+    stencils) and must raise a clear error instead of silently diverging."""
+    grid = pde.CylindricalSymGrid(2.0, (0, 4), (8, 16))
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    with pytest.raises(NotImplementedError, match="shard-uniform"):
+        pde.DiffusionPDE(0.1).solve(
+            field, t_range=0.05, dt=0.01, tracker=None, decomposition=[2, 1]
+        )
+    polar = pde.PolarSymGrid(3.0, 16)
+    fp = pde.ScalarField.random_uniform(polar, rng=rng)
+    with pytest.raises(NotImplementedError, match="shard-uniform"):
+        pde.DiffusionPDE(0.1).solve(
+            fp, t_range=0.05, dt=0.01, tracker=None, decomposition=[2]
+        )

@@ -370,12 +370,24 @@ class FieldCollection(FieldBase):
         )
 
     # -- plotting --------------------------------------------------------------------------------------------
-    def plot(self, kind: str = "auto", *args, filename=None, **kwargs):
-        """Plot all fields in a row of panels."""
+    def plot(self, kind: str = "auto", *args, filename=None, ax=None, fig=None,
+             **kwargs):
+        """Plot all fields in a row of panels.
+
+        A caller-supplied ``ax`` (e.g. PlotTracker's live-update figure) is
+        replaced by a row of panels in its figure — a collection needs one
+        axes per field, so the single axes cannot be reused directly.
+        """
         import matplotlib.pyplot as plt
 
         n = len(self._fields)
-        fig, axes = plt.subplots(1, n, figsize=(4 * n, 3.5))
+        if ax is not None and fig is None:
+            fig = ax.figure
+            ax.remove()
+        if fig is not None:
+            axes = fig.subplots(1, n)
+        else:
+            fig, axes = plt.subplots(1, n, figsize=(4 * n, 3.5))
         if n == 1:
             axes = [axes]
         refs = []

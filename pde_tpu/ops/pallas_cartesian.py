@@ -55,6 +55,25 @@ def _pick_band(n_rows: int, n_cols: int, itemsize: int, k: int) -> int:
     return n_rows
 
 
+def _fused_geometry_ok(
+    n_rows: int, n_cols_eff: int, itemsize: int, k_total: int
+) -> bool:
+    """Band/halo geometry constraints that hold in EVERY mode.
+
+    This is a correctness (not TPU-tiling) constraint, so interpret-mode
+    callers must enforce it too: ``halo <= band`` keeps the wrapped halo DMA
+    slices inside the array (``pl.ds`` clamps instead of wrapping when a
+    slice crosses the array end, silently feeding garbage rows into the
+    stencil). ``n_cols_eff`` must match what the kernel passes to
+    :func:`_pick_band` (e.g. ``n_cols * n_fields`` for multi-field kernels).
+    """
+    if not 1 <= k_total <= 2 * _HALO:
+        return False
+    band = _pick_band(n_rows, n_cols_eff, itemsize, k_total)
+    halo = -(-k_total // _HALO) * _HALO  # rounded up to the DMA granule
+    return halo <= band
+
+
 def _supports_fused_shape_2d(grid, dtype, k: int = 1) -> bool:
     """Shape/backend preconditions shared by all 2D fused kernels."""
     if jax.default_backend() != "tpu":
@@ -66,10 +85,12 @@ def _supports_fused_shape_2d(grid, dtype, k: int = 1) -> bool:
         return False
     if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
         return False
-    if not 1 <= k <= 2 * _HALO:
+    itemsize = np.dtype(dtype).itemsize
+    if not _fused_geometry_ok(n_rows, n_cols, itemsize, k):
         return False
-    band = _pick_band(n_rows, n_cols, np.dtype(dtype).itemsize, k)
-    return band > 2 * k  # the shrinking work region must stay inside the band
+    # on the TPU path additionally require the band to dominate the temporal
+    # block (halo DMA + recompute overhead stay a small fraction of the band)
+    return _pick_band(n_rows, n_cols, itemsize, k) > 2 * k
 
 
 def supports_affine_laplace(grid, dtype, k: int = 1) -> bool:
@@ -167,7 +188,15 @@ def make_affine_laplace_2d(
         raise PallasUnsupportedError(
             "Non-periodic grids require explicit boundary conditions"
         )
-    if not interpret and not _supports_fused_shape_2d(grid, dtype, k):
+    if interpret:
+        if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+            raise PallasUnsupportedError("2D Cartesian grid required")
+        n_r, n_c = grid.shape
+        if not _fused_geometry_ok(n_r, n_c, np.dtype(dtype).itemsize, k):
+            raise PallasUnsupportedError(
+                "Grid too small for the k-step band/halo geometry"
+            )
+    elif not _supports_fused_shape_2d(grid, dtype, k):
         raise PallasUnsupportedError(
             "Fused Pallas laplace requires a 2D Cartesian grid with aligned "
             "shape and float32/bfloat16 data on a TPU backend"
@@ -619,21 +648,32 @@ def make_fused_multi_stencil_window_2d(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+        raise PallasUnsupportedError("2D Cartesian grid required")
+    n_rows, n_cols = grid.shape
+    itemsize = np.dtype(dtype).itemsize
+    k_defaulted = k is None
     if k is None:
         # one 8-row halo granule per side: k=16 measured slower here (the
         # per-field VMEM working set doubles and the kernel is VPU-bound)
         k = max(1, _HALO // halo_per_step)
     # periodicity is not required here: non-periodic axes are handled by the
     # BC-aware helpers (the caller passes affine ghost params per operator)
-    if not interpret and not _supports_fused_shape_2d(
-        grid, dtype, k * halo_per_step
-    ):
+    if interpret:
+        geometry_ok = lambda kk: _fused_geometry_ok(
+            n_rows, n_cols * n_fields, itemsize, kk * halo_per_step
+        )
+        while k_defaulted and k > 1 and not geometry_ok(k):
+            k //= 2
+        if not geometry_ok(k):
+            raise PallasUnsupportedError(
+                "Grid too small for the k-step band/halo geometry"
+            )
+    elif not _supports_fused_shape_2d(grid, dtype, k * halo_per_step):
         raise PallasUnsupportedError(
             "Fused stencil window requires a 2D Cartesian grid with "
             "aligned shape and float32/bfloat16 data on a TPU backend"
         )
-    n_rows, n_cols = grid.shape
-    itemsize = np.dtype(dtype).itemsize
     # scale the VMEM budget by the number of resident field planes
     band = _pick_band(n_rows, n_cols * n_fields, itemsize, k * halo_per_step)
     helpers = _make_stencil_helpers(grid, pl, pltpu, band, n_rows // band)
@@ -738,7 +778,10 @@ def make_fused_multi_ext_window_2d(
             local_rows % 8 != 0
             or n_cols % 128 != 0
             or np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16))
-            or not 1 <= k * halo_per_step <= 2 * _HALO
+            # the ext halo is fixed at _HALO rows on TPU, so the temporal
+            # block must fit inside it: halo_total > _HALO would make the
+            # work-region slice start negative and silently wrap
+            or not 1 <= k * halo_per_step <= _HALO
         ):
             raise PallasUnsupportedError(
                 "Unsupported local shape/dtype for the multi-field ext kernel"
@@ -824,17 +867,31 @@ def make_fused_sde_stencil_window_2d(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+        raise PallasUnsupportedError("2D Cartesian grid required")
+    n_rows, n_cols = grid.shape
+    itemsize = np.dtype(dtype).itemsize
+    k_defaulted = k is None
     if k is None:
         k = max(1, _HALO // halo_per_step)
-    if not interpret and not _supports_fused_shape_2d(
-        grid, dtype, k * halo_per_step
-    ):
+    if interpret:
+        # the (k, band+2*halo, n_cols) noise block shares the VMEM budget,
+        # so the effective column count is k-dependent (mirrors _pick_band
+        # below)
+        geometry_ok = lambda kk: _fused_geometry_ok(
+            n_rows, n_cols * (kk + 1), itemsize, kk * halo_per_step
+        )
+        while k_defaulted and k > 1 and not geometry_ok(k):
+            k //= 2
+        if not geometry_ok(k):
+            raise PallasUnsupportedError(
+                "Grid too small for the k-step band/halo geometry"
+            )
+    elif not _supports_fused_shape_2d(grid, dtype, k * halo_per_step):
         raise PallasUnsupportedError(
             "Fused SDE window requires a 2D Cartesian grid with aligned "
             "shape and float32/bfloat16 data on a TPU backend"
         )
-    n_rows, n_cols = grid.shape
-    itemsize = np.dtype(dtype).itemsize
     # the (k, band+2*halo, n_cols) noise block lives in VMEM alongside the
     # field buffers: scale the budget accordingly
     band = _pick_band(n_rows, n_cols * (k + 1), itemsize, k * halo_per_step)
@@ -949,14 +1006,7 @@ def make_chunked_sde_window_2d(
         )
         return step_kk
 
-    if interpret and k > 1:  # see _make_binary_chunked_window
-        kernels = [(k, build(k)), (1, build(1))]
-    else:
-        kernels = []
-        kk = k
-        while kk >= 1:
-            kernels.append((kk, build(kk)))
-            kk //= 2
+    kernels = _binary_kernel_ladder(build, k)
 
     def window(data, key, steps):
         index = jnp.asarray(0, jnp.int32)
@@ -976,23 +1026,29 @@ def make_chunked_sde_window_2d(
     return window
 
 
-def _make_binary_chunked_window(build_step, k: int):
-    """Return ``window(state, steps)`` decomposing steps over kernels of
-    blocking factor k, k/2, ..., 1 so remainders cost O(log k) HBM passes
-    instead of one pass per leftover step.
+def _binary_kernel_ladder(build_step, k: int):
+    """Build ``[(k, kernel), (k//2, kernel), ..., (1, kernel)]``.
 
-    In interpret mode (CPU tests) only the k and 1 kernels are built — the
-    intermediate levels exist purely to save HBM passes on real hardware,
-    and tracing five kernels per window builder dominates test runtime.
+    Decomposing a step count over this ladder costs O(log k) HBM passes for
+    the remainder instead of one pass per leftover step. In interpret mode
+    (CPU tests) only the k and 1 kernels are built — the intermediate levels
+    exist purely to save HBM passes on real hardware, and tracing five
+    kernels per window builder dominates test runtime.
     """
     if interpret_requested() and k > 1:
-        kernels = [(k, build_step(k)), (1, build_step(1))]
-    else:
-        kernels = []
-        kk = k
-        while kk >= 1:
-            kernels.append((kk, build_step(kk)))
-            kk //= 2
+        return [(k, build_step(k)), (1, build_step(1))]
+    kernels = []
+    kk = k
+    while kk >= 1:
+        kernels.append((kk, build_step(kk)))
+        kk //= 2
+    return kernels
+
+
+def _make_binary_chunked_window(build_step, k: int):
+    """Return ``window(state, steps)`` decomposing steps over the binary
+    kernel ladder (see :func:`_binary_kernel_ladder`)."""
+    kernels = _binary_kernel_ladder(build_step, k)
 
     def window(state, steps):
         remaining = steps
@@ -1061,22 +1117,18 @@ def make_chunked_window_2d(
     interpret: bool = False,
 ) -> Callable:
     """Return ``window(data, steps)`` chunking steps into k-step kernel calls."""
-    step_k, k = make_fused_stencil_window_2d(
-        grid, make_step, halo_per_step, dtype=dtype, interpret=interpret
+
+    def multi_make_step(helpers):
+        step = make_step(helpers)
+        return lambda works: [step(works[0])]
+
+    window_multi = make_chunked_multi_window_2d(
+        grid, multi_make_step, halo_per_step, 1, dtype=dtype,
+        interpret=interpret,
     )
-    if k > 1:
-        step_1, _ = make_fused_stencil_window_2d(
-            grid, make_step, halo_per_step, dtype=dtype, k=1, interpret=interpret
-        )
-    else:
-        step_1 = step_k
 
     def window(data, steps):
-        chunks = steps // k
-        remainder = steps - chunks * k
-        data = jax.lax.fori_loop(0, chunks, lambda i, d: step_k(d), data)
-        data = jax.lax.fori_loop(0, remainder, lambda i, d: step_1(d), data)
-        return data
+        return window_multi([data], steps)[0]
 
     return window
 
@@ -1091,12 +1143,26 @@ def make_fused_euler_window_2d(
     Supports fully periodic grids and const-affine physical BCs via ``bcs``
     (the reference's no-flux benchmark case, `performance.rst:36-45`).
     """
-    if bcs is None:
+    if interpret:
+        # relax the TPU-only preconditions (backend, tiling alignment,
+        # dtype) but keep the band/halo geometry and BC-lowerability ones —
+        # they are correctness constraints in interpret mode too
+        def supports(kk):
+            if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+                return False
+            n_r, n_c = grid.shape
+            if not _fused_geometry_ok(n_r, n_c, np.dtype(dtype).itemsize, kk):
+                return False
+            if bcs is not None:
+                try:
+                    affine_bc_params(grid, bcs)
+                except PallasUnsupportedError:
+                    return False
+            return True
+    elif bcs is None:
         supports = lambda kk: supports_affine_laplace(grid, dtype, kk)
     else:
         supports = lambda kk: supports_affine_laplace_bc(grid, bcs, dtype, kk)
-    if interpret:
-        supports = lambda kk: True
     while k > 1 and not supports(k):
         k //= 2
     if not supports(k):

@@ -87,10 +87,17 @@ class Controller:
             return None
         from jax.experimental import multihost_utils
 
-        def sync(t_next: float, stop: bool) -> tuple[float, bool]:
-            payload = np.array([t_next, 1.0 if stop else 0.0], dtype=np.float64)
+        def sync(
+            t_next: float, stop: bool, ok: bool = True
+        ) -> tuple[float, bool, bool]:
+            # the payload carries process 0's success status so client
+            # processes record the same info["successful"] on a stop
+            payload = np.array(
+                [t_next, 1.0 if stop else 0.0, 1.0 if ok else 0.0],
+                dtype=np.float64,
+            )
             out = multihost_utils.broadcast_one_to_all(payload)
-            return float(out[0]), bool(out[1])
+            return float(out[0]), bool(out[1]), bool(out[2])
 
         return sync
 
@@ -131,12 +138,12 @@ class Controller:
             self.trackers.finalize(info=self.diagnostics)
             self.info["successful"] = status == 0
             if sync is not None:
-                sync(t_start, True)
+                sync(t_start, True, ok=status == 0)
             return state
         if sync is not None:
-            t_tracker, stop = sync(t_tracker, False)
+            t_tracker, stop, ok = sync(t_tracker, False)
             if stop:  # process 0 stopped during initialization
-                self.info["successful"] = True
+                self.info["successful"] = ok
                 return state
         profiler["tracker"] += time.monotonic() - tracker_start
 
@@ -157,11 +164,12 @@ class Controller:
                     status, msg = handle_stop(err, t)
                     successful = status == 0
                     if sync is not None:
-                        sync(t, True)
+                        sync(t, True, ok=successful)
                     break
                 if sync is not None:
-                    t_tracker, stop = sync(t_tracker, False)
+                    t_tracker, stop, ok = sync(t_tracker, False)
                     if stop:
+                        successful = ok
                         break
                 profiler["tracker"] += time.monotonic() - tracker_start
 

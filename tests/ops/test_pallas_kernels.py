@@ -474,3 +474,29 @@ def test_benchmark_kernels_construct(monkeypatch):
         noflux, diffusivity=0.1, dt=0.1, dtype=np.float32, bcs=bcs
     )
     assert callable(window_bc)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (12, 16), (24, 24), (16, 128)])
+@pytest.mark.parametrize("bc", ["periodic", "noflux"])
+def test_interpret_geometry_small_grids(shape, bc, rng, monkeypatch):
+    """Interpret mode must respect the band/halo geometry on small grids.
+
+    Regression: `supports = lambda kk: True` used to bypass ALL shape
+    preconditions in interpret mode, producing silently wrong results when
+    the rounded halo exceeded the row band (e.g. 24x24 with k=16: the
+    wrapped halo DMA `pl.ds` clamps at the array end instead of wrapping)
+    and trace-time TypeErrors on grids smaller than the halo granule.
+    """
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    periodic = bc == "periodic"
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], shape, periodic=periodic)
+    dx = float(min(grid.discretization))
+    dt = 0.2 * dx * dx
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE() if periodic else pde.DiffusionPDE(bc={"derivative": 0})
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(field, t_range=100 * dt, dt=dt, solver="euler", tracker=None)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    res = eq.solve(field, t_range=100 * dt, dt=dt, solver="euler", tracker=None)
+    np.testing.assert_allclose(res.data, ref.data, rtol=1e-12, atol=1e-12)

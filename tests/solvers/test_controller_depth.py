@@ -115,3 +115,56 @@ def test_time_sync_single_process(rng):
     solver = EulerSolver(pde.DiffusionPDE(0.1))
     controller = Controller(solver, t_range=0.05, tracker=None)
     assert controller._make_time_sync() is None
+
+
+def test_time_sync_propagates_process0_status(rng, monkeypatch):
+    """Client processes must adopt process 0's success status on a stop.
+
+    Simulates a 2-process run on process 1: a stop broadcast carrying
+    ok=False (process 0's tracker aborted) must yield successful=False on
+    the client too, and client trackers must be disabled.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    solver, state = _solver(rng)
+    tracker_calls = []
+    tracker = pde.CallbackTracker(
+        lambda s, t: tracker_calls.append(t), interrupts=0.01
+    )
+    controller = Controller(solver, t_range=0.1, tracker=tracker)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    # process 0 stopped during initialization with an error status
+    monkeypatch.setattr(
+        multihost_utils,
+        "broadcast_one_to_all",
+        lambda payload: np.array([0.0, 1.0, 0.0]),
+    )
+    controller.run(state, dt=0.01)
+    assert controller.info["successful"] is False
+    assert tracker_calls == []  # trackers run on process 0 only
+
+
+def test_time_sync_broadcast_payload(rng, monkeypatch):
+    """The sync payload carries (t_next, stop, ok) from process 0."""
+    import jax
+
+    solver, state = _solver(rng)
+    controller = Controller(solver, t_range=0.1, tracker=None)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    sync = controller._make_time_sync()
+    sent = {}
+    from jax.experimental import multihost_utils
+
+    def fake_broadcast(payload):
+        sent["payload"] = np.asarray(payload)
+        return payload
+
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all", fake_broadcast)
+    t, stop, ok = sync(1.5, True, ok=False)
+    np.testing.assert_allclose(sent["payload"], [1.5, 1.0, 0.0])
+    assert (t, stop, ok) == (1.5, True, False)
+    t, stop, ok = sync(2.5, False)
+    assert (t, stop, ok) == (2.5, False, True)

@@ -433,11 +433,10 @@ class GridBase:
         else:
             axes_list = sorted(a % self.num_axes for a in axes)
         data = jnp.asarray(data)
-        factors = self._axis_volume_factors
         for ax in axes_list:
             shape = [1] * self.num_axes
             shape[ax] = self.shape[ax]
-            data = data * jnp.asarray(factors[ax].reshape(shape))
+            data = data * _axis_volume_factor_traced(self, ax).reshape(shape)
         neg_axes = tuple(a - self.num_axes for a in axes_list)
         result = jnp.sum(data, axis=neg_axes)
         if self._mesh is not None and len(axes_list) == self.num_axes:
@@ -618,3 +617,143 @@ def registered_operators() -> dict[str, list[str]]:
         for name, cls in GridBase._subclasses.items()
         if cls._operators or any(getattr(k, "_operators", None) for k in cls.__mro__)
     }
+
+
+# -- shard-aware (traced) grid data -------------------------------------------------
+#
+# On a mesh-attached subgrid template (``grid._mesh`` set), stencil
+# coefficients, coordinates, and volume factors must be the SHARD'S values,
+# not the template's: one SPMD program serves every shard, so these helpers
+# select the shard's slice of the GLOBAL arrays via ``lax.axis_index`` inside
+# ``shard_map``. This is what enables SPMD radial decompositions of
+# curvilinear grids — the reference instead compiles one operator per MPI
+# rank on its own subgrid (`/root/reference/pde/grids/_mesh.py:481`). Slicing
+# the same global array the serial path bakes in keeps decomposed runs
+# bit-identical to serial ones. Callers must invoke these INSIDE traced
+# closures (per trace), never at factory time — factory results are cached
+# per grid and a baked ``axis_index`` tracer would leak. Outside ``shard_map``
+# (e.g. eager shape probing on the template) the template's own static data
+# is returned.
+
+
+def _shard_axis_start(grid, axis: int):
+    """Traced start index of this shard along ``axis``, or None if static."""
+    mesh = getattr(grid, "_mesh", None)
+    if mesh is None or mesh.decomposition[axis] == 1:
+        return None
+    import jax
+
+    try:
+        idx = jax.lax.axis_index(mesh.axis_names[axis])
+    except NameError:  # not inside shard_map
+        return None
+    return idx * grid.shape[axis]
+
+
+def axis_coords_traced(grid, axis: int = 0):
+    """Cell-center coordinates along ``axis`` as a jnp array (shard-aware)."""
+    import jax
+    import jax.numpy as jnp
+
+    start = _shard_axis_start(grid, axis)
+    if start is None:
+        return jnp.asarray(grid.axes_coords[axis])
+    global_coords = jnp.asarray(grid._mesh.basegrid.axes_coords[axis])
+    return jax.lax.dynamic_slice(global_coords, (start,), (grid.shape[axis],))
+
+
+def _axis_volume_factor_traced(grid, axis: int):
+    """Per-axis volume factor (see ``_axis_volume_factors``), shard-aware."""
+    import jax
+    import jax.numpy as jnp
+
+    start = _shard_axis_start(grid, axis)
+    if start is None:
+        return jnp.asarray(grid._axis_volume_factors[axis])
+    gfac = grid._mesh.basegrid._axis_volume_factors[axis]
+    if np.ptp(gfac) == 0:  # uniform factor: no per-shard variation
+        return jnp.asarray(grid._axis_volume_factors[axis])
+    return jax.lax.dynamic_slice(
+        jnp.asarray(gfac), (start,), (grid.shape[axis],)
+    )
+
+
+def cell_coords_traced(grid):
+    """Per-axis cell-center coordinate arrays broadcast to ``grid.shape``.
+
+    Shard-aware equivalent of unstacking ``grid.cell_coords`` along its last
+    axis (same values on ordinary grids).
+    """
+    import jax.numpy as jnp
+
+    out = []
+    for ax in range(grid.num_axes):
+        shape = [1] * grid.num_axes
+        shape[ax] = grid.shape[ax]
+        c = axis_coords_traced(grid, ax).reshape(shape)
+        out.append(jnp.broadcast_to(c, grid.shape))
+    return tuple(out)
+
+
+def cell_volumes_traced(grid):
+    """Cell volumes broadcast to ``grid.shape`` (shard-aware).
+
+    Computed as the outer product of the per-axis volume factors, which
+    equals ``grid.cell_volumes`` for every separable grid class.
+    """
+    import jax.numpy as jnp
+
+    vol = None
+    for ax in range(grid.num_axes):
+        shape = [1] * grid.num_axes
+        shape[ax] = grid.shape[ax]
+        f = _axis_volume_factor_traced(grid, ax).reshape(shape)
+        vol = f if vol is None else vol * f
+    return jnp.broadcast_to(vol, grid.shape)
+
+
+def local_slice_traced(grid, data, rank: int = 0):
+    """Slice a GLOBAL data array down to this shard's local block.
+
+    Identity on ordinary grids or when ``data`` does not span the global
+    grid shape; outside ``shard_map`` the template's (shard-0) block is
+    returned. ``rank`` leading component axes are kept whole.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(data)
+    mesh = getattr(grid, "_mesh", None)
+    if mesh is None or tuple(arr.shape[rank:]) != tuple(mesh.basegrid.shape):
+        return arr
+    starts = [0] * rank
+    for ax, n_local in enumerate(grid.shape):
+        start = _shard_axis_start(grid, ax)
+        starts.append(0 if start is None else start)
+    sizes = tuple(arr.shape[:rank]) + tuple(grid.shape)
+    return jax.lax.dynamic_slice(arr, starts, sizes)
+
+
+def radial_factor_traced(grid, compute, axis: int = 0):
+    """Host-precomputed coordinate-dependent factor array, shard-aware.
+
+    ``compute(coords: np.ndarray) -> np.ndarray`` is evaluated in NUMPY on
+    the host — on the template's own coordinates for ordinary grids, and on
+    the GLOBAL coordinates (then sliced per shard via ``lax.dynamic_slice``)
+    for decomposed axes. Precomputing on the host instead of tracing the
+    factor arithmetic is what keeps decomposed runs bit-identical to serial
+    ones: XLA's compile-time constant folding of the same expressions can
+    differ from its runtime evaluation at the ulp level (measured ~1e-13
+    relative on the CPU backend), so both paths must consume identical
+    precomputed values and keep only exact ops (slice, multiply) in-trace.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    start = _shard_axis_start(grid, axis)
+    if start is None:
+        return jnp.asarray(compute(np.asarray(grid.axes_coords[axis])))
+    gfac = jnp.asarray(
+        compute(np.asarray(grid._mesh.basegrid.axes_coords[axis]))
+    )
+    return jax.lax.dynamic_slice(gfac, (start,), (grid.shape[axis],))

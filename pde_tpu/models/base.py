@@ -230,7 +230,12 @@ class SDEBase(PDEBase):
         drift_factor = self._noise_drift_factor
         has_drift = drift_factor != 0
         grid = state.grid
-        inv_cell = jnp.asarray(1.0 / np.broadcast_to(grid.cell_volumes, grid.shape))
+        from ..grids.base import cell_volumes_traced
+
+        def get_inv_cell():
+            # resolved per trace: decomposed radial shards scale the noise
+            # with their own cell volumes (see grids.base.cell_volumes_traced)
+            return 1.0 / cell_volumes_traced(grid)
 
         increments = []
         if self.use_noise_variance:
@@ -245,6 +250,7 @@ class SDEBase(PDEBase):
                 keys = jax.random.split(key, len(leaves))
                 out = []
                 dt_sqrt = jnp.sqrt(dt)
+                inv_cell = get_inv_cell()
                 for i, (leaf, var) in enumerate(zip(leaves, variances, strict=True)):
                     dW = jax.random.normal(keys[i], leaf.shape, dtype=leaf.dtype)
                     inc = dt_sqrt * jnp.sqrt(var * inv_cell) * dW

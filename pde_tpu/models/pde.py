@@ -24,6 +24,7 @@ from ..fields.base import FieldBase
 from ..fields.collection import FieldCollection
 from ..fields.datafield_base import DataFieldBase
 from ..fields.vectorial import VectorField
+from ..grids.base import cell_coords_traced, local_slice_traced
 from ..grids.boundaries import set_default_bc
 from .base import SDEBase
 
@@ -214,12 +215,9 @@ class PDE(SDEBase):
 
         # build the function signature
         signature: list[str] = list(self.variables) + ["t"]
-        extra_args: tuple = ()
-        if any(expr.depends_on_variable(c) for c in grid.axes):
+        needs_coords = any(expr.depends_on_variable(c) for c in grid.axes)
+        if needs_coords:
             signature += list(grid.axes)
-            extra_args = tuple(
-                jnp.asarray(grid.cell_coords[..., i]) for i in range(grid.num_axes)
-            )
 
         # separate scalar and field-valued constants
         scalar_consts = {}
@@ -227,7 +225,12 @@ class PDE(SDEBase):
         const_names: list[str] = []
         for name, value in self.consts.items():
             if isinstance(value, DataFieldBase):
-                value.grid.assert_grid_compatible(grid)
+                # on a decomposed subgrid template, field constants live on
+                # the GLOBAL grid and are sliced per shard in rhs_func
+                mesh = getattr(grid, "_mesh", None)
+                value.grid.assert_grid_compatible(
+                    mesh.basegrid if mesh is not None else grid
+                )
                 const_names.append(name)
                 const_args.append(jnp.asarray(value.data))
             elif np.isscalar(value) or isinstance(value, numbers.Number):
@@ -256,7 +259,17 @@ class PDE(SDEBase):
         var_index = list(self.variables).index(var)
 
         def rhs_func(field_data: tuple, t):
-            result = jnp.asarray(func_inner(*field_data, t, *extra_args, *const_args))
+            # coordinate and field-constant arrays are resolved per trace so
+            # decomposed shards receive their own slice of the global data
+            # (see grids.base.cell_coords_traced / local_slice_traced)
+            coord_args = cell_coords_traced(grid) if needs_coords else ()
+            local_consts = [
+                local_slice_traced(grid, a, rank=a.ndim - grid.num_axes)
+                for a in const_args
+            ]
+            result = jnp.asarray(
+                func_inner(*field_data, t, *coord_args, *local_consts)
+            )
             # constant expressions (e.g. "0") must still fill the field shape
             return jnp.broadcast_to(result, jnp.shape(field_data[var_index]))
 
@@ -622,6 +635,30 @@ class PDE(SDEBase):
         if depth == 0 or depth > _HALO:
             raise NotImplementedError(f"stencil depth {depth} out of range")
 
+        def make_multi_step(ops):
+            # shared by the sharded and single-device fused windows: any
+            # change to the rate-trim/broadcast semantics applies to both,
+            # preserving the sharded-vs-serial bit-identity invariant
+            rhs_fns = [
+                self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
+                for e, v in zip(exprs, self.variables)
+            ]
+
+            def step(works):
+                new = []
+                for f, (rhs_fn, d) in enumerate(rhs_fns):
+                    rate = rhs_fn(works)
+                    if jnp.ndim(rate) != 0 and depth - d:
+                        rate = rate[depth - d : -(depth - d), :]
+                    center = works[f][depth:-depth, :]
+                    new.append(
+                        center
+                        + dt * jnp.broadcast_to(jnp.asarray(rate), center.shape)
+                    )
+                return new
+
+            return step
+
         if mesh is not None:
             # decomposed: all fields share the halo-extended kernel; the halo
             # pad (ppermute) happens outside, so only periodic BCs qualify
@@ -633,30 +670,9 @@ class PDE(SDEBase):
                 )
             from ..parallel.fused import make_fused_multi_window_sharded
 
-            def make_multi_step_sharded(ops):
-                rhs_fns = [
-                    self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
-                    for e, v in zip(exprs, self.variables)
-                ]
-
-                def step(works):
-                    new = []
-                    for f, (rhs_fn, d) in enumerate(rhs_fns):
-                        rate = rhs_fn(works)
-                        if jnp.ndim(rate) != 0 and depth - d:
-                            rate = rate[depth - d : -(depth - d), :]
-                        center = works[f][depth:-depth, :]
-                        new.append(
-                            center
-                            + dt * jnp.broadcast_to(jnp.asarray(rate), center.shape)
-                        )
-                    return new
-
-                return step
-
             try:
                 window = make_fused_multi_window_sharded(
-                    mesh, make_multi_step_sharded, depth, len(fields),
+                    mesh, make_multi_step, depth, len(fields),
                     dtype=fields[0].dtype, interpret=interpret,
                 )
             except PallasUnsupportedError as err:
@@ -709,27 +725,6 @@ class PDE(SDEBase):
                 )
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err
-
-        def make_multi_step(ops):
-            rhs_fns = [
-                self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
-                for e, v in zip(exprs, self.variables)
-            ]
-
-            def step(works):
-                new = []
-                for f, (rhs_fn, d) in enumerate(rhs_fns):
-                    rate = rhs_fn(works)
-                    if jnp.ndim(rate) != 0 and depth - d:
-                        rate = rate[depth - d : -(depth - d), :]
-                    center = works[f][depth:-depth, :]
-                    new.append(
-                        center
-                        + dt * jnp.broadcast_to(jnp.asarray(rate), center.shape)
-                    )
-                return new
-
-            return step
 
         try:
             window = make_chunked_multi_window_2d(

@@ -13,7 +13,14 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from ..grids.base import GridBase
+from ..grids.base import (  # noqa: F401  (re-exported for operator modules)
+    GridBase,
+    axis_coords_traced,
+    cell_coords_traced,
+    cell_volumes_traced,
+    local_slice_traced,
+    radial_factor_traced,
+)
 
 
 def make_full_padder(grid: GridBase, rank: int) -> Callable:

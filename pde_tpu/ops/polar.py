@@ -3,6 +3,11 @@
 TPU-native re-design of `/root/reference/pde/backends/numba/operators/
 polar_sym.py:30-312`: vectorized jnp stencils over the 1D radial axis.
 Vector components are ordered (r, φ).
+
+Coordinate-dependent factors are precomputed on the host and resolved per
+trace via :func:`~pde_tpu.grids.base.radial_factor_traced`, so decomposed
+radial shards pick up their own r values inside ``shard_map`` (SPMD radial
+decomposition) while staying bit-identical to serial runs.
 """
 
 from __future__ import annotations
@@ -10,10 +15,9 @@ from __future__ import annotations
 from typing import Callable
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..grids.spherical import PolarSymGrid
-from .common import wrap_with_bcs
+from .common import radial_factor_traced, wrap_with_bcs
 
 # slices into full 1D radial arrays
 _LO, _MID, _HI = slice(0, -2), slice(1, -1), slice(2, None)
@@ -33,10 +37,10 @@ def _diff(full, method: str, scale):
 def make_laplace(grid: PolarSymGrid, bcs=None) -> Callable:
     """Polar Laplacian: f'' + f'/r."""
     dr = grid.discretization[0]
-    factor_r = jnp.asarray(1 / (2 * grid.axes_coords[0] * dr))
     dr_2 = 1 / dr**2
 
     def stencil(full):
+        factor_r = radial_factor_traced(grid, lambda rs: 1 / (2 * rs * dr))
         return (full[_HI] - 2 * full[_MID] + full[_LO]) * dr_2 + (
             full[_HI] - full[_LO]
         ) * factor_r
@@ -80,12 +84,12 @@ def make_gradient_squared(grid: PolarSymGrid, bcs=None, *, central: bool = True)
 def make_divergence(grid: PolarSymGrid, bcs=None) -> Callable:
     """Polar divergence: ∂_r v_r + v_r / r."""
     dr = grid.discretization[0]
-    rs = jnp.asarray(grid.axes_coords[0])
     scale_r = 1 / (2 * dr)
 
     def stencil(full):
+        inv_r = radial_factor_traced(grid, lambda rs: 1 / rs)
         v_r = full[0]
-        return (v_r[_HI] - v_r[_LO]) * scale_r + v_r[_MID] / rs
+        return (v_r[_HI] - v_r[_LO]) * scale_r + v_r[_MID] * inv_r
 
     return wrap_with_bcs(grid, bcs, 1, stencil)
 
@@ -94,15 +98,15 @@ def make_divergence(grid: PolarSymGrid, bcs=None) -> Callable:
 def make_vector_gradient(grid: PolarSymGrid, bcs=None) -> Callable:
     """Polar vector gradient (2x2 tensor)."""
     dr = grid.discretization[0]
-    rs = jnp.asarray(grid.axes_coords[0])
     scale_r = 1 / (2 * dr)
 
     def stencil(full):
+        inv_r = radial_factor_traced(grid, lambda rs: 1 / rs)
         v_r, v_p = full[0], full[1]
         out_rr = (v_r[_HI] - v_r[_LO]) * scale_r
-        out_rp = -v_p[_MID] / rs
+        out_rp = -v_p[_MID] * inv_r
         out_pr = (v_p[_HI] - v_p[_LO]) * scale_r
-        out_pp = v_r[_MID] / rs
+        out_pp = v_r[_MID] * inv_r
         return jnp.stack(
             [jnp.stack([out_rr, out_rp]), jnp.stack([out_pr, out_pp])]
         )
@@ -114,14 +118,18 @@ def make_vector_gradient(grid: PolarSymGrid, bcs=None) -> Callable:
 def make_tensor_divergence(grid: PolarSymGrid, bcs=None) -> Callable:
     """Polar tensor divergence."""
     dr = grid.discretization[0]
-    rs = jnp.asarray(grid.axes_coords[0])
     scale_r = 1 / (2 * dr)
 
     def stencil(full):
+        inv_r = radial_factor_traced(grid, lambda rs: 1 / rs)
         t_rr, t_rp = full[0, 0], full[0, 1]
         t_pr, t_pp = full[1, 0], full[1, 1]
-        out_r = (t_rr[_HI] - t_rr[_LO]) * scale_r + (t_rr[_MID] - t_pp[_MID]) / rs
-        out_p = (t_pr[_HI] - t_pr[_LO]) * scale_r + (t_rp[_MID] + t_pr[_MID]) / rs
+        out_r = (t_rr[_HI] - t_rr[_LO]) * scale_r + (
+            t_rr[_MID] - t_pp[_MID]
+        ) * inv_r
+        out_p = (t_pr[_HI] - t_pr[_LO]) * scale_r + (
+            t_rp[_MID] + t_pr[_MID]
+        ) * inv_r
         return jnp.stack([out_r, out_p])
 
     return wrap_with_bcs(grid, bcs, 2, stencil)

@@ -160,27 +160,16 @@ class GridMesh:
     def assert_spmd_compatible(self) -> None:
         """Check that one SPMD program is correct for every shard.
 
-        Shards share the compiled stepper traced on the shard-0 template, so
-        every decomposed axis must have shard-uniform stencil coefficients:
-        all Cartesian axes qualify, as does the z axis of cylindrical grids;
-        RADIAL axes do not (their stencils carry r-dependent factors), so
-        radial decompositions must run one process per shard like the
-        reference's MPI ranks — unsupported in this SPMD design.
+        Shards share the compiled stepper traced on the shard-0 template.
+        Shard-VARYING data (radial stencil coefficients, coordinates, volume
+        factors) is handled by the traced helpers in :mod:`pde_tpu.grids.base`
+        (``axis_coords_traced`` and friends): they slice the GLOBAL arrays by
+        ``lax.axis_index`` inside ``shard_map``, so every grid class supports
+        decomposition along every axis — including RADIAL axes of polar/
+        spherical/cylindrical grids, where the reference instead compiles one
+        operator per MPI rank on its own subgrid (`_mesh.py:481`).
         """
-        from ..grids.cartesian import CartesianGrid
-        from ..grids.cylindrical import CylindricalSymGrid
-
-        grid = self.basegrid
-        if isinstance(grid, CartesianGrid):
-            return
-        if isinstance(grid, CylindricalSymGrid) and self.decomposition[0] == 1:
-            return
-        raise NotImplementedError(
-            "SPMD-decomposed solving requires shard-uniform stencils: "
-            "Cartesian grids (any axes) or cylindrical grids split along z "
-            f"only; got {grid.__class__.__name__} with decomposition "
-            f"{self.decomposition}. Mesh-level split/combine still works."
-        )
+        return
 
     # -- shardings ------------------------------------------------------------------------
     def sharding(self, rank: int = 0) -> NamedSharding:

@@ -185,18 +185,14 @@ def test_cylindrical_z_decomposed_solve_bit_identical(rng):
     np.testing.assert_array_equal(serial.to_numpy(), sharded.to_numpy())
 
 
-def test_radial_decomposed_solve_rejected(rng):
-    """Radial decompositions cannot share one SPMD stepper (r-dependent
-    stencils) and must raise a clear error instead of silently diverging."""
+def test_radial_decomposed_solve_supported(rng):
+    """Radial decompositions share one SPMD stepper via traced coordinate
+    slices (grids.base.axis_coords_traced); full parity tests live in
+    tests/parallel/test_radial_decomposition.py."""
     grid = pde.CylindricalSymGrid(2.0, (0, 4), (8, 16))
     field = pde.ScalarField.random_uniform(grid, rng=rng)
-    with pytest.raises(NotImplementedError, match="shard-uniform"):
-        pde.DiffusionPDE(0.1).solve(
-            field, t_range=0.05, dt=0.01, tracker=None, decomposition=[2, 1]
-        )
-    polar = pde.PolarSymGrid(3.0, 16)
-    fp = pde.ScalarField.random_uniform(polar, rng=rng)
-    with pytest.raises(NotImplementedError, match="shard-uniform"):
-        pde.DiffusionPDE(0.1).solve(
-            fp, t_range=0.05, dt=0.01, tracker=None, decomposition=[2]
-        )
+    serial = pde.DiffusionPDE(0.1).solve(field, t_range=0.05, dt=0.01, tracker=None)
+    sharded = pde.DiffusionPDE(0.1).solve(
+        field, t_range=0.05, dt=0.01, tracker=None, decomposition=[2, 1]
+    )
+    np.testing.assert_array_equal(serial.to_numpy(), sharded.to_numpy())

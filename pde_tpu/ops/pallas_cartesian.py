@@ -74,11 +74,13 @@ def _fused_geometry_ok(
     return halo <= band
 
 
-def _supports_fused_shape_2d(grid, dtype, k: int = 1) -> bool:
+def _supports_fused_shape_2d(grid, dtype, k: int = 1, *, grid_cls=None) -> bool:
     """Shape/backend preconditions shared by all 2D fused kernels."""
     if jax.default_backend() != "tpu":
         return False
-    if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+    if grid_cls is None:
+        grid_cls = CartesianGrid
+    if not isinstance(grid, grid_cls) or grid.num_axes != 2:
         return False
     n_rows, n_cols = grid.shape
     if n_rows % 8 != 0 or n_cols % 128 != 0 or n_rows < 16:
@@ -167,8 +169,8 @@ def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
 
 
 def make_affine_laplace_2d(
-    grid: CartesianGrid, *, a: float = 0.0, b: float = 1.0, k: int = 1,
-    dtype=np.float32, bcs=None, interpret: bool = False,
+    grid, *, a: float = 0.0, b: float = 1.0, k: int = 1,
+    dtype=np.float32, bcs=None, interpret: bool = False, radial=None,
 ) -> Callable:
     """Return ``f -> (a*I + b*lap)^k f`` as one fused kernel.
 
@@ -179,6 +181,14 @@ def make_affine_laplace_2d(
     programs overwrite the ghost row each step (the BC must be re-applied at
     every intermediate time level of the temporal block), and non-periodic
     columns patch lanes 0/m-1 after the rolls.
+
+    ``radial=(r_lo, dr_r)`` adds the cylindrical first-derivative term
+    ``b/(2 r dr) * (f[r+1] - f[r-1])`` with ``r = r_lo + (row + 0.5) dr_r``:
+    rows map to the radial axis and the per-row factor is computed in-kernel
+    from the global row index (one tiny (rows, 1) block per program, no extra
+    HBM traffic). This lowers CylindricalSymGrid Laplacians — the reference
+    compiles these loops with numba (`operators/cylindrical_sym.py:32`) but
+    has no fused/temporal-blocked equivalent.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -189,16 +199,20 @@ def make_affine_laplace_2d(
             "Non-periodic grids require explicit boundary conditions"
         )
     if interpret:
-        if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+        if grid.num_axes != 2 or (
+            radial is None and not isinstance(grid, CartesianGrid)
+        ):
             raise PallasUnsupportedError("2D Cartesian grid required")
         n_r, n_c = grid.shape
         if not _fused_geometry_ok(n_r, n_c, np.dtype(dtype).itemsize, k):
             raise PallasUnsupportedError(
                 "Grid too small for the k-step band/halo geometry"
             )
-    elif not _supports_fused_shape_2d(grid, dtype, k):
+    elif not _supports_fused_shape_2d(
+        grid, dtype, k, grid_cls=object if radial is not None else CartesianGrid
+    ):
         raise PallasUnsupportedError(
-            "Fused Pallas laplace requires a 2D Cartesian grid with aligned "
+            "Fused Pallas laplace requires a 2D grid with aligned "
             "shape and float32/bfloat16 data on a TPU backend"
         )
     n_rows, n_cols = grid.shape
@@ -243,6 +257,25 @@ def make_affine_laplace_2d(
         work = jnp.concatenate(
             [halo_top[halo - k :, :], band_ref[:, :], halo_bot[:k, :]], axis=0
         )
+        if radial is not None:
+            # per-row cylindrical factor b/(2 r dr) for the work-region rows
+            # [row0-k, row0+band+k): computed once per program from the global
+            # row index. Out-of-range rows (edge programs) produce finite
+            # garbage that the shrinking trapezoid + BC fixups discard; r is
+            # never exactly 0 at cell centers or ghost rows ((row+0.5)*dr).
+            r_lo, dr_r = radial
+            rows_g = row0 - np.int32(k) + jax.lax.broadcasted_iota(
+                jnp.int32, (band + 2 * k, 1), 0
+            )
+            r_vals = (rows_g.astype(dtype) + 0.5) * dr_r + r_lo
+            fac_full = (b / (2.0 * dr_r)) / r_vals
+            # fold the radial term into per-row up/down coefficients:
+            # a*c + b*sx*(up+down-2c) + b*sy*(l+r-2c) + fac*(down-up)
+            #   = cu*up + cd*down + (b*sy)*(l+r) + (a-2b(sx+sy))*c
+            # (8 VPU ops/cell/step instead of 12 in this compute-bound loop)
+            cu_full = (b * sx) - fac_full
+            cd_full = (b * sx) + fac_full
+            c_center = a - 2.0 * b * sx - 2.0 * b * sy
         isotropic = sx == sy
         for s in range(k):
             if bc_rows is not None:
@@ -282,7 +315,17 @@ def make_affine_laplace_2d(
                 lanes = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
                 left = jnp.where(lanes == 0, ghost_lo, left)
                 right = jnp.where(lanes == n_cols - 1, ghost_hi, right)
-            if isotropic:
+            if radial is not None:
+                # cylindrical: per-row coefficients carry the (1/r) d/dr
+                # term; rows shrink with the trapezoid
+                sl = slice(s + 1, band + 2 * k - s - 1)
+                work = (
+                    cu_full[sl] * up
+                    + cd_full[sl] * down
+                    + (b * sy) * (left + right)
+                    + c_center * center
+                )
+            elif isotropic:
                 # fold the scale into b: fewer VPU ops in this compute-bound loop
                 lap4 = up + down + left + right - 4.0 * center
                 work = a * center + (b * sx) * lap4
@@ -1172,6 +1215,69 @@ def make_fused_euler_window_2d(
         return make_affine_laplace_2d(
             grid, a=1.0, b=dt * diffusivity, k=kk, dtype=dtype, bcs=bcs,
             interpret=interpret,
+        )
+
+    return _make_binary_chunked_window(build, k)
+
+
+def supports_affine_laplace_cyl(grid, bcs, dtype, k: int = 1) -> bool:
+    """Preconditions of the fused cylindrical kernel (radial row term)."""
+    from ..grids.cylindrical import CylindricalSymGrid
+
+    if not isinstance(grid, CylindricalSymGrid):
+        return False
+    if not _supports_fused_shape_2d(grid, dtype, k, grid_cls=object):
+        return False
+    try:
+        affine_bc_params(grid, bcs)
+    except PallasUnsupportedError:
+        return False
+    return True
+
+
+def make_fused_euler_window_cyl(
+    grid, *, diffusivity: float, dt: float, bcs, dtype=np.float32,
+    k: int = 2 * _HALO, interpret: bool = False,
+) -> Callable:
+    """Euler diffusion window on a CylindricalSymGrid (rows = r, lanes = z).
+
+    The cylindrical Laplacian's extra ``(1/r) d/dr`` term is lowered as a
+    per-row in-kernel factor (``radial=`` of :func:`make_affine_laplace_2d`).
+    The r axis always carries physical BCs; z may be periodic or const-affine.
+    """
+    from ..grids.cylindrical import CylindricalSymGrid
+
+    if not isinstance(grid, CylindricalSymGrid):
+        raise PallasUnsupportedError("CylindricalSymGrid required")
+    if bcs is None:
+        raise PallasUnsupportedError("Cylindrical grids require explicit BCs")
+    r_lo = float(grid.axes_bounds[0][0])
+    dr_r = float(grid.discretization[0])
+
+    if interpret:
+        n_r, n_c = grid.shape
+        itemsize = np.dtype(dtype).itemsize
+
+        def supports(kk):
+            if not _fused_geometry_ok(n_r, n_c, itemsize, kk):
+                return False
+            try:
+                affine_bc_params(grid, bcs)
+            except PallasUnsupportedError:
+                return False
+            return True
+
+    else:
+        supports = lambda kk: supports_affine_laplace_cyl(grid, bcs, dtype, kk)
+    while k > 1 and not supports(k):
+        k //= 2
+    if not supports(k):
+        raise PallasUnsupportedError("Unsupported configuration for fused window")
+
+    def build(kk):
+        return make_affine_laplace_2d(
+            grid, a=1.0, b=dt * diffusivity, k=kk, dtype=dtype, bcs=bcs,
+            interpret=interpret, radial=(r_lo, dr_r),
         )
 
     return _make_binary_chunked_window(build, k)

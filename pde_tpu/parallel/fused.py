@@ -103,8 +103,14 @@ def make_fused_euler_window_sharded(
         supports_affine_laplace_ext,
     )
 
+    from ..grids.cartesian import CartesianGrid
+
     grid = mesh.basegrid
-    if grid.num_axes != 2:
+    if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+        # curvilinear grids (e.g. cylindrical) have coordinate-dependent
+        # stencils this kernel does not model — without this guard a large
+        # z-decomposed cylindrical grid would silently lose its (1/r) d/dr
+        # term on TPU
         raise PallasUnsupportedError(
             "Sharded fused window requires a 2D Cartesian grid"
         )
@@ -178,10 +184,17 @@ def make_fused_multi_window_sharded(
         make_fused_multi_ext_window_2d,
     )
 
+    from ..grids.cartesian import CartesianGrid
+
     grid = mesh.basegrid
-    if grid.num_axes != 2 or not all(grid.periodic):
+    if (
+        not isinstance(grid, CartesianGrid)
+        or grid.num_axes != 2
+        or not all(grid.periodic)
+    ):
         raise PallasUnsupportedError(
-            "Sharded multi-field window requires a fully periodic 2D grid"
+            "Sharded multi-field window requires a fully periodic 2D "
+            "Cartesian grid"
         )
     if mesh.decomposition[1] != 1:
         raise PallasUnsupportedError(

@@ -45,6 +45,36 @@ def curvilinear() -> None:
         print(f"  {name:>20}: {_rate(op, jnp.asarray(field.data)):.3g}")
 
 
+def cylindrical_fused() -> None:
+    """Fused cylindrical Euler window vs XLA lowering (see BENCHMARKS.md)."""
+    import os
+
+    from pde_tpu.solvers import EulerSolver
+
+    print("## Cylindrical diffusion 2048x2048 fp32 (fused vs XLA)")
+    grid = pde.CylindricalSymGrid(1.0, (0, 2), (2048, 2048))
+    field = pde.ScalarField.random_uniform(grid, rng=np.random.default_rng(0))
+    field = pde.ScalarField(grid, data=np.asarray(field.data, dtype=np.float32))
+    eq = pde.DiffusionPDE(0.1, bc={"r": {"derivative": 0}, "z": {"derivative": 0}})
+    dt = 1e-8
+    for disable in (True, False):
+        if disable:
+            os.environ["PDE_TPU_DISABLE_FUSED"] = "1"
+        else:
+            os.environ.pop("PDE_TPU_DISABLE_FUSED", None)
+        solver = EulerSolver(eq)
+        stepper = solver.make_stepper(field, dt)
+        out, _ = stepper(field, 0.0, 100 * dt)
+        float(jnp.sum(out.data))
+        t0 = time.perf_counter()
+        out, _ = stepper(field, 0.0, 2000 * dt)
+        float(jnp.sum(out.data))
+        rate = 2000 * grid.num_cells / (time.perf_counter() - t0)
+        label = "XLA" if disable else "fused"
+        print(f"  {label:>6}: {rate:.3e} cell-updates/s "
+              f"(fused_step={solver.info.get('fused_step', False)})")
+
+
 def adaptive() -> None:
     print("## Adaptive RK45, Cahn-Hilliard 256^2 to t=10")
     grid = pde.UnitGrid([256, 256], periodic=True)
@@ -69,6 +99,7 @@ def adaptive() -> None:
 
 def main() -> None:
     curvilinear()
+    cylindrical_fused()
     adaptive()
 
 

@@ -500,3 +500,56 @@ def test_interpret_geometry_small_grids(shape, bc, rng, monkeypatch):
     monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
     res = eq.solve(field, t_range=100 * dt, dt=dt, solver="euler", tracker=None)
     np.testing.assert_allclose(res.data, ref.data, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("periodic_z", [True, False], ids=["z-periodic", "z-dirichlet"])
+def test_fused_euler_window_cylindrical(periodic_z, rng, monkeypatch):
+    """Cylindrical fused kernel: the (1/r) d/dr term is lowered as per-row
+    in-kernel coefficients computed from the global row index (rows = r,
+    lanes = z). Parity against the XLA lowering over 200 Euler steps."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers import EulerSolver
+
+    grid = pde.CylindricalSymGrid(1.0, (0, 2), (32, 32), periodic_z=periodic_z)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = (
+        {"r": {"derivative": 0}, "z": "periodic"}
+        if periodic_z
+        else {"r": {"derivative": 0}, "z": {"value": 0}}
+    )
+    eq = pde.DiffusionPDE(0.1, bc=bc)
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref, _ = EulerSolver(eq).make_stepper(field, 5e-5)(field, 0.0, 0.01)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    solver = EulerSolver(eq)
+    res, _ = solver.make_stepper(field, 5e-5)(field, 0.0, 0.01)
+    assert solver.info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_fused_cylindrical_sharded_falls_back(rng, monkeypatch):
+    """Decomposed cylindrical grids must NOT take the sharded Cartesian
+    kernel (it has no (1/r) d/dr term): solving stays correct via the XLA
+    path. Regression for a guard that only checked num_axes == 2."""
+    from pde_tpu.solvers import Controller, EulerSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CylindricalSymGrid(1.0, (0, 2), (16, 128), periodic_z=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.1, bc={"r": {"derivative": 0}, "z": "periodic"})
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    serial = eq.solve(field, t_range=5e-3, dt=5e-5, tracker=None)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+
+    solver = EulerSolver(eq, decomposition=[1, 2])
+    sharded = Controller(solver, t_range=5e-3, tracker=None).run(field, 5e-5)
+    # the sharded Cartesian kernel must refuse cylindrical grids...
+    assert not solver.info.get("fused_step", False)
+    # ...and the XLA sharded path matches serial bit for bit
+    np.testing.assert_array_equal(
+        np.asarray(serial.data), np.asarray(sharded.data)
+    )

@@ -593,6 +593,23 @@ class PDE(SDEBase):
             raise NotImplementedError("Fused window requires uniform dtypes")
         grid = fields[0].grid
         interpret = interpret_requested()
+        from ..grids.cylindrical import CylindricalSymGrid
+
+        if isinstance(grid, CylindricalSymGrid):
+            # the kernel helpers model the cylindrical Laplacian (radial
+            # per-row factor) and gradient_squared (no radial term), but NOT
+            # the extra v_r/r terms of gradient/divergence compositions
+            safe = {"laplace", "gradient_squared"}
+            used = set().union(*(self._operators[v] for v in self.variables))
+            if used - safe:
+                raise NotImplementedError(
+                    "Fused window on cylindrical grids supports only "
+                    f"laplace/gradient_squared (got {sorted(used - safe)})"
+                )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "Sharded fused windows do not support cylindrical grids"
+                )
 
         var_map = {
             sympy.Symbol(v): i for i, v in enumerate(self.variables)

@@ -587,9 +587,29 @@ def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):
     operator's operand (which may be a derived array like ``c**3``) mirrors
     the reference's per-operator ghost-cell application.
     """
+    from ..grids.cylindrical import CylindricalSymGrid
+
     n_cols = grid.shape[1]
     sx, sy = (1.0 / grid.discretization**2).tolist()
     gx, gy = (0.5 / grid.discretization).tolist()
+    if isinstance(grid, CylindricalSymGrid):
+        # rows = r: the Laplacian gains the (1/r) d/dr term, with the per-row
+        # factor computed from the global row index (cf. make_affine_laplace_2d)
+        radial = (float(grid.axes_bounds[0][0]), float(grid.discretization[0]))
+    else:
+        radial = None
+
+    def radial_fac(w):
+        """Per-row 1/(2 r dr) factor for the CENTER rows of work array w."""
+        r_lo, dr_r = radial
+        hr = (w.shape[0] - band) // 2  # remaining halo rows on each side
+        rows_g = (
+            pl.program_id(0) * band
+            - np.int32(hr - 1)
+            + jax.lax.broadcasted_iota(jnp.int32, (w.shape[0] - 2, 1), 0)
+        )
+        r = (rows_g.astype(w.dtype) + 0.5) * dr_r + r_lo
+        return (1.0 / (2.0 * dr_r)) / r
 
     def fix_ghost_rows(w, bc_rows):
         if bc_rows is None:
@@ -638,6 +658,14 @@ def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):
             center = work[1:-1, :]
             down = work[2:, :]
             left, right = neighbors_cols(center, bc_cols)
+            if radial is not None:
+                fac = radial_fac(work)
+                return (
+                    ((sx) - fac) * up
+                    + ((sx) + fac) * down
+                    + sy * (left + right)
+                    - (2.0 * (sx + sy)) * center
+                )
             if sx == sy:
                 return (up + down + left + right - 4.0 * center) * sx
             return (up + down - 2.0 * center) * sx + (
@@ -691,8 +719,11 @@ def make_fused_multi_stencil_window_2d(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
-        raise PallasUnsupportedError("2D Cartesian grid required")
+    from ..grids.cylindrical import CylindricalSymGrid
+
+    grid_cls = (CartesianGrid, CylindricalSymGrid)
+    if not isinstance(grid, grid_cls) or grid.num_axes != 2:
+        raise PallasUnsupportedError("2D Cartesian/cylindrical grid required")
     n_rows, n_cols = grid.shape
     itemsize = np.dtype(dtype).itemsize
     k_defaulted = k is None
@@ -712,10 +743,12 @@ def make_fused_multi_stencil_window_2d(
             raise PallasUnsupportedError(
                 "Grid too small for the k-step band/halo geometry"
             )
-    elif not _supports_fused_shape_2d(grid, dtype, k * halo_per_step):
+    elif not _supports_fused_shape_2d(
+        grid, dtype, k * halo_per_step, grid_cls=grid_cls
+    ):
         raise PallasUnsupportedError(
-            "Fused stencil window requires a 2D Cartesian grid with "
-            "aligned shape and float32/bfloat16 data on a TPU backend"
+            "Fused stencil window requires a 2D Cartesian/cylindrical grid "
+            "with aligned shape and float32/bfloat16 data on a TPU backend"
         )
     # scale the VMEM budget by the number of resident field planes
     band = _pick_band(n_rows, n_cols * n_fields, itemsize, k * halo_per_step)
@@ -1340,7 +1373,7 @@ def _pick_band_ext(n_rows: int, n_cols_ext: int, itemsize: int, halo: int) -> in
 def make_affine_laplace_ext_2d(
     local_shape, *, a: float = 0.0, b: float = 1.0, k: int = 1,
     discretization, ext_cols: bool = True, dtype=np.float32,
-    bc_params=None, interpret: bool = False,
+    bc_params=None, interpret: bool = False, radial=None,
 ) -> Callable:
     """Return ``(ext, edge_flags) -> (a*I + b*lap)^k`` on a halo-extended block.
 
@@ -1352,12 +1385,18 @@ def make_affine_laplace_ext_2d(
     not decomposed). The caller fills the halos, so the same kernel serves
     shard-internal edges and wrapped periodic edges.
 
-    ``edge_flags`` is an int32 ``(4,)`` array ``[row_lo, row_hi, col_lo,
-    col_hi]`` marking whether this shard sits at the corresponding GLOBAL
-    domain edge; where a flag is set and ``bc_params`` carries affine ghost
-    parameters for that axis, the kernel rewrites the ghost row/column each
-    step instead of trusting the (garbage) halo — the decomposed analogue of
-    the single-device BC fixups.
+    ``edge_flags`` is an int32 ``(5,)`` array ``[row_lo, row_hi, col_lo,
+    col_hi, row_offset]`` marking whether this shard sits at the
+    corresponding GLOBAL domain edge; where a flag is set and ``bc_params``
+    carries affine ghost parameters for that axis, the kernel rewrites the
+    ghost row/column each step instead of trusting the (garbage) halo — the
+    decomposed analogue of the single-device BC fixups. A ``(4,)`` array is
+    accepted too (row_offset 0).
+
+    ``radial=(r_lo, dr_r)`` adds the cylindrical ``(1/r) d/dr`` row term as
+    in :func:`make_affine_laplace_2d`; the GLOBAL row index is
+    ``row_offset + local row``, where the caller supplies ``row_offset =
+    shard_index * local_rows`` via the flags array.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1391,6 +1430,40 @@ def make_affine_laplace_ext_2d(
         )
         cp.start()
         cp.wait()
+
+        if radial is not None:
+            # cylindrical per-row coefficients over the work-region rows
+            # [row0-k, row0+band+k) at GLOBAL index flags[4] + local row
+            # (cf. make_affine_laplace_2d)
+            r_lo, dr_r = radial
+            rows_g = (
+                flags_ref[4]
+                + row0
+                - np.int32(k)
+                + jax.lax.broadcasted_iota(jnp.int32, (band + 2 * k, 1), 0)
+            )
+            r_vals = (rows_g.astype(dtype) + 0.5) * dr_r + r_lo
+            fac_full = (b / (2.0 * dr_r)) / r_vals
+            cu_full = (b * sx) - fac_full
+            cd_full = (b * sx) + fac_full
+            c_center = a - 2.0 * b * sx - 2.0 * b * sy
+
+        def update(up, down, left, right, center, s):
+            if radial is not None:
+                sl = slice(s + 1, band + 2 * k - s - 1)
+                return (
+                    cu_full[sl] * up
+                    + cd_full[sl] * down
+                    + (b * sy) * (left + right)
+                    + c_center * center
+                )
+            if isotropic:
+                lap4 = up + down + left + right - 4.0 * center
+                return a * center + (b * sx) * lap4
+            lap = (up + down - 2.0 * center) * sx + (
+                left + right - 2.0 * center
+            ) * sy
+            return a * center + b * lap
 
         def fix_rows(work, s):
             if bc_rows is None:
@@ -1441,14 +1514,7 @@ def make_affine_laplace_ext_2d(
                 center = work[1:-1, 1:-1]
                 left = work[1:-1, :-2]
                 right = work[1:-1, 2:]
-                if isotropic:
-                    lap4 = up + down + left + right - 4.0 * center
-                    work = a * center + (b * sx) * lap4
-                else:
-                    lap = (up + down - 2.0 * center) * sx + (
-                        left + right - 2.0 * center
-                    ) * sy
-                    work = a * center + b * lap
+                work = update(up, down, left, right, center, s)
         else:
             work = work_ref[halo - k : halo + k + band, :]
             for s in range(k):
@@ -1477,14 +1543,7 @@ def make_affine_laplace_ext_2d(
                         g_hi,
                         right,
                     )
-                if isotropic:
-                    lap4 = up + down + left + right - 4.0 * center
-                    work = a * center + (b * sx) * lap4
-                else:
-                    lap = (up + down - 2.0 * center) * sx + (
-                        left + right - 2.0 * center
-                    ) * sy
-                    work = a * center + b * lap
+                work = update(up, down, left, right, center, s)
         out_ref[:, :] = work
 
     call = pl.pallas_call(
@@ -1506,13 +1565,18 @@ def make_affine_laplace_ext_2d(
     )
 
     pad_lanes = lanes - cols_ext
-    no_edges = jnp.zeros((4,), jnp.int32)
+    no_edges = jnp.zeros((5,), jnp.int32)
 
     def affine_laplace_ext(ext, edge_flags=None):
         ext = jnp.asarray(ext, dtype=dtype)
         if pad_lanes:
             ext = jnp.pad(ext, ((0, 0), (0, pad_lanes)))
-        flags = no_edges if edge_flags is None else jnp.asarray(edge_flags, jnp.int32)
+        if edge_flags is None:
+            flags = no_edges
+        else:
+            flags = jnp.asarray(edge_flags, jnp.int32)
+            if flags.shape[0] == 4:  # no row offset supplied
+                flags = jnp.concatenate([flags, jnp.zeros((1,), jnp.int32)])
         return call(flags, ext)
 
     return affine_laplace_ext

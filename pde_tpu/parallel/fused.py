@@ -104,15 +104,21 @@ def make_fused_euler_window_sharded(
     )
 
     from ..grids.cartesian import CartesianGrid
+    from ..grids.cylindrical import CylindricalSymGrid
 
     grid = mesh.basegrid
-    if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
-        # curvilinear grids (e.g. cylindrical) have coordinate-dependent
-        # stencils this kernel does not model — without this guard a large
-        # z-decomposed cylindrical grid would silently lose its (1/r) d/dr
-        # term on TPU
+    if isinstance(grid, CylindricalSymGrid):
+        # the (1/r) d/dr term lowers as per-row in-kernel coefficients at the
+        # GLOBAL row index shard_offset + local row (radial= of the ext kernel)
+        radial = (float(grid.axes_bounds[0][0]), float(grid.discretization[0]))
+    elif isinstance(grid, CartesianGrid) and grid.num_axes == 2:
+        radial = None
+    else:
+        # other curvilinear grids have coordinate-dependent stencils this
+        # kernel does not model — without this guard they would silently
+        # lose their radial terms on TPU
         raise PallasUnsupportedError(
-            "Sharded fused window requires a 2D Cartesian grid"
+            "Sharded fused window requires a 2D Cartesian/cylindrical grid"
         )
     bc_params = None
     if not all(grid.periodic):
@@ -145,20 +151,23 @@ def make_fused_euler_window_sharded(
         flags = []
         for ax in range(2):
             if periodic[ax]:
-                flags += [0, 0]
+                flags += [jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)]
             else:
                 idx = jax.lax.axis_index(axis_names[ax])
                 flags += [
                     (idx == 0).astype(jnp.int32),
                     (idx == decomposition[ax] - 1).astype(jnp.int32),
                 ]
+        # global row offset of this shard (used by the radial term)
+        row_off = jax.lax.axis_index(axis_names[0]) * np.int32(local_shape[0])
+        flags.append(row_off.astype(jnp.int32))
         return jnp.stack(flags)
 
     def build(kk):
         step = make_affine_laplace_ext_2d(
             local_shape, a=1.0, b=dt * diffusivity, k=kk, discretization=disc,
             ext_cols=ext_cols, dtype=dtype, bc_params=bc_params,
-            interpret=interpret,
+            interpret=interpret, radial=radial,
         )
         h = ext_halo_width(kk, interpret=interpret)
         pad = make_halo_pad(mesh, (h, h if ext_cols else 0), periodic)

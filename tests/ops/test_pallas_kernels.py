@@ -530,26 +530,68 @@ def test_fused_euler_window_cylindrical(periodic_z, rng, monkeypatch):
     )
 
 
-def test_fused_cylindrical_sharded_falls_back(rng, monkeypatch):
-    """Decomposed cylindrical grids must NOT take the sharded Cartesian
-    kernel (it has no (1/r) d/dr term): solving stays correct via the XLA
-    path. Regression for a guard that only checked num_axes == 2."""
+@pytest.mark.parametrize(
+    "decomposition, shape, periodic_z",
+    [
+        ([1, 2], (16, 128), True),   # z cut
+        ([2, 1], (32, 64), True),    # radial cut (shard-varying row factors)
+        ([2, 2], (32, 128), False),  # both axes, Dirichlet z
+        ([4, 1], (32, 64), False),
+    ],
+    ids=["z-cut", "r-cut", "r+z-dirichlet", "r4"],
+)
+def test_fused_cylindrical_sharded(decomposition, shape, periodic_z, rng, monkeypatch):
+    """Decomposed cylindrical grids keep the fused path: the ext kernel
+    computes the (1/r) d/dr row factors at the GLOBAL row index
+    (shard row offset via the SMEM flags). Parity vs the serial XLA path."""
     from pde_tpu.solvers import Controller, EulerSolver
 
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
-    grid = pde.CylindricalSymGrid(1.0, (0, 2), (16, 128), periodic_z=True)
+    grid = pde.CylindricalSymGrid(1.0, (0, 2), shape, periodic_z=periodic_z)
     field = pde.ScalarField.random_uniform(grid, rng=rng)
-    eq = pde.DiffusionPDE(0.1, bc={"r": {"derivative": 0}, "z": "periodic"})
+    bc = {"r": {"derivative": 0}, "z": "periodic" if periodic_z else {"value": 0}}
+    eq = pde.DiffusionPDE(0.1, bc=bc)
 
     monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
     serial = eq.solve(field, t_range=5e-3, dt=5e-5, tracker=None)
     monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
 
-    solver = EulerSolver(eq, decomposition=[1, 2])
+    solver = EulerSolver(eq, decomposition=decomposition)
     sharded = Controller(solver, t_range=5e-3, tracker=None).run(field, 5e-5)
-    # the sharded Cartesian kernel must refuse cylindrical grids...
-    assert not solver.info.get("fused_step", False)
-    # ...and the XLA sharded path matches serial bit for bit
-    np.testing.assert_array_equal(
-        np.asarray(serial.data), np.asarray(sharded.data)
+    assert solver.info.get("fused_step", False)
+    np.testing.assert_allclose(
+        np.asarray(serial.data), np.asarray(sharded.data),
+        rtol=1e-12, atol=1e-13,
     )
+
+
+def test_fused_expression_cylindrical(rng, monkeypatch):
+    """Expression PDEs fuse on cylindrical grids: the helper Laplacian
+    carries the per-row (1/r) d/dr factor; unsafe compositions (gradient/
+    divergence — extra v_r/r terms the Cartesian lowering misses) fall back."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers import EulerSolver
+
+    grid = pde.CylindricalSymGrid(1.0, (0, 2), (32, 32), periodic_z=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"r": {"derivative": 0}, "z": "periodic"}
+
+    eq = pde.PDE(
+        {"c": "laplace(c**3 - c - 0.01*laplace(c))"},
+        bc_ops={"c:laplace": bc},
+    )
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref, _ = EulerSolver(eq).make_stepper(field, 1e-6)(field, 0.0, 2e-4)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    solver = EulerSolver(eq)
+    res, _ = solver.make_stepper(field, 1e-6)(field, 0.0, 2e-4)
+    assert solver.info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-12
+    )
+
+    # gradient/divergence compositions must NOT fuse on cylindrical grids
+    eq2 = pde.PDE({"u": "divergence(gradient(u))"}, bc_ops={"u:*": bc})
+    solver2 = EulerSolver(eq2)
+    solver2.make_stepper(field, 5e-5)(field, 0.0, 5e-4)
+    assert not solver2.info.get("fused_step", False)

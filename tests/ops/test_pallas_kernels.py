@@ -595,3 +595,25 @@ def test_fused_expression_cylindrical(rng, monkeypatch):
     solver2 = EulerSolver(eq2)
     solver2.make_stepper(field, 5e-5)(field, 0.0, 5e-4)
     assert not solver2.info.get("fused_step", False)
+
+
+def test_cylindrical_benchmark_config_stays_fused(monkeypatch):
+    """Gating contract for the cylindrical fused path (TPU backend mocked):
+    the measured 2048x2048 configuration must construct its kernel."""
+    import pde_tpu.ops.pallas_cartesian as pc
+
+    monkeypatch.setattr(pc.jax, "default_backend", lambda: "tpu")
+    grid = pde.CylindricalSymGrid(1.0, (0, 2), (2048, 2048))
+    bcs = grid.get_boundary_conditions(
+        {"r": {"derivative": 0}, "z": {"derivative": 0}}
+    )
+    assert pc.supports_affine_laplace_cyl(grid, bcs, np.float32, k=16)
+    window = pc.make_fused_euler_window_cyl(
+        grid, diffusivity=0.1, dt=1e-8, bcs=bcs, dtype=np.float32
+    )
+    assert callable(window)
+    # fp64 and misaligned shapes must not claim support
+    assert not pc.supports_affine_laplace_cyl(grid, bcs, np.float64, k=16)
+    small = pde.CylindricalSymGrid(1.0, (0, 2), (100, 100))
+    small_bcs = small.get_boundary_conditions({"derivative": 0})
+    assert not pc.supports_affine_laplace_cyl(small, small_bcs, np.float32)

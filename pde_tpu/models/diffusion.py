@@ -71,16 +71,8 @@ class DiffusionPDE(SDEBase):
                     dtype=state.dtype, bcs=None if fully_periodic else bcs,
                     interpret=interpret_requested(),
                 )
-            from ..grids.cylindrical import CylindricalSymGrid
-
-            if isinstance(state.grid, CylindricalSymGrid):
-                from ..ops.pallas_cartesian import make_fused_euler_window_cyl
-
-                return make_fused_euler_window_cyl(
-                    state.grid, diffusivity=self.diffusivity, dt=dt,
-                    bcs=bcs, dtype=state.dtype,
-                    interpret=interpret_requested(),
-                )
+            # 2D handles Cartesian AND cylindrical grids (per-row radial
+            # coefficients); cylindrical grids always pass explicit bcs
             return make_fused_euler_window_2d(
                 state.grid, diffusivity=self.diffusivity, dt=dt,
                 dtype=state.dtype, bcs=None if fully_periodic else bcs,

@@ -74,6 +74,33 @@ def _fused_geometry_ok(
     return halo <= band
 
 
+def _radial_row_coeffs(radial, a, b, sx, sy, dtype, row_start, length):
+    """Folded per-row cylindrical coefficients for work rows
+    ``[row_start, row_start + length)`` (``row_start`` may be traced).
+
+    The ``(1/r) d/dr`` term folds into up/down row factors:
+    ``a*c + b*sx*(up+down-2c) + b*sy*(l+r-2c) + fac*(down-up)
+      = cu*up + cd*down + (b*sy)*(l+r) + (a-2b(sx+sy))*c``
+    (8 VPU ops/cell/step instead of 12 in the compute-bound loop). Returns
+    ``(cu_full, cd_full, c_center)`` with the row factors as ``(length, 1)``
+    arrays; ``r`` is never exactly 0 at cell centers or ghost rows
+    (``(row+0.5)*dr``), and out-of-range rows produce finite garbage that the
+    shrinking trapezoid + BC fixups discard. Shared by the single-device and
+    halo-extended kernels so the two cylindrical paths stay identical.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    r_lo, dr_r = radial
+    rows_g = row_start + jax.lax.broadcasted_iota(jnp.int32, (length, 1), 0)
+    r_vals = (rows_g.astype(dtype) + 0.5) * dr_r + r_lo
+    fac_full = (b / (2.0 * dr_r)) / r_vals
+    cu_full = (b * sx) - fac_full
+    cd_full = (b * sx) + fac_full
+    c_center = a - 2.0 * b * sx - 2.0 * b * sy
+    return cu_full, cd_full, c_center
+
+
 def _supports_fused_shape_2d(grid, dtype, k: int = 1, *, grid_cls=None) -> bool:
     """Shape/backend preconditions shared by all 2D fused kernels."""
     if jax.default_backend() != "tpu":
@@ -258,24 +285,11 @@ def make_affine_laplace_2d(
             [halo_top[halo - k :, :], band_ref[:, :], halo_bot[:k, :]], axis=0
         )
         if radial is not None:
-            # per-row cylindrical factor b/(2 r dr) for the work-region rows
-            # [row0-k, row0+band+k): computed once per program from the global
-            # row index. Out-of-range rows (edge programs) produce finite
-            # garbage that the shrinking trapezoid + BC fixups discard; r is
-            # never exactly 0 at cell centers or ghost rows ((row+0.5)*dr).
-            r_lo, dr_r = radial
-            rows_g = row0 - np.int32(k) + jax.lax.broadcasted_iota(
-                jnp.int32, (band + 2 * k, 1), 0
+            # per-row cylindrical coefficients over the work-region rows
+            # [row0-k, row0+band+k), once per program (see _radial_row_coeffs)
+            cu_full, cd_full, c_center = _radial_row_coeffs(
+                radial, a, b, sx, sy, dtype, row0 - np.int32(k), band + 2 * k
             )
-            r_vals = (rows_g.astype(dtype) + 0.5) * dr_r + r_lo
-            fac_full = (b / (2.0 * dr_r)) / r_vals
-            # fold the radial term into per-row up/down coefficients:
-            # a*c + b*sx*(up+down-2c) + b*sy*(l+r-2c) + fac*(down-up)
-            #   = cu*up + cd*down + (b*sy)*(l+r) + (a-2b(sx+sy))*c
-            # (8 VPU ops/cell/step instead of 12 in this compute-bound loop)
-            cu_full = (b * sx) - fac_full
-            cd_full = (b * sx) + fac_full
-            c_center = a - 2.0 * b * sx - 2.0 * b * sy
         isotropic = sx == sy
         for s in range(k):
             if bc_rows is not None:
@@ -1217,14 +1231,28 @@ def make_fused_euler_window_2d(
     steps with temporal blocking (k steps per HBM pass).
 
     Supports fully periodic grids and const-affine physical BCs via ``bcs``
-    (the reference's no-flux benchmark case, `performance.rst:36-45`).
+    (the reference's no-flux benchmark case, `performance.rst:36-45`), and
+    CylindricalSymGrid (the ``(1/r) d/dr`` term lowers as per-row in-kernel
+    coefficients; the r axis always requires physical BCs).
     """
+    from ..grids.cylindrical import CylindricalSymGrid
+
+    is_cyl = isinstance(grid, CylindricalSymGrid)
+    if is_cyl and bcs is None:
+        raise PallasUnsupportedError("Cylindrical grids require explicit BCs")
+    radial = (
+        (float(grid.axes_bounds[0][0]), float(grid.discretization[0]))
+        if is_cyl
+        else None
+    )
     if interpret:
         # relax the TPU-only preconditions (backend, tiling alignment,
         # dtype) but keep the band/halo geometry and BC-lowerability ones —
         # they are correctness constraints in interpret mode too
         def supports(kk):
-            if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+            if grid.num_axes != 2 or not isinstance(
+                grid, (CartesianGrid, CylindricalSymGrid)
+            ):
                 return False
             n_r, n_c = grid.shape
             if not _fused_geometry_ok(n_r, n_c, np.dtype(dtype).itemsize, kk):
@@ -1235,6 +1263,8 @@ def make_fused_euler_window_2d(
                 except PallasUnsupportedError:
                     return False
             return True
+    elif is_cyl:
+        supports = lambda kk: supports_affine_laplace_cyl(grid, bcs, dtype, kk)
     elif bcs is None:
         supports = lambda kk: supports_affine_laplace(grid, dtype, kk)
     else:
@@ -1247,7 +1277,7 @@ def make_fused_euler_window_2d(
     def build(kk):
         return make_affine_laplace_2d(
             grid, a=1.0, b=dt * diffusivity, k=kk, dtype=dtype, bcs=bcs,
-            interpret=interpret,
+            interpret=interpret, radial=radial,
         )
 
     return _make_binary_chunked_window(build, k)
@@ -1258,6 +1288,8 @@ def supports_affine_laplace_cyl(grid, bcs, dtype, k: int = 1) -> bool:
     from ..grids.cylindrical import CylindricalSymGrid
 
     if not isinstance(grid, CylindricalSymGrid):
+        return False
+    if bcs is None:  # the r axis is never periodic: explicit BCs required
         return False
     if not _supports_fused_shape_2d(grid, dtype, k, grid_cls=object):
         return False
@@ -1274,46 +1306,16 @@ def make_fused_euler_window_cyl(
 ) -> Callable:
     """Euler diffusion window on a CylindricalSymGrid (rows = r, lanes = z).
 
-    The cylindrical Laplacian's extra ``(1/r) d/dr`` term is lowered as a
-    per-row in-kernel factor (``radial=`` of :func:`make_affine_laplace_2d`).
-    The r axis always carries physical BCs; z may be periodic or const-affine.
-    """
+    Thin alias of :func:`make_fused_euler_window_2d`, which detects
+    cylindrical grids itself; kept as an explicit named entry point."""
     from ..grids.cylindrical import CylindricalSymGrid
 
     if not isinstance(grid, CylindricalSymGrid):
         raise PallasUnsupportedError("CylindricalSymGrid required")
-    if bcs is None:
-        raise PallasUnsupportedError("Cylindrical grids require explicit BCs")
-    r_lo = float(grid.axes_bounds[0][0])
-    dr_r = float(grid.discretization[0])
-
-    if interpret:
-        n_r, n_c = grid.shape
-        itemsize = np.dtype(dtype).itemsize
-
-        def supports(kk):
-            if not _fused_geometry_ok(n_r, n_c, itemsize, kk):
-                return False
-            try:
-                affine_bc_params(grid, bcs)
-            except PallasUnsupportedError:
-                return False
-            return True
-
-    else:
-        supports = lambda kk: supports_affine_laplace_cyl(grid, bcs, dtype, kk)
-    while k > 1 and not supports(k):
-        k //= 2
-    if not supports(k):
-        raise PallasUnsupportedError("Unsupported configuration for fused window")
-
-    def build(kk):
-        return make_affine_laplace_2d(
-            grid, a=1.0, b=dt * diffusivity, k=kk, dtype=dtype, bcs=bcs,
-            interpret=interpret, radial=(r_lo, dr_r),
-        )
-
-    return _make_binary_chunked_window(build, k)
+    return make_fused_euler_window_2d(
+        grid, diffusivity=diffusivity, dt=dt, dtype=dtype, k=k, bcs=bcs,
+        interpret=interpret,
+    )
 
 
 # -- halo-extended kernels for decomposed (shard_map) execution -----------------------
@@ -1432,21 +1434,12 @@ def make_affine_laplace_ext_2d(
         cp.wait()
 
         if radial is not None:
-            # cylindrical per-row coefficients over the work-region rows
+            # per-row cylindrical coefficients over the work-region rows
             # [row0-k, row0+band+k) at GLOBAL index flags[4] + local row
-            # (cf. make_affine_laplace_2d)
-            r_lo, dr_r = radial
-            rows_g = (
-                flags_ref[4]
-                + row0
-                - np.int32(k)
-                + jax.lax.broadcasted_iota(jnp.int32, (band + 2 * k, 1), 0)
+            cu_full, cd_full, c_center = _radial_row_coeffs(
+                radial, a, b, sx, sy, dtype,
+                flags_ref[4] + row0 - np.int32(k), band + 2 * k,
             )
-            r_vals = (rows_g.astype(dtype) + 0.5) * dr_r + r_lo
-            fac_full = (b / (2.0 * dr_r)) / r_vals
-            cu_full = (b * sx) - fac_full
-            cd_full = (b * sx) + fac_full
-            c_center = a - 2.0 * b * sx - 2.0 * b * sy
 
         def update(up, down, left, right, center, s):
             if radial is not None:

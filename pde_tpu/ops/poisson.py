@@ -104,6 +104,13 @@ def _register_poisson(grid_cls):
         """Solve lap(u) = rhs for u with the given boundary conditions."""
         if bcs is None:
             raise ValueError("Poisson solver requires boundary conditions")
+        mesh = getattr(grid, "_mesh", None)
+        if mesh is not None and any(n > 1 for n in mesh.decomposition):
+            # a per-shard FFT/BiCGStab would solve on local data only; a
+            # distributed elliptic solve needs global transforms/reductions
+            raise NotImplementedError(
+                "Poisson solves are not supported on decomposed grids"
+            )
         if method == "auto":
             use_fft = isinstance(grid, CartesianGrid) and all(grid.periodic)
         else:

@@ -157,20 +157,6 @@ class GridMesh:
             f"Domain decomposition is not implemented for {grid.__class__.__name__}"
         )
 
-    def assert_spmd_compatible(self) -> None:
-        """Check that one SPMD program is correct for every shard.
-
-        Shards share the compiled stepper traced on the shard-0 template.
-        Shard-VARYING data (radial stencil coefficients, coordinates, volume
-        factors) is handled by the traced helpers in :mod:`pde_tpu.grids.base`
-        (``axis_coords_traced`` and friends): they slice the GLOBAL arrays by
-        ``lax.axis_index`` inside ``shard_map``, so every grid class supports
-        decomposition along every axis — including RADIAL axes of polar/
-        spherical/cylindrical grids, where the reference instead compiles one
-        operator per MPI rank on its own subgrid (`_mesh.py:481`).
-        """
-        return
-
     # -- shardings ------------------------------------------------------------------------
     def sharding(self, rank: int = 0) -> NamedSharding:
         """NamedSharding for field data of the given tensorial rank."""
@@ -216,7 +202,14 @@ class GridMesh:
         """Template field on the local subgrid (used to trace per-shard code)."""
         import jax.numpy as jnp
 
-        self.assert_spmd_compatible()
+        # NOTE: shards share the compiled stepper traced on the shard-0
+        # template; shard-VARYING data (radial stencil coefficients,
+        # coordinates, volume factors) is handled by the traced helpers in
+        # grids.base (axis_coords_traced & friends), which slice the GLOBAL
+        # arrays by lax.axis_index inside shard_map — every grid class
+        # decomposes along every axis, including radial ones. Code that bakes
+        # template-grid coordinate data at trace time instead of using those
+        # helpers would silently diverge on decomposed runs.
         sub = self.subgrid
         if isinstance(field, FieldCollection):
             return FieldCollection(

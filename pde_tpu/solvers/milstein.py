@@ -36,13 +36,17 @@ class MilsteinSolver(EulerSolver):
         drift_factor = self.pde._noise_drift_factor
         noise_var_fn = self.pde.make_noise_variance(state, ret_diff=True)
         grid = state.grid
-        inv_cell = jnp.asarray(1.0 / np.broadcast_to(grid.cell_volumes, grid.shape))
         dt_sqrt = float(np.sqrt(dt))
         use_realization = self.pde.use_noise_realization
         if use_realization:
             realization_fn = self.pde.make_noise_realization(state)
 
         def single_step(leaves, t, key):
+            from ..grids.base import cell_volumes_traced
+
+            # resolved per trace: decomposed radial shards scale the noise
+            # with their own cell volumes (cf. SDEBase.make_sde_noise_step)
+            inv_cell = 1.0 / cell_volumes_traced(grid)
             rates = rhs(leaves, t)
             variances, diffs = noise_var_fn(leaves, t)
             if use_realization:

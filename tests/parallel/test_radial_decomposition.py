@@ -148,3 +148,35 @@ def test_radial_sde_runs(rng):
         field, t_range=0.01, dt=1e-4, tracker=None, decomposition=[4]
     )
     assert np.all(np.isfinite(np.asarray(res.data)))
+
+
+def test_milstein_radial_noise_scaling(rng):
+    """Regression: MilsteinSolver baked the shard-0 template's cell volumes,
+    inflating outer-shard noise ~sqrt(33)x on PolarSymGrid(1, 64) with
+    decomposition=[4]. The per-shard noise amplitude must now match the
+    serial solver's (both scale with the TRUE local cell volumes)."""
+    from pde_tpu.solvers import Controller, MilsteinSolver
+
+    grid = pde.PolarSymGrid(1.0, 64)
+    field = pde.ScalarField(grid, data=np.zeros(64))
+    eq = pde.DiffusionPDE(0.0, noise=1e-4)
+
+    def noise_std_profile(decomposition):
+        # with zero diffusivity and zero state, the result IS the accumulated
+        # noise; its std per radial block measures the local amplitude
+        outs = []
+        for seed in (1, 2, 3, 4):
+            eq.rng = np.random.default_rng(seed)  # decorrelates the runs
+            solver = MilsteinSolver(eq, decomposition=decomposition)
+            res = Controller(solver, t_range=0.01, tracker=None).run(
+                field, 1e-4
+            )
+            outs.append(np.asarray(res.data))
+        return np.std(np.stack(outs), axis=0).reshape(4, 16).mean(axis=1)
+
+    serial = noise_std_profile(None)
+    decomposed = noise_std_profile([4])
+    # inner cells (small volume) are noisier; profile must match serial
+    # within statistical scatter — the pre-fix bug was a sqrt(33)x error
+    ratio = decomposed / serial
+    assert np.all(ratio < 2.0) and np.all(ratio > 0.5), ratio

@@ -617,3 +617,24 @@ def test_cylindrical_benchmark_config_stays_fused(monkeypatch):
     small = pde.CylindricalSymGrid(1.0, (0, 2), (100, 100))
     small_bcs = small.get_boundary_conditions({"derivative": 0})
     assert not pc.supports_affine_laplace_cyl(small, small_bcs, np.float32)
+
+
+def test_predefined_models_fuse_on_cylindrical(rng, monkeypatch):
+    """Predefined scalar models route through the expression compiler and
+    fuse on cylindrical grids too (laplace/gradient_squared only)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers import Controller, EulerSolver
+
+    grid = pde.CylindricalSymGrid(1.0, (0, 2), (32, 32), periodic_z=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"r": {"derivative": 0}, "z": "periodic"}
+    eq = pde.AllenCahnPDE(interface_width=0.01, bc=bc)
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=2e-3, tracker=None).run(field, 1e-5)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(field, t_range=2e-3, dt=1e-5, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-12
+    )

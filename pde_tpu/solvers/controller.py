@@ -101,6 +101,40 @@ class Controller:
 
         return sync
 
+    def _make_host_gather(self) -> Callable:
+        """Host-side materialization of (possibly multi-process) field data.
+
+        On multi-process runs field data is a global ``jax.Array`` with
+        non-addressable shards: host-side consumers (trackers, storage,
+        plotting) cannot read it, and a one-sided fetch DEADLOCKS because the
+        underlying transfer is a collective. Every process must therefore
+        call the returned function at the same sequence points; it allgathers
+        the data to host-replicated numpy — the analogue of the reference's
+        per-interrupt MPI gather to rank 0 (`solvers/controller.py:146-342`),
+        except every process receives the global data. Identity on
+        single-process runs (where shards are always addressable).
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return lambda state: state
+        from jax.experimental import multihost_utils
+
+        from ..fields.collection import FieldCollection
+
+        def gather(state: FieldBase) -> FieldBase:
+            result = state.copy()
+            fields = (
+                list(result) if isinstance(result, FieldCollection) else [result]
+            )
+            for fld in fields:
+                arr = fld.data
+                if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+                    fld._data = multihost_utils.process_allgather(arr, tiled=True)
+            return result
+
+        return gather
+
     def run(self, initial_state: FieldBase, dt: float | None = None) -> FieldBase | None:
         """Run the simulation; returns the final state.
 
@@ -113,6 +147,7 @@ class Controller:
         t_start, t_end = self.t_range
         state = initial_state.copy()
         sync = self._make_time_sync()
+        gather = self._make_host_gather()  # collective: call on EVERY process
         is_main = jax.process_index() == 0
         if sync is not None and not is_main:
             # client processes: no host-side tracker actions
@@ -132,19 +167,21 @@ class Controller:
         # initialize trackers
         tracker_start = time.monotonic()
         try:
-            t_tracker = self.trackers.initialize(state, info=self.diagnostics)
+            t_tracker = self.trackers.initialize(
+                gather(state), info=self.diagnostics
+            )
         except StopIteration as err:
             status, msg = handle_stop(err, t_start)
             self.trackers.finalize(info=self.diagnostics)
             self.info["successful"] = status == 0
             if sync is not None:
                 sync(t_start, True, ok=status == 0)
-            return state
+            return gather(state)
         if sync is not None:
             t_tracker, stop, ok = sync(t_tracker, False)
             if stop:  # process 0 stopped during initialization
                 self.info["successful"] = ok
-                return state
+                return gather(state)
         profiler["tracker"] += time.monotonic() - tracker_start
 
         self.info["solver_start"] = str(datetime.datetime.now())
@@ -159,7 +196,7 @@ class Controller:
                 # let trackers handle the current state
                 tracker_start = time.monotonic()
                 try:
-                    t_tracker = self.trackers.handle(state, t)
+                    t_tracker = self.trackers.handle(gather(state), t)
                 except StopIteration as err:
                     status, msg = handle_stop(err, t)
                     successful = status == 0
@@ -184,7 +221,7 @@ class Controller:
                 # final tracker handling at the end
                 tracker_start = time.monotonic()
                 try:
-                    self.trackers.handle(state, t)
+                    self.trackers.handle(gather(state), t)
                 except StopIteration as err:
                     status, msg = handle_stop(err, t)
                     successful = status == 0
@@ -208,7 +245,7 @@ class Controller:
                 "Spent more time on handling trackers (%.3g s) than on the actual "
                 "simulation (%.3g s)", profiler["tracker"], profiler["solver"],
             )
-        return state
+        return gather(state)
 
 
 def _package_version() -> str:

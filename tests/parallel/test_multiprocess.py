@@ -1,0 +1,128 @@
+"""REAL multi-process (multi-host analogue) runs via jax.distributed.
+
+Spawns two fresh Python processes that form a 2-process JAX cluster over
+localhost (Gloo) with one CPU device each, then solves a decomposed PDE with
+trackers/storage — executing the controller's process-0 tracker protocol,
+interrupt-time broadcast, status propagation, and per-interrupt host gather
+for real (the unit tests in test_controller_depth.py mock these). The TPU
+analogue is a multi-host pod slice; the reference's equivalent is its
+`mpiexec -n 2` CI lane (`/root/reference/pde/solvers/controller.py:146-342`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+
+WORKER = """
+import json, os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=proc_id
+)
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+import pde_tpu as pde
+
+grid = pde.UnitGrid([16, 16], periodic=True)
+field = pde.ScalarField.random_uniform(grid, rng=np.random.default_rng(0))
+eq = pde.DiffusionPDE(0.1)
+
+# reference trajectory computed redundantly on every process (no sharding)
+ref = eq.solve(field, t_range=0.03, dt=1e-3, tracker=None)
+
+# decomposed run with host-side trackers (process-0 protocol + host gather)
+calls = []
+storage = pde.MemoryStorage()
+tracker = [pde.CallbackTracker(lambda s, t: calls.append(t), interrupts=0.01),
+           storage.tracker(0.01)]
+result, info = eq.solve(field, t_range=0.03, dt=1e-3, tracker=tracker,
+                        decomposition=[2, 1], ret_info=True)
+
+# the returned state is host-replicated on EVERY process
+final = np.asarray(result.data)
+out = {
+    "proc": proc_id,
+    "maxdiff": float(np.max(np.abs(final - np.asarray(ref.data)))),
+    "tracker_calls": len(calls),
+    "storage_frames": len(storage),
+    "frame_shape": list(np.asarray(storage[0].data).shape) if len(storage) else None,
+    "successful": bool(info["controller"]["successful"]),
+}
+
+# a mid-run abort on process 0 must propagate successful=False to clients
+def abort(state, t):
+    if t > 0.005:
+        raise StopIteration("abort for test")
+
+_, info2 = eq.solve(field, t_range=0.03, dt=1e-3,
+                    tracker=pde.CallbackTracker(abort, interrupts=0.005),
+                    decomposition=[2, 1], ret_info=True)
+out["abort_successful"] = bool(info2["controller"]["successful"])
+print("RESULT:" + json.dumps(out), flush=True)
+"""
+
+
+def test_two_process_distributed_run(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PYTHONPATH": str(REPO_ROOT),
+        "PDE_TPU_DISABLE_FUSED": "1",
+    })
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO_ROOT, env=env,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outputs.append(out)
+        assert p.returncode == 0, out[-2000:]
+
+    results = {}
+    for out in outputs:
+        for line in out.splitlines():
+            if line.startswith("RESULT:"):
+                r = json.loads(line[len("RESULT:"):])
+                results[r["proc"]] = r
+    assert set(results) == {0, 1}, outputs
+
+    for proc, r in results.items():
+        # decomposed trajectory matches the redundant serial one bit for bit
+        assert r["maxdiff"] == 0.0, r
+        assert r["successful"] is True, r
+        # process 0's abort status propagates to the client
+        assert r["abort_successful"] is False, r
+    # trackers and storage run on process 0 only, on full-resolution data
+    assert results[0]["tracker_calls"] > 0
+    assert results[1]["tracker_calls"] == 0
+    assert results[0]["storage_frames"] > 0
+    assert results[0]["frame_shape"] == [16, 16]
+    assert results[1]["storage_frames"] == 0
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]

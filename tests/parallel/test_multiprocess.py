@@ -71,6 +71,21 @@ _, info2 = eq.solve(field, t_range=0.03, dt=1e-3,
                     tracker=pde.CallbackTracker(abort, interrupts=0.005),
                     decomposition=[2, 1], ret_info=True)
 out["abort_successful"] = bool(info2["controller"]["successful"])
+
+# adaptive dt (pmax error sync inside the compiled loop) across processes
+ref_ad = eq.solve(field, t_range=0.02, dt=1e-3, solver="runge-kutta",
+                  adaptive=True, tracker=None)
+res_ad = eq.solve(field, t_range=0.02, dt=1e-3, solver="runge-kutta",
+                  adaptive=True, tracker=None, decomposition=[2, 1])
+out["adaptive_maxdiff"] = float(
+    np.max(np.abs(np.asarray(res_ad.data) - np.asarray(ref_ad.data)))
+)
+
+# SDE stepping across processes (per-shard decorrelated noise; finite)
+eq_sde = pde.DiffusionPDE(0.1, noise=0.01)
+res_sde = eq_sde.solve(field, t_range=0.01, dt=1e-3, tracker=None,
+                       decomposition=[2, 1])
+out["sde_finite"] = bool(np.all(np.isfinite(np.asarray(res_sde.data))))
 print("RESULT:" + json.dumps(out), flush=True)
 """
 
@@ -114,6 +129,9 @@ def test_two_process_distributed_run(tmp_path):
         assert r["successful"] is True, r
         # process 0's abort status propagates to the client
         assert r["abort_successful"] is False, r
+        # adaptive dt (pmax sync) stays bit-identical too; SDE runs finite
+        assert r["adaptive_maxdiff"] == 0.0, r
+        assert r["sde_finite"] is True, r
     # trackers and storage run on process 0 only, on full-resolution data
     assert results[0]["tracker_calls"] > 0
     assert results[1]["tracker_calls"] == 0

@@ -86,6 +86,17 @@ eq_sde = pde.DiffusionPDE(0.1, noise=0.01)
 res_sde = eq_sde.solve(field, t_range=0.01, dt=1e-3, tracker=None,
                        decomposition=[2, 1])
 out["sde_finite"] = bool(np.all(np.isfinite(np.asarray(res_sde.data))))
+
+# RADIAL decomposition across processes: each process's shard slices its own
+# r-coefficients from the global arrays (grids.base.axis_coords_traced)
+polar = pde.PolarSymGrid(1.0, 32)
+pfield = pde.ScalarField.random_uniform(polar, rng=np.random.default_rng(1))
+ref_rad = eq.solve(pfield, t_range=0.02, dt=1e-4, tracker=None)
+res_rad = eq.solve(pfield, t_range=0.02, dt=1e-4, tracker=None,
+                   decomposition=[2])
+out["radial_maxdiff"] = float(
+    np.max(np.abs(np.asarray(res_rad.data) - np.asarray(ref_rad.data)))
+)
 print("RESULT:" + json.dumps(out), flush=True)
 """
 
@@ -132,6 +143,8 @@ def test_two_process_distributed_run(tmp_path):
         # adaptive dt (pmax sync) stays bit-identical too; SDE runs finite
         assert r["adaptive_maxdiff"] == 0.0, r
         assert r["sde_finite"] is True, r
+        # radial decomposition across processes stays bit-identical
+        assert r["radial_maxdiff"] == 0.0, r
     # trackers and storage run on process 0 only, on full-resolution data
     assert results[0]["tracker_calls"] > 0
     assert results[1]["tracker_calls"] == 0

@@ -726,10 +726,14 @@ def local_slice_traced(grid, data, rank: int = 0):
     mesh = getattr(grid, "_mesh", None)
     if mesh is None or tuple(arr.shape[rank:]) != tuple(mesh.basegrid.shape):
         return arr
-    starts = [0] * rank
+    # dynamic_slice requires uniformly typed indices: static zeros must match
+    # the int32 of lax.axis_index (mixing a Python int with a traced index
+    # raises under x64)
+    zero = jnp.asarray(0, jnp.int32)
+    starts = [zero] * rank
     for ax, n_local in enumerate(grid.shape):
         start = _shard_axis_start(grid, ax)
-        starts.append(0 if start is None else start)
+        starts.append(zero if start is None else jnp.asarray(start, jnp.int32))
     sizes = tuple(arr.shape[:rank]) + tuple(grid.shape)
     return jax.lax.dynamic_slice(arr, starts, sizes)
 

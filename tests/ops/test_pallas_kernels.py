@@ -638,3 +638,33 @@ def test_predefined_models_fuse_on_cylindrical(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-12
     )
+
+
+def test_fused_multi_field_cylindrical(rng, monkeypatch):
+    """Coupled (Brusselator-type) systems fuse on cylindrical grids: all
+    field planes share one HBM pass and the radial-aware helper Laplacian."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers import Controller, EulerSolver
+
+    grid = pde.CylindricalSymGrid(1.0, (0, 2), (32, 32), periodic_z=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    v = pde.ScalarField.random_uniform(grid, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    bc = {"r": {"derivative": 0}, "z": "periodic"}
+    eq = pde.PDE(
+        {
+            "u": "1 + u**2*v - 2.2*u + 0.1*laplace(u)",
+            "v": "1.2*u - u**2*v + 0.05*laplace(v)",
+        },
+        bc_ops={"*:laplace": bc},
+    )
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=2e-3, dt=1e-5, tracker=None)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=2e-3, tracker=None).run(state, 1e-5)
+    assert solver.info.get("fused_step") is True
+    for a, b in zip(res, ref, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-12
+        )

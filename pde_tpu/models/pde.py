@@ -830,6 +830,157 @@ class PDE(SDEBase):
             jacobian.append(jac_line)
         return sympy.Matrix(jacobian)
 
+    # -- exponential-integrator support ---------------------------------------------------
+    def make_etdrk_parts(self, state):
+        """Split the rhs into a spectral linear part and a nonlinear remainder.
+
+        Returns ``(L_vals, nonlinear_rhs)`` for exponential integrators
+        (:class:`~pde_tpu.solvers.etdrk.ETDRK4Solver`): ``L_vals`` is the
+        continuous Fourier symbol of the stiff linear constant-coefficient
+        part — sums of ``c * laplace^m(u)`` and ``c * u`` — evaluated over
+        the grid's ``rfftn`` wavenumbers (shape ``(*shape[:-1],
+        shape[-1]//2 + 1)``), and ``nonlinear_rhs(leaves, t) -> leaves``
+        computes everything else. Linear operators are first distributed
+        over sums (``laplace(a + b) -> laplace(a) + laplace(b)``) so e.g.
+        Cahn-Hilliard's ``laplace(c**3 - c - laplace(c))`` splits into the
+        stiff ``q**2 - q**4`` symbol plus ``laplace(c**3)``.
+
+        Requires one scalar variable on a fully periodic CartesianGrid.
+        There is no reference equivalent — py-pde handles stiffness by
+        handing the rhs to scipy's implicit integrators on the host
+        (`/root/reference/pde/solvers/scipy.py:17`).
+        """
+        from ..grids.cartesian import CartesianGrid
+
+        if len(self.variables) != 1:
+            raise NotImplementedError(
+                "The spectral split supports a single scalar variable"
+            )
+        if self.is_sde:
+            raise NotImplementedError("The spectral split is deterministic")
+        grid = state.grid
+        if not isinstance(grid, CartesianGrid) or not all(grid.periodic):
+            raise NotImplementedError(
+                "The spectral split requires a fully periodic Cartesian grid"
+            )
+        var = self.variables[0]
+        u = sympy.Symbol(var)
+        expr = self._distribute_linear_ops(
+            sympy.expand(self._rhs_expr[var]._sympy_expr)
+        )
+        expr = sympy.expand(expr)
+
+        q = sympy.Symbol("__wave_number")
+        lin_symbol = sympy.S.Zero
+        rest_terms = []
+        for term in expr.as_ordered_terms():
+            sym = self._linear_term_symbol(term, u, q)
+            if sym is None:
+                rest_terms.append(term)
+            else:
+                lin_symbol = lin_symbol + sym
+
+        # evaluate the symbol with the DISCRETE Laplacian eigenvalues
+        # λ(k) = -Σ_i 4 sin²(k_i dx_i / 2) / dx_i² over the rfftn modes, so
+        # the exponential integrator advances exactly the same
+        # finite-difference semi-discretization as every other solver (a
+        # continuum -|q|² symbol would silently change the spatial scheme)
+        lam = None
+        for ax, (n, dx) in enumerate(
+            zip(grid.shape, grid.discretization, strict=True)
+        ):
+            if ax == grid.num_axes - 1:
+                f_cyc = np.fft.rfftfreq(n, d=dx)
+            else:
+                f_cyc = np.fft.fftfreq(n, d=dx)
+            lam_ax = -4.0 * np.sin(np.pi * f_cyc * dx) ** 2 / dx**2
+            shape = [1] * grid.num_axes
+            shape[ax] = len(f_cyc)
+            lam_ax = lam_ax.reshape(shape)
+            lam = lam_ax if lam is None else lam + lam_ax
+        if lin_symbol == 0:
+            L_vals = np.zeros(lam.shape)
+        else:
+            # the symbol contains only even powers of q ((-q²)^m chains), so
+            # substituting q = sqrt(-λ) evaluates (-q²)^m as λ^m exactly
+            sym_fn = sympy.lambdify(q, lin_symbol, modules="numpy")
+            L_vals = np.asarray(sym_fn(np.sqrt(-lam)), dtype=float)
+            L_vals = np.broadcast_to(L_vals, lam.shape).copy()
+
+        rest_expr = sympy.Add(*rest_terms) if rest_terms else sympy.S.Zero
+        sub_pde = PDE(
+            {var: str(rest_expr)},
+            bc=self.bcs.get("*:*"),
+            bc_ops={k: v for k, v in self.bcs.items() if k != "*:*"},
+            user_funcs=self.user_funcs,
+            consts=self.consts,
+        )
+        nonlinear_rhs = sub_pde.make_pde_rhs(state)
+        return L_vals, nonlinear_rhs
+
+    @staticmethod
+    def _distribute_linear_ops(expr):
+        """Rewrite ``laplace(a + c*b) -> laplace(a) + c*laplace(b)`` (fixpoint)
+        for the Fourier-mappable linear operators."""
+        from sympy.core.function import AppliedUndef
+
+        linear_ops = set(_OPERATOR_FOURIER_MAPPING)
+
+        def rewrite_once(e):
+            def matches(node):
+                return (
+                    isinstance(node, AppliedUndef)
+                    and node.func.__name__ in linear_ops
+                    and len(node.args) == 1
+                )
+
+            def apply(node):
+                arg = sympy.expand(node.args[0])
+                if arg.is_Add:
+                    return sympy.Add(*[node.func(a) for a in arg.args])
+                coeff, core = arg.as_coeff_Mul()
+                if coeff != 1:
+                    return coeff * node.func(core)
+                return node.func(arg)
+
+            return e.replace(matches, apply)
+
+        for _ in range(8):  # nesting depth bound; fixpoint in practice
+            new = rewrite_once(expr)
+            if new == expr:
+                break
+            expr = new
+        return expr
+
+    @classmethod
+    def _linear_term_symbol(cls, term, u, q):
+        """Fourier symbol of a term linear in `u` via laplace chains, or None.
+
+        Supported shapes: ``c * u`` and ``c * laplace(...laplace(u)...)``
+        with ``c`` free of ``u`` and real. Gradient/divergence terms (odd,
+        anisotropic symbols) and everything nonlinear return None and stay
+        in the remainder.
+        """
+        from sympy.core.function import AppliedUndef
+
+        coeff, core = term.as_independent(u, as_Add=False)
+        if coeff.has(u) or not coeff.is_number or not coeff.is_real:
+            return None
+        symbol = sympy.S.One
+        node = core
+        while True:
+            if node == u:
+                return coeff * symbol
+            if (
+                isinstance(node, AppliedUndef)
+                and node.func.__name__ == "laplace"
+                and len(node.args) == 1
+            ):
+                symbol = symbol * (-(q**2))
+                node = node.args[0]
+                continue
+            return None
+
     def _dispersion_relation(self, state_hom, qs=None, *, t: float = 0):
         """Eigenvalues of the spectral Jacobian over wave numbers (reference `pde.py:1005`)."""
         if qs is None:

@@ -4,6 +4,7 @@ from .adams_bashforth import AdamsBashforthSolver
 from .base import AdaptiveSolverBase, ConvergenceError, SolverBase, registered_solvers
 from .controller import Controller
 from .crank_nicolson import CrankNicolsonSolver
+from .etdrk import ETDRK4Solver
 from .euler import EulerSolver, ExplicitSolver
 from .implicit import ImplicitSolver
 from .milstein import MilsteinSolver

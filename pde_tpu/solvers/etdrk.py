@@ -1,0 +1,120 @@
+"""Exponential time differencing RK4 (ETDRK4) — a TPU-native stiff solver.
+
+For semilinear PDEs ``u_t = L u + N(u)`` with a stiff linear part that is
+diagonal in Fourier space (laplace chains on periodic Cartesian grids —
+diffusion, Cahn-Hilliard, Kuramoto-Sivashinsky, Swift-Hohenberg), the linear
+part is integrated EXACTLY via ``exp(h L)`` and only the nonlinearity is
+treated with a 4th-order Runge-Kutta scheme (Cox & Matthews 2002). The
+stability restriction of explicit stepping on the stiff operator (dt ~ dx²
+for diffusion, dx⁴ for biharmonic terms) disappears: dt is limited by
+accuracy on the nonlinearity alone, typically orders of magnitude larger.
+
+The phi-function coefficients are evaluated with the Kassam & Trefethen
+(2005) complex contour quadrature (numerically stable near ``h L → 0``) on
+the host; each step then costs a handful of elementwise spectral products
+plus 8 real FFTs, all inside the compiled window loop (XLA's TPU FFT).
+
+There is no reference equivalent: py-pde handles stiff problems by handing
+the rhs to scipy's implicit host-side integrators
+(`/root/reference/pde/solvers/scipy.py:17`), leaving compiled code entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.base import FieldBase
+from .base import SolverBase
+
+
+def _phi_coefficients(L: np.ndarray, dt: float, n_points: int = 64):
+    """ETDRK4 coefficient arrays via complex contour quadrature.
+
+    Evaluates the Cox-Matthews phi functions on a circle of radius 1 around
+    each ``h L`` value (Kassam & Trefethen 2005, eq. 2.5) — the naive closed
+    forms lose all precision for ``|h L|`` near 0. Accumulates over the
+    quadrature points to keep host memory at O(grid size). Returns real f64
+    arrays (L is real for laplace-chain symbols).
+    """
+    Lh = dt * np.asarray(L, dtype=np.float64)
+    E = np.exp(Lh)
+    E2 = np.exp(Lh / 2)
+    Q = np.zeros_like(Lh)
+    f1 = np.zeros_like(Lh)
+    f2 = np.zeros_like(Lh)
+    f3 = np.zeros_like(Lh)
+    for m in range(n_points):
+        r = np.exp(1j * np.pi * (m + 0.5) / n_points)  # upper half circle
+        z = Lh + r
+        ez = np.exp(z)
+        Q += ((np.exp(z / 2) - 1) / z).real
+        z3 = z**3
+        f1 += ((-4 - z + ez * (4 - 3 * z + z**2)) / z3).real
+        f2 += ((2 + z + ez * (-2 + z)) / z3).real
+        f3 += ((-4 - 3 * z - z**2 + ez * (4 - z)) / z3).real
+    scale = dt / n_points
+    return E, E2, Q * scale, f1 * scale, f2 * scale, f3 * scale
+
+
+class ETDRK4Solver(SolverBase):
+    """Exponential time differencing RK4 for stiff semilinear PDEs.
+
+    Requires a PDE exposing ``make_etdrk_parts`` (the expression
+    :class:`~pde_tpu.models.pde.PDE` does) with a single scalar variable on
+    a fully periodic CartesianGrid. Deterministic and fixed-dt.
+    """
+
+    name = "etdrk4"
+    dt_default = 1e-2
+
+    def __init__(self, pde, *, backend: str = "auto", decomposition=None):
+        super().__init__(pde, backend=backend, decomposition=decomposition)
+        if decomposition is not None:
+            raise NotImplementedError(
+                "ETDRK4 operates in global Fourier space; decomposed grids "
+                "are not supported"
+            )
+        if self.info["stochastic"]:
+            raise RuntimeError("ETDRK4 is deterministic; use an SDE solver")
+
+    def _make_single_step_fixed_dt(self, state: FieldBase, dt: float) -> Callable:
+        if not hasattr(self.pde, "make_etdrk_parts"):
+            raise NotImplementedError(
+                f"{self.pde.__class__.__name__} does not expose the spectral "
+                "linear/nonlinear split required by ETDRK4 "
+                "(make_etdrk_parts); use an expression PDE"
+            )
+        L_vals, nonlinear_rhs = self.pde.make_etdrk_parts(state)
+        grid = state.grid
+        axes = tuple(range(-grid.num_axes, 0))
+        shape = tuple(grid.shape)
+        E, E2, Q, f1, f2, f3 = (
+            jnp.asarray(arr) for arr in _phi_coefficients(L_vals, dt)
+        )
+        self.info["solver_scheme"] = "etdrk4 (Cox-Matthews / Kassam-Trefethen)"
+
+        def N_hat(u, t):
+            (rate,) = nonlinear_rhs([u], t)
+            return jnp.fft.rfftn(rate, axes=axes)
+
+        def irfft(v):
+            return jnp.fft.irfftn(v, s=shape, axes=axes)
+
+        def single_step(leaves, t, key):
+            (u,) = leaves
+            v = jnp.fft.rfftn(u, axes=axes)
+            Nv = N_hat(u, t)
+            a = E2 * v + Q * Nv
+            Na = N_hat(irfft(a), t + dt / 2)
+            b = E2 * v + Q * Na
+            Nb = N_hat(irfft(b), t + dt / 2)
+            c = E2 * a + Q * (2 * Nb - Nv)
+            Nc = N_hat(irfft(c), t + dt)
+            v = E * v + f1 * Nv + 2 * f2 * (Na + Nb) + f3 * Nc
+            return [irfft(v)]
+
+        return single_step

@@ -312,6 +312,17 @@ def make_fused_window_via_expression(pde_obj, state, dt: float, rhs_str: str, bc
     return eq.make_fused_euler_window(state, dt, mesh=mesh)
 
 
+def make_etdrk_parts_via_expression(pde_obj, state, rhs_str: str, bc):
+    """ETDRK spectral split for predefined scalar classes, routed through the
+    expression compiler (see `PDE.make_etdrk_parts`)."""
+    from .pde import PDE
+
+    if getattr(pde_obj, "is_sde", False):
+        raise NotImplementedError("ETDRK4 is deterministic; disable the noise")
+    eq = PDE({"c": rhs_str}, bc=bc)
+    return eq.make_etdrk_parts(state)
+
+
 def expr_prod(factor: float, expression: str) -> str:
     """Helper for building expression strings with prefactors."""
     if factor == 0:

@@ -80,3 +80,10 @@ class DiffusionPDE(SDEBase):
             )
         except PallasUnsupportedError as err:
             raise NotImplementedError(str(err)) from err
+
+    def make_etdrk_parts(self, state):
+        """Spectral linear/nonlinear split for the ETDRK4 solver."""
+        from .base import make_etdrk_parts_via_expression
+
+        rhs = f"{self.diffusivity!r} * laplace(c)"
+        return make_etdrk_parts_via_expression(self, state, rhs, self.bc)

@@ -42,3 +42,10 @@ class KPZInterfacePDE(SDEBase):
         rhs = f"{self.nu!r} * laplace(c) + {self.lmbda!r} * gradient_squared(c)"
         return make_fused_window_via_expression(self, state, dt, rhs,
                                                 self.bc, mesh=mesh)
+
+    def make_etdrk_parts(self, state):
+        """Spectral linear/nonlinear split for the ETDRK4 solver."""
+        from .base import make_etdrk_parts_via_expression
+
+        rhs = f"{self.nu!r} * laplace(c) + {self.lmbda!r} * gradient_squared(c)"
+        return make_etdrk_parts_via_expression(self, state, rhs, self.bc)

@@ -51,3 +51,13 @@ class KuramotoSivashinskyPDE(SDEBase):
         )
         return make_fused_window_via_expression(self, state, dt, rhs,
                                                 self.bc, mesh=mesh)
+
+    def make_etdrk_parts(self, state):
+        """Spectral linear/nonlinear split for the ETDRK4 solver."""
+        from .base import make_etdrk_parts_via_expression
+
+        rhs = (
+            f"-{self.nu!r} * laplace(laplace(c)) - laplace(c)"
+            " - 0.5 * gradient_squared(c)"
+        )
+        return make_etdrk_parts_via_expression(self, state, rhs, self.bc)

@@ -60,3 +60,14 @@ class SwiftHohenbergPDE(PDEBase):
         )
         return make_fused_window_via_expression(self, state, dt, rhs,
                                                 self.bc, mesh=mesh)
+
+    def make_etdrk_parts(self, state):
+        """Spectral linear/nonlinear split for the ETDRK4 solver."""
+        from .base import make_etdrk_parts_via_expression
+
+        rhs = (
+            f"({self.rate!r} - {self.kc2!r}**2) * c"
+            f" - 2 * {self.kc2!r} * laplace(c) - laplace(laplace(c))"
+            f" + {self.delta!r} * c**2 - c**3"
+        )
+        return make_etdrk_parts_via_expression(self, state, rhs, self.bc)

@@ -148,3 +148,40 @@ def test_float32_path(rng):
     res = eq.solve(field, t_range=0.5, dt=0.05, solver="etdrk4", tracker=None)
     assert np.asarray(res.data).dtype == np.float32
     assert np.all(np.isfinite(np.asarray(res.data)))
+
+
+@pytest.mark.parametrize(
+    "make_eq",
+    [
+        lambda: pde.DiffusionPDE(0.1),
+        lambda: pde.CahnHilliardPDE(),
+        lambda: pde.AllenCahnPDE(),
+        lambda: pde.SwiftHohenbergPDE(),
+        lambda: pde.KuramotoSivashinskyPDE(),
+        lambda: pde.KPZInterfacePDE(noise=0),
+    ],
+    ids=["diffusion", "cahn-hilliard", "allen-cahn", "swift-hohenberg",
+         "kuramoto-sivashinsky", "kpz"],
+)
+def test_predefined_models(make_eq, rng):
+    """Every predefined scalar model exposes the spectral split and matches
+    an RK4 reference at 100x the step size."""
+    grid = pde.UnitGrid([32, 32], periodic=True)
+    field = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+    eq = make_eq()
+    res = eq.solve(field, t_range=0.1, dt=0.01, solver="etdrk4", tracker=None)
+    ref = eq.solve(field, t_range=0.1, dt=1e-4, solver="runge-kutta",
+                   adaptive=False, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), atol=1e-6
+    )
+
+
+def test_predefined_sde_rejected():
+    """Noisy predefined models give a clean deterministic-only error."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    field = pde.ScalarField.random_uniform(grid, rng=np.random.default_rng(0))
+    with pytest.raises((RuntimeError, NotImplementedError), match="deterministic"):
+        pde.KPZInterfacePDE(noise=0.1).solve(
+            field, t_range=0.1, dt=0.01, solver="etdrk4", tracker=None
+        )

@@ -864,6 +864,15 @@ class PDE(SDEBase):
                 "The spectral split requires a fully periodic Cartesian grid"
             )
         var = self.variables[0]
+        # the rfft symbol encodes PLAIN periodic wrapping: anti-periodic (or
+        # any other) laplace BCs would silently get the wrong eigenvalues
+        bcs_resolved = grid.get_boundary_conditions(self._resolve_bc(var, "laplace"))
+        for pair in bcs_resolved:
+            if not pair.periodic or getattr(pair.low, "flip_sign", False):
+                raise NotImplementedError(
+                    "The spectral split requires plain periodic boundary "
+                    "conditions for the laplace operator"
+                )
         u = sympy.Symbol(var)
         expr = self._distribute_linear_ops(
             sympy.expand(self._rhs_expr[var]._sympy_expr)
@@ -885,17 +894,17 @@ class PDE(SDEBase):
         # the exponential integrator advances exactly the same
         # finite-difference semi-discretization as every other solver (a
         # continuum -|q|² symbol would silently change the spatial scheme)
+        from ..ops.common import laplace_eigenvalues_1d
+
         lam = None
         for ax, (n, dx) in enumerate(
             zip(grid.shape, grid.discretization, strict=True)
         ):
-            if ax == grid.num_axes - 1:
-                f_cyc = np.fft.rfftfreq(n, d=dx)
-            else:
-                f_cyc = np.fft.fftfreq(n, d=dx)
-            lam_ax = -4.0 * np.sin(np.pi * f_cyc * dx) ** 2 / dx**2
+            lam_ax = laplace_eigenvalues_1d(
+                n, float(dx), real_half=ax == grid.num_axes - 1
+            )
             shape = [1] * grid.num_axes
-            shape[ax] = len(f_cyc)
+            shape[ax] = len(lam_ax)
             lam_ax = lam_ax.reshape(shape)
             lam = lam_ax if lam is None else lam + lam_ax
         if lin_symbol == 0:

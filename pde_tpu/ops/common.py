@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..grids.base import (  # noqa: F401  (re-exported for operator modules)
     GridBase,
@@ -113,3 +114,15 @@ def make_derivative2(grid: GridBase, axis: int = 0, bcs=None) -> Callable:
         return (full[hi_idx] - 2 * full[mid_idx] + full[lo_idx]) * scale
 
     return wrap_with_bcs(grid, bcs, 0, stencil)
+
+
+def laplace_eigenvalues_1d(n: int, dx: float, *, real_half: bool = False) -> np.ndarray:
+    """Eigenvalues of the periodic 1D finite-difference Laplacian.
+
+    ``-4 sin²(π k / n) / dx²`` over the fft (or, with ``real_half``, rfft)
+    modes — the discrete spectrum shared by the FFT Poisson solver and the
+    ETDRK exponential integrator, so both advance/solve exactly the
+    semi-discretization of the stencil operators.
+    """
+    f_cyc = np.fft.rfftfreq(n, d=dx) if real_half else np.fft.fftfreq(n, d=dx)
+    return -4.0 * np.sin(np.pi * f_cyc * dx) ** 2 / dx**2

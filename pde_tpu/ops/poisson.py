@@ -36,13 +36,13 @@ def _is_singular(bcs) -> bool:
 
 def _make_fft_poisson_solver(grid: CartesianGrid) -> Callable:
     """Exact solver of the discrete periodic Poisson problem via FFT."""
+    from .common import laplace_eigenvalues_1d
+
     # eigenvalues of the 5/7-point Laplacian: -4 sin^2(pi k / N) / dx^2 per axis
     eig = np.zeros(grid.shape)
     for ax in range(grid.num_axes):
         n = grid.shape[ax]
-        dx = grid.discretization[ax]
-        k = np.fft.fftfreq(n, 1 / n)
-        lam = -4 * np.sin(np.pi * k / n) ** 2 / dx**2
+        lam = laplace_eigenvalues_1d(n, float(grid.discretization[ax]))
         shape = [1] * grid.num_axes
         shape[ax] = n
         eig = eig + lam.reshape(shape)

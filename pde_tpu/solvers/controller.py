@@ -225,6 +225,12 @@ class Controller:
                 except StopIteration as err:
                     status, msg = handle_stop(err, t)
                     successful = status == 0
+                if sync is not None:
+                    # propagate process 0's status for aborts raised at the
+                    # FINAL interrupt too (each process reaches this point
+                    # when its loop completes, so the collective is matched)
+                    _, _, ok = sync(t, True, ok=successful)
+                    successful = successful and ok
                 profiler["tracker"] += time.monotonic() - tracker_start
         except KeyboardInterrupt:
             msg = f"Simulation interrupted at t={t}"

@@ -12,7 +12,8 @@ accuracy on the nonlinearity alone, typically orders of magnitude larger.
 The phi-function coefficients are evaluated with the Kassam & Trefethen
 (2005) complex contour quadrature (numerically stable near ``h L → 0``) on
 the host; each step then costs a handful of elementwise spectral products
-plus 8 real FFTs, all inside the compiled window loop (XLA's TPU FFT).
+plus 9 real FFT transforms (5 forward, 4 inverse), all inside the compiled
+window loop (XLA's TPU FFT).
 
 There is no reference equivalent: py-pde handles stiff problems by handing
 the rhs to scipy's implicit host-side integrators
@@ -92,8 +93,13 @@ class ETDRK4Solver(SolverBase):
         grid = state.grid
         axes = tuple(range(-grid.num_axes, 0))
         shape = tuple(grid.shape)
+        # coefficients are real (laplace-chain symbols); match the state's
+        # dtype so f32 states stay complex64 throughout the spectral step
+        # (f64 coefficient arrays would promote every product under x64)
+        real_dtype = np.asarray(state.data).dtype
         E, E2, Q, f1, f2, f3 = (
-            jnp.asarray(arr) for arr in _phi_coefficients(L_vals, dt)
+            jnp.asarray(arr, dtype=real_dtype)
+            for arr in _phi_coefficients(L_vals, dt)
         )
         self.info["solver_scheme"] = "etdrk4 (Cox-Matthews / Kassam-Trefethen)"
 

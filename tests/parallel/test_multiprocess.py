@@ -72,6 +72,17 @@ _, info2 = eq.solve(field, t_range=0.03, dt=1e-3,
                     decomposition=[2, 1], ret_info=True)
 out["abort_successful"] = bool(info2["controller"]["successful"])
 
+# an abort at the FINAL tracker interrupt must propagate too (the while-else
+# path has its own status broadcast)
+def abort_final(state, t):
+    if t >= 0.03 - 1e-9:
+        raise StopIteration("final abort")
+
+_, info3 = eq.solve(field, t_range=0.03, dt=1e-3,
+                    tracker=pde.CallbackTracker(abort_final, interrupts=0.03),
+                    decomposition=[2, 1], ret_info=True)
+out["final_abort_successful"] = bool(info3["controller"]["successful"])
+
 # adaptive dt (pmax error sync inside the compiled loop) across processes
 ref_ad = eq.solve(field, t_range=0.02, dt=1e-3, solver="runge-kutta",
                   adaptive=True, tracker=None)
@@ -121,9 +132,18 @@ def test_two_process_distributed_run(tmp_path):
         for i in range(2)
     ]
     outputs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outputs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outputs.append(out)
+    finally:
+        # never leave orphan jax.distributed workers holding the
+        # coordinator port (a hung handshake would wedge later runs)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    for p, out in zip(procs, outputs, strict=True):
         assert p.returncode == 0, out[-2000:]
 
     results = {}
@@ -145,6 +165,8 @@ def test_two_process_distributed_run(tmp_path):
         assert r["sde_finite"] is True, r
         # radial decomposition across processes stays bit-identical
         assert r["radial_maxdiff"] == 0.0, r
+        # final-interrupt aborts propagate their status too
+        assert r["final_abort_successful"] is False, r
     # trackers and storage run on process 0 only, on full-resolution data
     assert results[0]["tracker_calls"] > 0
     assert results[1]["tracker_calls"] == 0

@@ -24,7 +24,7 @@ def test_notebook(path, monkeypatch):
     )
     nb = nbformat.read(path, as_version=4)
     client = nbclient.NotebookClient(
-        nb, timeout=600, kernel_name="python3",
+        nb, timeout=600, startup_timeout=300, kernel_name="python3",
         resources={"metadata": {"path": str(NOTEBOOK_DIR)}},
     )
     client.execute()

@@ -22,9 +22,19 @@ def test_notebook(path, monkeypatch):
     monkeypatch.setenv(
         "PYTHONPATH", f"{REPO_ROOT}{os.pathsep}{pythonpath}" if pythonpath else str(REPO_ROOT)
     )
-    nb = nbformat.read(path, as_version=4)
-    client = nbclient.NotebookClient(
-        nb, timeout=600, startup_timeout=300, kernel_name="python3",
-        resources={"metadata": {"path": str(NOTEBOOK_DIR)}},
-    )
-    client.execute()
+    def run_once():
+        nb = nbformat.read(path, as_version=4)
+        client = nbclient.NotebookClient(
+            nb, timeout=600, startup_timeout=300, kernel_name="python3",
+            resources={"metadata": {"path": str(NOTEBOOK_DIR)}},
+        )
+        client.execute()
+
+    try:
+        run_once()
+    except Exception:
+        # notebooks execute in external ipykernel processes over zmq; under
+        # heavy machine load a cell or the kernel handshake can exceed its
+        # timeout (~1 flake per full-suite run, always passing standalone) —
+        # retry once on a fresh kernel before declaring failure
+        run_once()

@@ -97,6 +97,11 @@ class ETDRK4Solver(SolverBase):
         # dtype so f32 states stay complex64 throughout the spectral step
         # (f64 coefficient arrays would promote every product under x64)
         real_dtype = np.asarray(state.data).dtype
+        if np.issubdtype(real_dtype, np.complexfloating):
+            raise NotImplementedError(
+                "ETDRK4 operates on real fields via rfft; complex states "
+                "are not supported"
+            )
         E, E2, Q, f1, f2, f3 = (
             jnp.asarray(arr, dtype=real_dtype)
             for arr in _phi_coefficients(L_vals, dt)

@@ -196,3 +196,26 @@ def test_anti_periodic_bc_rejected(rng):
     eq = pde.PDE({"u": "laplace(u)"}, bc="anti-periodic")
     with pytest.raises(NotImplementedError, match="periodic"):
         eq.solve(field, t_range=0.1, dt=0.01, solver="etdrk4", tracker=None)
+
+
+def test_three_dimensional(rng):
+    """The spectral split and step are dimension-generic (rfftn over all
+    grid axes)."""
+    grid = pde.UnitGrid([16, 16, 16], periodic=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.PDE({"u": "laplace(u) - u**3"})
+    res = eq.solve(field, t_range=0.2, dt=0.02, solver="etdrk4", tracker=None)
+    ref = eq.solve(field, t_range=0.2, dt=1e-4, solver="runge-kutta",
+                   adaptive=False, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), atol=1e-6
+    )
+
+
+def test_complex_state_rejected():
+    """Complex fields (Schrödinger-type) error cleanly — rfft is real-only."""
+    grid = pde.CartesianGrid([(0, 2 * np.pi)], (32,), periodic=True)
+    field = pde.ScalarField(grid, data=np.exp(1j * np.arange(32) * 0.1))
+    eq = pde.PDE({"u": "1j * laplace(u)"})
+    with pytest.raises(NotImplementedError, match="complex"):
+        eq.solve(field, t_range=0.1, dt=0.01, solver="etdrk4", tracker=None)

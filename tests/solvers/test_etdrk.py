@@ -219,3 +219,56 @@ def test_complex_state_rejected():
     eq = pde.PDE({"u": "1j * laplace(u)"})
     with pytest.raises(NotImplementedError, match="complex"):
         eq.solve(field, t_range=0.1, dt=0.01, solver="etdrk4", tracker=None)
+
+
+def test_linear_split_machinery():
+    """Unit-level contracts of the symbolic linear/nonlinear split."""
+    import sympy
+
+    from pde_tpu.models.pde import PDE
+
+    u, q = sympy.Symbol("u"), sympy.Symbol("q")
+    lap = sympy.Function("laplace")
+
+    # distribution over sums and constant pull-out (incl. nesting)
+    expr = lap(u**3 - u - 2 * lap(u))
+    out = PDE._distribute_linear_ops(expr)
+    assert out == lap(u**3) - lap(u) - 2 * lap(lap(u))
+
+    # linear terms map to (-q^2)^m chains
+    assert PDE._linear_term_symbol(3 * u, u, q) == 3
+    assert PDE._linear_term_symbol(-lap(u), u, q) == q**2
+    assert PDE._linear_term_symbol(2 * lap(lap(u)), u, q) == 2 * q**4
+    # nonlinear / non-laplace / u-free terms stay in the remainder
+    assert PDE._linear_term_symbol(lap(u**3), u, q) is None
+    assert PDE._linear_term_symbol(u**2, u, q) is None
+    assert PDE._linear_term_symbol(sympy.Integer(1), u, q) is None
+    assert PDE._linear_term_symbol(u * lap(u), u, q) is None
+
+
+def test_split_symbol_values(rng):
+    """L_vals equals the summed discrete eigenvalue chains; the remainder
+    reproduces rhs - L u."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.PDE({"c": "laplace(c**3 - c - laplace(c))"})
+    L_vals, n_rhs = eq.make_etdrk_parts(field)
+
+    from pde_tpu.ops.common import laplace_eigenvalues_1d
+
+    lam = (
+        laplace_eigenvalues_1d(16, 1.0)[:, None]
+        + laplace_eigenvalues_1d(16, 1.0, real_half=True)[None, :]
+    )
+    np.testing.assert_allclose(L_vals, -lam - lam**2, rtol=1e-12)
+
+    # remainder == full rhs - linear part (checked in real space)
+    full_rhs = eq.make_pde_rhs(field)
+    (full,) = full_rhs([np.asarray(field.data)], 0.0)
+    (rest,) = n_rhs([np.asarray(field.data)], 0.0)
+    lin_expected = np.fft.irfftn(
+        L_vals * np.fft.rfftn(np.asarray(field.data)), s=(16, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rest) + lin_expected, np.asarray(full), atol=1e-10
+    )

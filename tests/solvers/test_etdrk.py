@@ -267,7 +267,7 @@ def test_split_symbol_values(rng):
     (full,) = full_rhs([np.asarray(field.data)], 0.0)
     (rest,) = n_rhs([np.asarray(field.data)], 0.0)
     lin_expected = np.fft.irfftn(
-        L_vals * np.fft.rfftn(np.asarray(field.data)), s=(16, 16)
+        L_vals * np.fft.rfftn(np.asarray(field.data)), s=(16, 16), axes=(0, 1)
     )
     np.testing.assert_allclose(
         np.asarray(rest) + lin_expected, np.asarray(full), atol=1e-10

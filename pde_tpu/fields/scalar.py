@@ -32,6 +32,10 @@ class ScalarField(DataFieldBase):
 
         if method != "__call__":
             return NotImplemented
+        if ufunc.nout != 1:
+            # np.divmod/np.modf/np.frexp would produce a field whose .data is
+            # a tuple; fall back to numpy's default handling instead
+            return NotImplemented
         jnp_func = getattr(jnp, ufunc.__name__, None)
         if jnp_func is None:
             return NotImplemented
@@ -55,6 +59,8 @@ class ScalarField(DataFieldBase):
             return NotImplemented
         data = jnp_func(*arrs)
         if out is not None:
+            if len(out) != 1:
+                return NotImplemented
             out_field = out[0]
             self.assert_field_compatible(out_field)
             out_field.data = data

@@ -56,6 +56,11 @@ class KuramotoSivashinskyPDE(SDEBase):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
+        if self.bc_lap != self.bc:
+            # the expression below routes ONE bc to every operator; a distinct
+            # bc_lap would silently integrate different boundary conditions
+            # than evolution_rate (same guard as make_fused_euler_window)
+            raise NotImplementedError("Spectral split requires bc_lap == bc")
         rhs = (
             f"-{self.nu!r} * laplace(laplace(c)) - laplace(c)"
             " - 0.5 * gradient_squared(c)"

@@ -874,9 +874,19 @@ class PDE(SDEBase):
                     "conditions for the laplace operator"
                 )
         u = sympy.Symbol(var)
-        expr = self._distribute_linear_ops(
-            sympy.expand(self._rhs_expr[var]._sympy_expr)
-        )
+        expr = self._rhs_expr[var]._sympy_expr
+        # substitute scalar consts so e.g. `D*laplace(c)` with consts={'D':1}
+        # keeps the stiff term in the exponential part instead of silently
+        # dropping it into the explicit remainder (coeff.is_number is False
+        # for an unsubstituted Symbol)
+        scalar_consts = {
+            sympy.Symbol(name): float(value)
+            for name, value in self.consts.items()
+            if isinstance(value, numbers.Number) and not isinstance(value, complex)
+        }
+        if scalar_consts:
+            expr = expr.subs(scalar_consts)
+        expr = self._distribute_linear_ops(sympy.expand(expr))
         expr = sympy.expand(expr)
 
         q = sympy.Symbol("__wave_number")

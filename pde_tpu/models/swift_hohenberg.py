@@ -65,6 +65,10 @@ class SwiftHohenbergPDE(PDEBase):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
+        if self.bc_lap != self.bc:
+            # same guard as make_fused_euler_window: the expression routes one
+            # bc everywhere, so a distinct bc_lap must not silently vanish
+            raise NotImplementedError("Spectral split requires bc_lap == bc")
         rhs = (
             f"({self.rate!r} - {self.kc2!r}**2) * c"
             f" - 2 * {self.kc2!r} * laplace(c) - laplace(laplace(c))"

@@ -146,3 +146,19 @@ def test_gridmesh_communication_primitives(rng):
     np.testing.assert_allclose(
         mesh.combine_field_data(mesh.split_field_data(data)), data
     )
+
+
+def test_multi_output_ufunc_rejected():
+    """nout != 1 ufuncs (divmod/modf/frexp) must not produce a field whose
+    .data is a tuple; the dunder returns NotImplemented so numpy raises."""
+    grid = pde.UnitGrid([4])
+    field = pde.ScalarField(grid, 1.5)
+    with pytest.raises(TypeError):
+        np.divmod(field, 2)
+    with pytest.raises(TypeError):
+        np.modf(field)
+    # out-tuple of the wrong length falls back, too
+    out = pde.ScalarField(grid, 0.0)
+    result = np.add(field, 1.0, out=(out,))
+    assert result is out
+    np.testing.assert_allclose(np.asarray(out.data), 2.5)

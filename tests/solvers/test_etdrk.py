@@ -272,3 +272,35 @@ def test_split_symbol_values(rng):
     np.testing.assert_allclose(
         np.asarray(rest) + lin_expected, np.asarray(full), atol=1e-10
     )
+
+
+def test_bc_lap_mismatch_rejected():
+    """A distinct bc_lap must not be silently dropped by the spectral split
+    (the rhs expression routes one bc to every operator)."""
+    grid = pde.UnitGrid([32], periodic=True)
+    for eq in (
+        pde.KuramotoSivashinskyPDE(bc="periodic", bc_lap={"value": 0}),
+        pde.SwiftHohenbergPDE(bc="periodic", bc_lap={"value": 0}),
+    ):
+        field = pde.ScalarField(grid, 0.1)
+        with pytest.raises(NotImplementedError):
+            eq.make_etdrk_parts(field)
+
+
+def test_scalar_consts_enter_linear_part():
+    """`D*laplace(c)` with consts={'D': ...} must land in the exponential
+    linear part, not the explicit remainder."""
+    grid = pde.CartesianGrid([(0, 2 * np.pi)], (64,), periodic=True)
+    field = pde.ScalarField.from_expression(grid, "sin(x)")
+    eq = pde.PDE({"c": "D * laplace(c)"}, consts={"D": 0.7})
+    L_vals, nonlinear_rhs = eq.make_etdrk_parts(field)
+    dx = 2 * np.pi / 64
+    lam1 = -(4 / dx**2) * np.sin(dx / 2) ** 2
+    np.testing.assert_allclose(L_vals[1], 0.7 * lam1, rtol=1e-12)
+    # the remainder must be identically zero
+    (rest,) = nonlinear_rhs([field.data], 0.0)
+    np.testing.assert_allclose(np.asarray(rest), 0.0, atol=1e-14)
+    # and the solve is then exact at a huge dt
+    res = eq.solve(field, t_range=1.0, dt=0.5, solver="etdrk4", tracker=None)
+    exact = np.asarray(field.data) * np.exp(0.7 * lam1 * 1.0)
+    np.testing.assert_allclose(np.asarray(res.data), exact, atol=1e-12)

@@ -1318,6 +1318,240 @@ def make_fused_euler_window_cyl(
     )
 
 
+def supports_affine_laplace_ext_3d(
+    local_shape, dtype, k: int = 1, *, ext_axes=(True, False, False),
+    interpret: bool = False,
+) -> bool:
+    """Preconditions of the 3D halo-extended fused kernel on a local shard.
+
+    ``ext_axes[ax]`` marks grid axes whose halo arrives via ppermute (the
+    decomposed axes; x is always extended — it is the banded DMA axis).
+    Non-extended y/z stay locally periodic via rolls and keep the TPU tiling
+    alignment requirement; extended dims are zero-padded to the granule by
+    the wrapper, so any size ≥ the halo works.
+    """
+    if len(local_shape) != 3 or not ext_axes[0]:
+        return False
+    nx, ny, nz = local_shape
+    # nearest-neighbor exchange must be able to supply the whole halo
+    if any(e and s < k for e, s in zip(ext_axes, local_shape, strict=True)):
+        return False
+    if interpret:
+        return k >= 1
+    if jax.default_backend() != "tpu":
+        return False
+    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+        return False
+    if not ext_axes[1] and ny % 8 != 0:
+        return False
+    if not ext_axes[2] and nz % 128 != 0:
+        return False
+    ny_e = -(-(ny + 2 * k) // 8) * 8 if ext_axes[1] else ny
+    nz_e = -(-(nz + 2 * k) // 128) * 128 if ext_axes[2] else nz
+    band_k = _pick_band_k_3d((nx, ny_e, nz_e), np.dtype(dtype).itemsize)
+    return band_k is not None and 1 <= k <= band_k[1]
+
+
+def make_affine_laplace_ext_3d(
+    local_shape, *, a: float = 0.0, b: float = 1.0, k: int = 1,
+    discretization, ext_axes=(True, False, False), dtype=np.float32,
+    bc_params=None, interpret: bool = False,
+) -> Callable:
+    """3D ``(ext, edge_flags) -> (a*I + b*lap)^k`` on a halo-extended block.
+
+    The decomposed-3D analogue of :func:`make_affine_laplace_ext_2d` — the
+    regime where multi-chip matters most (the reference runs its fastest 3D
+    stencils under MPI unconditionally, `/root/reference/pde/backends/
+    numba_mpi/backend.py:163-195`). ``ext`` carries ``k`` halo cells per side
+    along every extended axis (x always; y/z when decomposed); non-extended
+    y/z axes stay locally periodic via lane/sublane rolls. x halos cost only
+    k planes (x is the untiled major dim — the round-2 insight); extended y/z
+    dims are zero-padded to the (8, 128) tiling granule by the wrapper.
+
+    ``edge_flags`` is an int32 ``(6,)`` array ``[x_lo, x_hi, y_lo, y_hi,
+    z_lo, z_hi]`` marking GLOBAL domain edges; where set and ``bc_params``
+    carries affine ghost parameters (:func:`affine_bc_params`), the kernel
+    rewrites the ghost plane/row/lane each step instead of trusting the
+    (garbage) halo.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not supports_affine_laplace_ext_3d(
+        local_shape, dtype, k, ext_axes=ext_axes, interpret=interpret
+    ):
+        raise PallasUnsupportedError(
+            "Halo-extended 3D fused laplace requires an aligned local block "
+            "with float32/bfloat16 data on a TPU backend"
+        )
+    nx, ny, nz = local_shape
+    ext_y, ext_z = ext_axes[1], ext_axes[2]
+    # padded extents of the input (tiling granules on TPU; exact in interpret)
+    ny_in = ny + 2 * k if ext_y else ny
+    nz_in = nz + 2 * k if ext_z else nz
+    ny_e = ny_in if interpret or not ext_y else -(-ny_in // 8) * 8
+    nz_e = nz_in if interpret or not ext_z else -(-nz_in // 128) * 128
+    if interpret:
+        band = nx if nx <= 8 or nx % 8 else 8
+        while nx % band:
+            band //= 2
+    else:
+        band = _pick_band_k_3d((nx, ny_e, nz_e), np.dtype(dtype).itemsize)[0]
+    n_programs = nx // band
+    sx, sy, sz = (1.0 / np.asarray(discretization) ** 2).tolist()
+    isotropic = sx == sy == sz
+    bc_x = None if bc_params is None else bc_params[0]
+    bc_y = None if bc_params is None else bc_params[1]
+    bc_z = None if bc_params is None else bc_params[2]
+
+    def kernel(flags_ref, f_hbm, out_ref, work_ref, sem):
+        i = pl.program_id(0)
+        row0 = i * band  # input planes [row0, row0 + band + 2*k)
+        cp = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(pl.multiple_of(row0, band), band + 2 * k)],
+            work_ref,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+        # true work region (strip the tiling pad on extended y/z)
+        work = work_ref[:, :ny_in, :nz_in]
+
+        def fix_axis(w, s, dim, bc, flag_lo, flag_hi, gate_lo=None, gate_hi=None):
+            """Rewrite the ghost layer at the global edge along `dim`."""
+            (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc
+
+            def sl(idx, idx2=None):
+                s_ = slice(idx, idx + 1) if idx2 is None else slice(idx, idx2)
+                return tuple(
+                    s_ if d == dim else slice(None) for d in range(3)
+                )
+
+            e_lo = k - s  # first globally valid index on the low-edge shard
+            ghost_lo = c_lo + f1_lo * w[sl(e_lo)]
+            if f2_lo:
+                ghost_lo = ghost_lo + f2_lo * w[sl(e_lo + 1)]
+            e_hi = w.shape[dim] - 1 - (k - s)
+            ghost_hi = c_hi + f1_hi * w[sl(e_hi)]
+            if f2_hi:
+                ghost_hi = ghost_hi + f2_hi * w[sl(e_hi - 1)]
+            idxs = jax.lax.broadcasted_iota(jnp.int32, w.shape, dim)
+            lo = flags_ref[flag_lo] != 0
+            hi = flags_ref[flag_hi] != 0
+            if gate_lo is not None:
+                lo = lo & gate_lo
+            if gate_hi is not None:
+                hi = hi & gate_hi
+            w = jnp.where((idxs == e_lo - 1) & lo, ghost_lo, w)
+            w = jnp.where((idxs == e_hi + 1) & hi, ghost_hi, w)
+            return w
+
+        for s in range(k):
+            if bc_x is not None:
+                work = fix_axis(
+                    work, s, 0, bc_x, 0, 1,
+                    gate_lo=i == 0, gate_hi=i == n_programs - 1,
+                )
+            if ext_y and bc_y is not None:
+                work = fix_axis(work, s, 1, bc_y, 2, 3)
+            if ext_z and bc_z is not None:
+                work = fix_axis(work, s, 2, bc_z, 4, 5)
+            sy_sl = slice(1, -1) if ext_y else slice(None)
+            sz_sl = slice(1, -1) if ext_z else slice(None)
+            center = work[1:-1, sy_sl, sz_sl]
+            up = work[:-2, sy_sl, sz_sl]
+            down = work[2:, sy_sl, sz_sl]
+            cur_ny = center.shape[1]
+            cur_nz = center.shape[2]
+            if ext_y:
+                north = work[1:-1, :-2, sz_sl]
+                south = work[1:-1, 2:, sz_sl]
+            else:
+                north = pltpu.roll(center, 1, 1)
+                south = pltpu.roll(center, cur_ny - 1, 1)
+                if bc_y is not None:
+                    (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_y
+                    ghost_lo = c_lo + f1_lo * center
+                    if f2_lo:
+                        ghost_lo = ghost_lo + f2_lo * south
+                    ghost_hi = c_hi + f1_hi * center
+                    if f2_hi:
+                        ghost_hi = ghost_hi + f2_hi * north
+                    ys = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+                    north = jnp.where(
+                        (ys == 0) & (flags_ref[2] != 0), ghost_lo, north
+                    )
+                    south = jnp.where(
+                        (ys == cur_ny - 1) & (flags_ref[3] != 0), ghost_hi, south
+                    )
+            if ext_z:
+                west = work[1:-1, sy_sl, :-2]
+                east = work[1:-1, sy_sl, 2:]
+            else:
+                west = pltpu.roll(center, 1, 2)
+                east = pltpu.roll(center, cur_nz - 1, 2)
+                if bc_z is not None:
+                    (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_z
+                    ghost_lo = c_lo + f1_lo * center
+                    if f2_lo:
+                        ghost_lo = ghost_lo + f2_lo * east
+                    ghost_hi = c_hi + f1_hi * center
+                    if f2_hi:
+                        ghost_hi = ghost_hi + f2_hi * west
+                    zs = jax.lax.broadcasted_iota(jnp.int32, center.shape, 2)
+                    west = jnp.where(
+                        (zs == 0) & (flags_ref[4] != 0), ghost_lo, west
+                    )
+                    east = jnp.where(
+                        (zs == cur_nz - 1) & (flags_ref[5] != 0), ghost_hi, east
+                    )
+            if isotropic:
+                lap6 = up + down + north + south + west + east - 6.0 * center
+                work = a * center + (b * sx) * lap6
+            else:
+                lap = (
+                    (up + down - 2.0 * center) * sx
+                    + (north + south - 2.0 * center) * sy
+                    + (west + east - 2.0 * center) * sz
+                )
+                work = a * center + b * lap
+        out_ref[:, :, :] = work
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nx, ny, nz), dtype),
+        grid=(nx // band,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (band, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band + 2 * k, ny_e, nz_e), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+
+    pad_y = ny_e - ny_in
+    pad_z = nz_e - nz_in
+    no_edges = jnp.zeros((6,), jnp.int32)
+
+    def affine_laplace_ext(ext, edge_flags=None):
+        ext = jnp.asarray(ext, dtype=dtype)
+        if pad_y or pad_z:
+            ext = jnp.pad(ext, ((0, 0), (0, pad_y), (0, pad_z)))
+        flags = no_edges if edge_flags is None else jnp.asarray(
+            edge_flags, jnp.int32
+        )
+        return call(flags, ext)
+
+    return affine_laplace_ext
+
+
 # -- halo-extended kernels for decomposed (shard_map) execution -----------------------
 #
 # On a decomposed grid each shard holds a local (n, m) block; the temporal-

@@ -107,6 +107,11 @@ def make_fused_euler_window_sharded(
     from ..grids.cylindrical import CylindricalSymGrid
 
     grid = mesh.basegrid
+    if isinstance(grid, CartesianGrid) and grid.num_axes == 3:
+        return _make_fused_euler_window_sharded_3d(
+            mesh, diffusivity=diffusivity, dt=dt, dtype=dtype, bcs=bcs,
+            interpret=interpret,
+        )
     if isinstance(grid, CylindricalSymGrid):
         # the (1/r) d/dr term lowers as per-row in-kernel coefficients at the
         # GLOBAL row index shard_offset + local row (radial= of the ext kernel)
@@ -171,6 +176,82 @@ def make_fused_euler_window_sharded(
         )
         h = ext_halo_width(kk, interpret=interpret)
         pad = make_halo_pad(mesh, (h, h if ext_cols else 0), periodic)
+        return lambda d: step(pad(d), edge_flags())
+
+    return _make_binary_chunked_window(build, k)
+
+
+def _make_fused_euler_window_sharded_3d(
+    mesh, *, diffusivity: float, dt: float, dtype=np.float32, bcs=None,
+    interpret: bool = False,
+) -> Callable:
+    """Sharded 3D Euler diffusion window on halo-extended local blocks.
+
+    x (the banded DMA axis) is always halo-extended; y/z are extended only
+    when decomposed, otherwise they stay locally periodic via rolls with
+    edge-flag-gated BC patches. The reference's 3D MPI regime
+    (`/root/reference/pde/backends/numba_mpi/backend.py:163-195`), with one
+    paired-ppermute exchange per k-step kernel call instead of per step.
+    """
+    from ..ops.pallas_cartesian import (
+        PallasUnsupportedError,
+        _make_binary_chunked_window,
+        affine_bc_params,
+        make_affine_laplace_ext_3d,
+        supports_affine_laplace_ext_3d,
+    )
+
+    grid = mesh.basegrid
+    bc_params = None
+    if not all(grid.periodic):
+        if bcs is None:
+            raise PallasUnsupportedError(
+                "Non-periodic grids require explicit boundary conditions"
+            )
+        bc_params = affine_bc_params(grid, bcs)
+    local_shape = tuple(mesh.subgrid.shape)
+    ext_axes = (
+        True,  # x is the banded axis: always extended
+        mesh.decomposition[1] > 1,
+        mesh.decomposition[2] > 1,
+    )
+    k = 4
+    while k > 1 and not supports_affine_laplace_ext_3d(
+        local_shape, dtype, k, ext_axes=ext_axes, interpret=interpret
+    ):
+        k //= 2
+    if not supports_affine_laplace_ext_3d(
+        local_shape, dtype, k, ext_axes=ext_axes, interpret=interpret
+    ):
+        raise PallasUnsupportedError(
+            "Local shard shape unsupported by the 3D halo-extended kernel"
+        )
+    disc = grid.discretization
+    periodic = [bool(p) for p in grid.periodic]
+    axis_names = mesh.axis_names
+    decomposition = mesh.decomposition
+
+    def edge_flags():
+        flags = []
+        for ax in range(3):
+            if periodic[ax]:
+                flags += [jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)]
+            else:
+                idx = jax.lax.axis_index(axis_names[ax])
+                flags += [
+                    (idx == 0).astype(jnp.int32),
+                    (idx == decomposition[ax] - 1).astype(jnp.int32),
+                ]
+        return jnp.stack(flags)
+
+    def build(kk):
+        step = make_affine_laplace_ext_3d(
+            local_shape, a=1.0, b=dt * diffusivity, k=kk, discretization=disc,
+            ext_axes=ext_axes, dtype=dtype, bc_params=bc_params,
+            interpret=interpret,
+        )
+        halos = tuple(kk if e else 0 for e in ext_axes)
+        pad = make_halo_pad(mesh, halos, periodic)
         return lambda d: step(pad(d), edge_flags())
 
     return _make_binary_chunked_window(build, k)

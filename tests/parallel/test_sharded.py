@@ -424,3 +424,64 @@ def test_sharded_fused_predefined_models(eq, rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-11, atol=1e-12
     )
+
+
+@pytest.mark.parametrize(
+    "decomposition", [[2, 1, 1], [2, 2, 1], [1, 1, 2], [2, 2, 2]]
+)
+def test_sharded_fused_window_3d_parity(decomposition, rng, monkeypatch):
+    """3D fused Pallas window under shard_map (interpret mode) vs XLA.
+
+    The reference runs its fastest 3D stencils under MPI unconditionally
+    (`/root/reference/pde/backends/numba_mpi/backend.py:163-195`); the fused
+    TPU path must cover decomposed 3D runs, too."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (8, 8, 8), periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.05)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.05, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.05, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+@pytest.mark.parametrize(
+    "decomposition, bc",
+    [
+        ([2, 1, 1], {"derivative": 0}),
+        ([2, 2, 1], {"x": {"value": 1}, "y": {"derivative": 0.5},
+                     "z": "periodic"}),
+        ([2, 1, 2], {"x": "periodic", "y": {"curvature": 0},
+                     "z": {"value": 0.5}}),
+    ],
+    ids=["noflux-xcut", "mixed-xycut", "mixed-xzcut"],
+)
+def test_sharded_fused_window_3d_bc_parity(decomposition, bc, rng, monkeypatch):
+    """Physical (const-affine) BCs in the decomposed 3D fused kernel."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    periodic = [bc.get(ax) == "periodic" for ax in "xyz"]
+    grid = pde.CartesianGrid([(0, 1)] * 3, (8, 8, 8), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.05, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.05, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.05, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )

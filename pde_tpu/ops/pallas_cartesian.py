@@ -138,9 +138,137 @@ def affine_bc_params(grid, bcs):
     :class:`PallasUnsupportedError` for BC types/values the fused kernels
     cannot lower (expression/user BCs, inhomogeneous arrays, complex values).
     """
+    specs = affine_bc_specs(grid, bcs)
+    if specs is None:
+        return None
+    return tuple(
+        None
+        if axis_specs is None
+        else tuple(side.scalar_triplet() for side in axis_specs)
+        for axis_specs in specs
+    )
+
+
+class _BCSideSpec:
+    """Affine ghost-point data for one axis side, in the general form
+    ``ghost = const_static + const_t(t) + f1*edge + f2*next_inward``.
+
+    ``const_static`` is a scalar or a per-boundary-point array (the
+    reference's virtual-point data is per-point arrays,
+    `/root/reference/pde/grids/boundaries/local.py:1541-2104`);
+    ``const_t`` is an optional traceable ``t -> scalar`` for time-dependent
+    expression BCs. Factors are always scalars in the fused path (array
+    factors — e.g. Robin with spatially varying gamma — fall back to XLA).
+    """
+
+    __slots__ = ("f1", "f2", "const_static", "const_t")
+
+    def __init__(self, f1, f2, const_static, const_t=None):
+        self.f1 = float(f1)
+        self.f2 = float(f2)
+        self.const_static = const_static
+        self.const_t = const_t
+
+    @property
+    def is_scalar(self) -> bool:
+        return np.ndim(self.const_static) == 0 and self.const_t is None
+
+    def scalar_triplet(self):
+        """(const, f1, f2) floats; raises for array/time-dependent consts."""
+        if not self.is_scalar:
+            raise PallasUnsupportedError(
+                "Inhomogeneous BC values are not supported by this kernel"
+            )
+        return float(self.const_static), self.f1, self.f2
+
+
+def _uniform_scalar(value):
+    """Collapse a uniform array to a float; None when truly inhomogeneous."""
+    arr = np.asarray(value)
+    if arr.ndim == 0:
+        return float(arr)
+    flat = arr.reshape(-1)
+    if flat.size and np.all(flat == flat[0]):
+        return float(flat[0])
+    return None
+
+
+def _expression_bc_spec(bc) -> _BCSideSpec:
+    """Lower an ExpressionValueBC/ExpressionDerivativeBC side.
+
+    The target makes the ghost affine in the adjacent value with a KNOWN
+    factor (value: ghost = 2v - adj; derivative: ghost = dx·v + adj), so the
+    const is just ``func(adjacent=0)``. Expressions combining both spatial
+    and time dependence fall back (would need per-step per-point arrays).
+    """
+    import sympy
+
+    target = bc._input["target"]
+    if target not in ("value", "derivative"):
+        raise PallasUnsupportedError(
+            f"Expression BC target `{target}` is not supported in fused kernels"
+        )
+    if bc.value_cell is not None or getattr(bc, "normal", False):
+        raise PallasUnsupportedError(
+            "value_cell/normal expression BCs are not supported in fused kernels"
+        )
+    expr = getattr(bc, "_expr", None)
+    if expr is None:  # callable user function: dependence is unknowable
+        raise PallasUnsupportedError(
+            "Callable expression BCs are not supported in fused kernels"
+        )
+    # the target wraps the user value v as `2v - value` / `dx*v + value`, so
+    # the adjacent-cell coefficient is the `value` derivative; it must be the
+    # known constant (a user expression referencing `value` itself breaks the
+    # affine structure and falls back)
+    value_sym = sympy.Symbol("value")
+    sexpr = expr._sympy_expr
+    dcoeff = sympy.diff(sexpr, value_sym)
+    expected_f1 = -1.0 if target == "value" else 1.0
+    if dcoeff.free_symbols or float(dcoeff) != expected_f1:
+        raise PallasUnsupportedError(
+            "Expression BCs reading the adjacent value are not supported"
+        )
+    f1 = expected_f1
+    const_expr = sympy.expand(sexpr - dcoeff * value_sym)
+    free = {str(s) for s in const_expr.free_symbols}
+    has_t = "t" in free
+    has_coords = bool(free & set(bc.grid.axes))
+    dx = float(bc.grid.discretization[bc.axis])
+    bc_coords = bc.grid._boundary_coordinates(bc.axis, bc.upper)
+    coord_arrays = tuple(
+        np.asarray(bc_coords[..., i]) for i in range(bc.grid.num_axes)
+    )
+    func = bc._func
+    if has_t and has_coords:
+        raise PallasUnsupportedError(
+            "Expression BCs varying in both space and time are not "
+            "supported in fused kernels"
+        )
+    if has_t:
+        zeros = tuple(np.zeros(()) for _ in coord_arrays)
+
+        def const_t(t, _f=func, _dx=dx, _z=zeros):
+            return _f(jnp.zeros(()), _dx, *_z, t)
+
+        return _BCSideSpec(f1, 0.0, 0.0, const_t)
+    const = np.asarray(func(np.zeros(()), dx, *coord_arrays, 0.0), dtype=float)
+    scalar = _uniform_scalar(const)
+    return _BCSideSpec(f1, 0.0, scalar if scalar is not None else const)
+
+
+def affine_bc_specs(grid, bcs):
+    """Generalized per-axis affine ghost specs (arrays + time dependence).
+
+    Like :func:`affine_bc_params` but returns :class:`_BCSideSpec` pairs,
+    additionally accepting inhomogeneous (per-boundary-point array) const
+    values and time-dependent expression BCs of the `value`/`derivative`
+    targets. Returns ``None`` when fully periodic.
+    """
     from ..grids.boundaries.local import (
         ConstBC1stOrderBase,
         ConstBC2ndOrderBase,
+        ExpressionBC,
     )
 
     params = []
@@ -157,6 +285,13 @@ def affine_bc_params(grid, bcs):
         for bc in (pair.low, pair.high):
             edge = edge_hi if bc.upper else edge_lo
             inward = -1 if bc.upper else 1
+            if getattr(bc, "normal", False):
+                raise PallasUnsupportedError(
+                    "Normal-component BCs are not supported in fused kernels"
+                )
+            if isinstance(bc, ExpressionBC):
+                sides.append(_expression_bc_spec(bc))
+                continue
             if isinstance(bc, ConstBC1stOrderBase):
                 const, f1, idx = bc.get_virtual_point_data()
                 f2, idx2 = 0.0, edge + inward
@@ -167,17 +302,24 @@ def affine_bc_params(grid, bcs):
                     f"BC type {type(bc).__name__} is not supported in fused kernels"
                 )
             for v in (const, f1, f2):
-                if np.ndim(v) != 0:
-                    raise PallasUnsupportedError(
-                        "Inhomogeneous BC values are not supported in fused kernels"
-                    )
                 if np.iscomplexobj(v):
                     raise PallasUnsupportedError(
                         "Complex BC values are not supported in fused kernels"
                     )
+            f1s = _uniform_scalar(f1)
+            f2s = _uniform_scalar(f2)
+            if f1s is None or f2s is None:
+                raise PallasUnsupportedError(
+                    "Array-valued BC factors are not supported in fused kernels"
+                )
             if idx != edge or idx2 != edge + inward:
                 raise PallasUnsupportedError("Unexpected virtual-point layout")
-            sides.append((float(const), float(f1), float(f2)))
+            cs = _uniform_scalar(const)
+            sides.append(
+                _BCSideSpec(f1s, f2s, cs if cs is not None else np.asarray(
+                    const, dtype=float
+                ))
+            )
         params.append(tuple(sides))
     if all(p is None for p in params):
         return None
@@ -185,11 +327,12 @@ def affine_bc_params(grid, bcs):
 
 
 def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
-    """Preconditions of the fused kernel with physical (const-affine) BCs."""
+    """Preconditions of the fused kernel with physical (const-affine) BCs
+    (incl. inhomogeneous arrays and t-dependent expression values)."""
     if not _supports_fused_shape_2d(grid, dtype, k):
         return False
     try:
-        affine_bc_params(grid, bcs)
+        affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
         return False
     return True
@@ -209,6 +352,17 @@ def make_affine_laplace_2d(
     every intermediate time level of the temporal block), and non-periodic
     columns patch lanes 0/m-1 after the rolls.
 
+    Inhomogeneous (per-boundary-point array) const values stage as VMEM side
+    inputs: row-side arrays as one (1, n_cols) block, column-side arrays as a
+    per-program (band + 2*halo, 1) DMA slice of the halo-extended value
+    vector — the reference's per-point virtual-point arrays sitting in VMEM
+    as per-lane vectors (`local.py:1541-2104`). Time-dependent expression BCs
+    (`value_expression`/`derivative_expression` of ``t`` only) pass per-step
+    scalars through an SMEM table; the returned callable then has signature
+    ``affine_laplace(data, t_tab)`` with ``t_tab`` of shape (k, 4) holding
+    the additive const for [row_lo, row_hi, col_lo, col_hi] at each step
+    (exposed via attribute ``t_slots``).
+
     ``radial=(r_lo, dr_r)`` adds the cylindrical first-derivative term
     ``b/(2 r dr) * (f[r+1] - f[r-1])`` with ``r = r_lo + (row + 0.5) dr_r``:
     rows map to the radial axis and the per-row factor is computed in-kernel
@@ -220,7 +374,7 @@ def make_affine_laplace_2d(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bc_params = None if bcs is None else affine_bc_params(grid, bcs)
+    bc_specs = None if bcs is None else affine_bc_specs(grid, bcs)
     if bcs is None and not all(grid.periodic):
         raise PallasUnsupportedError(
             "Non-periodic grids require explicit boundary conditions"
@@ -248,10 +402,57 @@ def make_affine_laplace_2d(
     n_programs = n_rows // band
     halo = -(-k // _HALO) * _HALO  # k rounded up to the 8-row DMA granule
     sx, sy = (1.0 / grid.discretization**2).tolist()
-    bc_rows = None if bc_params is None else bc_params[0]
-    bc_cols = None if bc_params is None else bc_params[1]
+    bc_rows = None if bc_specs is None else bc_specs[0]
+    bc_cols = None if bc_specs is None else bc_specs[1]
 
-    def kernel(f_hbm, out_ref, band_ref, halo_top, halo_bot, sem):
+    # -- side-input assembly for inhomogeneous / time-dependent consts ---------
+    # slots: 0 = row low, 1 = row high, 2 = col low, 3 = col high
+    row_arrays: list[np.ndarray] = []  # (1, n_cols) blocks
+    col_arrays: list[np.ndarray] = []  # (n_rows + 2*halo, 1) extended vectors
+    row_slot_arr = {}  # slot -> index into row_arrays
+    col_slot_arr = {}  # slot -> index into col_arrays
+    t_slots: list = [None, None, None, None]
+
+    def _register(slot, spec):
+        if spec is None:
+            return
+        if np.ndim(spec.const_static) != 0:
+            arr = np.asarray(spec.const_static, dtype=dtype).reshape(-1)
+            if slot < 2:  # row side: varies along columns
+                row_slot_arr[slot] = len(row_arrays)
+                row_arrays.append(arr.reshape(1, n_cols))
+            else:  # column side: varies along rows; extend for halo wrap
+                ext = np.concatenate([arr[-halo:], arr, arr[:halo]])
+                col_slot_arr[slot] = len(col_arrays)
+                col_arrays.append(ext.reshape(-1, 1))
+        if spec.const_t is not None:
+            t_slots[slot] = spec.const_t
+
+    if bc_rows is not None:
+        _register(0, bc_rows[0])
+        _register(1, bc_rows[1])
+    if bc_cols is not None:
+        _register(2, bc_cols[0])
+        _register(3, bc_cols[1])
+    has_t = any(f is not None for f in t_slots)
+    n_row_in = len(row_arrays)
+    n_col_in = len(col_arrays)
+
+    def kernel(*refs):
+        pos = 0
+        if has_t:
+            t_tab = refs[pos]
+            pos += 1
+        row_refs = refs[pos : pos + n_row_in]
+        pos += n_row_in
+        col_hbm = refs[pos : pos + n_col_in]
+        pos += n_col_in
+        f_hbm = refs[pos]
+        out_ref = refs[pos + 1]
+        band_ref, halo_top, halo_bot = refs[pos + 2 : pos + 5]
+        col_vmem = refs[pos + 5 : pos + 5 + n_col_in]
+        sem = refs[pos + 5 + n_col_in]
+
         i = pl.program_id(0)
         row0 = i * band
 
@@ -275,9 +476,34 @@ def make_affine_laplace_2d(
             f_hbm.at[pl.ds(bot_row, halo), :], halo_bot, sem.at[2]
         )
         bot.start()
-        main.wait()
-        top.wait()
-        bot.wait()
+        copies = [main, top, bot]
+        for j in range(n_col_in):
+            # the column-BC value vector rows matching this program's block
+            cp = pltpu.make_async_copy(
+                col_hbm[j].at[pl.ds(pl.multiple_of(row0, 8), band + 2 * halo), :],
+                col_vmem[j],
+                sem.at[3 + j],
+            )
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        def const_for(slot, s, col_rows=None):
+            """Additive ghost const for `slot` at step `s` (scalar or array).
+
+            ``col_rows`` selects the value-vector rows matching the CURRENT
+            (shrinking) center rows for column sides."""
+            spec = (bc_rows if slot < 2 else bc_cols)[slot % 2]
+            if np.ndim(spec.const_static) == 0:
+                c = spec.const_static
+            elif slot < 2:
+                c = row_refs[row_slot_arr[slot]][0:1, :]
+            else:
+                c = col_vmem[col_slot_arr[slot]][col_rows]
+            if t_slots[slot] is not None:
+                c = c + t_tab[s, slot]
+            return c
 
         # work region: band plus k halo rows on each side; each of the k steps
         # shrinks the valid region by one row per side
@@ -296,15 +522,15 @@ def make_affine_laplace_2d(
                 # ghost rows at the global domain edges (programs 0 / last):
                 # at step s the first valid row of program 0 is k-s (global
                 # row 0); its ghost row k-s-1 gets the virtual-point value
-                (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_rows
+                lo, hi = bc_rows
                 e_lo = k - s
-                ghost_lo = c_lo + f1_lo * work[e_lo : e_lo + 1, :]
-                if f2_lo:
-                    ghost_lo = ghost_lo + f2_lo * work[e_lo + 1 : e_lo + 2, :]
+                ghost_lo = const_for(0, s) + lo.f1 * work[e_lo : e_lo + 1, :]
+                if lo.f2:
+                    ghost_lo = ghost_lo + lo.f2 * work[e_lo + 1 : e_lo + 2, :]
                 e_hi = band + k - s - 1
-                ghost_hi = c_hi + f1_hi * work[e_hi : e_hi + 1, :]
-                if f2_hi:
-                    ghost_hi = ghost_hi + f2_hi * work[e_hi - 1 : e_hi, :]
+                ghost_hi = const_for(1, s) + hi.f1 * work[e_hi : e_hi + 1, :]
+                if hi.f2:
+                    ghost_hi = ghost_hi + hi.f2 * work[e_hi - 1 : e_hi, :]
                 rows = jax.lax.broadcasted_iota(jnp.int32, work.shape, 0)
                 work = jnp.where((rows == e_lo - 1) & (i == 0), ghost_lo, work)
                 work = jnp.where(
@@ -318,14 +544,18 @@ def make_affine_laplace_2d(
             if bc_cols is not None:
                 # patch the wrapped lanes: at lane 0 the left neighbor is the
                 # ghost value; raw rolls provide the inward neighbors
-                # (right[:,0] = center[:,1], left[:,m-1] = center[:,m-2])
-                (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
-                ghost_lo = c_lo + f1_lo * center
-                if f2_lo:
-                    ghost_lo = ghost_lo + f2_lo * right
-                ghost_hi = c_hi + f1_hi * center
-                if f2_hi:
-                    ghost_hi = ghost_hi + f2_hi * left
+                # (right[:,0] = center[:,1], left[:,m-1] = center[:,m-2]).
+                # center rows span global [row0-(k-s)+1, row0+band+(k-s)-1):
+                # slice the matching value-vector rows (VMEM index of global
+                # row g is g - row0 + halo)
+                lo, hi = bc_cols
+                col_rows = slice(halo - (k - s) + 1, halo + band + (k - s) - 1)
+                ghost_lo = const_for(2, s, col_rows) + lo.f1 * center
+                if lo.f2:
+                    ghost_lo = ghost_lo + lo.f2 * right
+                ghost_hi = const_for(3, s, col_rows) + hi.f1 * center
+                if hi.f2:
+                    ghost_hi = ghost_hi + hi.f2 * left
                 lanes = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
                 left = jnp.where(lanes == 0, ghost_lo, left)
                 right = jnp.where(lanes == n_cols - 1, ghost_hi, right)
@@ -350,11 +580,21 @@ def make_affine_laplace_2d(
                 work = a * center + b * lap
         out_ref[:, :] = work
 
+    in_specs = (
+        ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+        + [
+            pl.BlockSpec(
+                (1, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        ] * n_row_in
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_col_in
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+    )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         grid=(n_rows // band,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -362,14 +602,32 @@ def make_affine_laplace_2d(
             pltpu.VMEM((band, n_cols), dtype),
             pltpu.VMEM((halo, n_cols), dtype),
             pltpu.VMEM((halo, n_cols), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        ]
+        + [pltpu.VMEM((band + 2 * halo, 1), dtype)] * n_col_in
+        + [pltpu.SemaphoreType.DMA((3 + n_col_in,))],
         interpret=interpret,
     )
 
-    def affine_laplace(data):
-        return call(jnp.asarray(data, dtype=dtype))
+    row_consts = [jnp.asarray(arr, dtype=dtype) for arr in row_arrays]
+    col_consts = [jnp.asarray(arr, dtype=dtype) for arr in col_arrays]
 
+    if has_t:
+
+        def affine_laplace_t(data, t_tab):
+            return call(
+                jnp.asarray(t_tab, dtype=dtype), *row_consts, *col_consts,
+                jnp.asarray(data, dtype=dtype),
+            )
+
+        affine_laplace_t.t_slots = tuple(t_slots)
+        affine_laplace_t.k = k
+        return affine_laplace_t
+
+    def affine_laplace(data):
+        return call(*row_consts, *col_consts, jnp.asarray(data, dtype=dtype))
+
+    affine_laplace.t_slots = None
+    affine_laplace.k = k
     return affine_laplace
 
 
@@ -588,7 +846,10 @@ def make_fused_euler_window_3d(
     return _make_binary_chunked_window(build, k)
 
 
-def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):
+def _make_stencil_helpers(
+    grid, pl, pltpu, band: int, n_programs: int, *,
+    ext_cols: bool = False, n_cols: int | None = None,
+):
     """In-VMEM stencil primitives; each consumes one halo row per side.
 
     Every primitive takes an optional ``bc=(bc_rows, bc_cols)`` of affine
@@ -600,10 +861,20 @@ def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):
     so program 0's first valid row sits at that index. Applying the BC to the
     operator's operand (which may be a derived array like ``c**3``) mirrors
     the reference's per-operator ghost-cell application.
+
+    With ``ext_cols`` the column axis is halo-extended too (decomposed
+    shards): every primitive consumes one COLUMN per side as well (shifted
+    slices instead of lane rolls), and column ghost fixups rewrite the ghost
+    column just outside the shrinking valid region. ``helpers.flags`` may be
+    set (inside the kernel) to an int32 ``(5,)`` SMEM ref ``[row_lo, row_hi,
+    col_lo, col_hi, row_offset]``; when present, edge fixups additionally
+    gate on the shard sitting at the corresponding GLOBAL domain edge.
+    ``n_cols`` overrides the per-shard column count (defaults to the grid's).
     """
     from ..grids.cylindrical import CylindricalSymGrid
 
-    n_cols = grid.shape[1]
+    if n_cols is None:
+        n_cols = grid.shape[1]
     sx, sy = (1.0 / grid.discretization**2).tolist()
     gx, gy = (0.5 / grid.discretization).tolist()
     if isinstance(grid, CylindricalSymGrid):
@@ -625,12 +896,25 @@ def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):
         r = (rows_g.astype(w.dtype) + 0.5) * dr_r + r_lo
         return (1.0 / (2.0 * dr_r)) / r
 
+    def edge_gates():
+        """(row_lo, row_hi, col_lo, col_hi) boolean gates for ghost fixups."""
+        i = pl.program_id(0)
+        row_lo, row_hi = i == 0, i == n_programs - 1
+        col_lo = col_hi = True
+        flags = helpers.flags
+        if flags is not None:
+            row_lo = row_lo & (flags[0] != 0)
+            row_hi = row_hi & (flags[1] != 0)
+            col_lo = flags[2] != 0
+            col_hi = flags[3] != 0
+        return row_lo, row_hi, col_lo, col_hi
+
     def fix_ghost_rows(w, bc_rows):
         if bc_rows is None:
             return w
         (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_rows
         hr = (w.shape[0] - band) // 2  # remaining halo rows on each side
-        i = pl.program_id(0)
+        gate_lo, gate_hi, _, _ = edge_gates()
         e_lo = hr  # first globally valid row on program 0
         ghost_lo = c_lo + f1_lo * w[e_lo : e_lo + 1, :]
         if f2_lo:
@@ -640,8 +924,28 @@ def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):
         if f2_hi:
             ghost_hi = ghost_hi + f2_hi * w[e_hi - 1 : e_hi, :]
         rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        w = jnp.where((rows == e_lo - 1) & (i == 0), ghost_lo, w)
-        w = jnp.where((rows == e_hi + 1) & (i == n_programs - 1), ghost_hi, w)
+        w = jnp.where((rows == e_lo - 1) & gate_lo, ghost_lo, w)
+        w = jnp.where((rows == e_hi + 1) & gate_hi, ghost_hi, w)
+        return w
+
+    def fix_ghost_cols(w, bc_cols):
+        """Rewrite the ghost COLUMN outside the valid region (ext mode)."""
+        if bc_cols is None:
+            return w
+        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
+        hc = (w.shape[1] - n_cols) // 2  # remaining halo cols on each side
+        _, _, gate_lo, gate_hi = edge_gates()
+        e_lo = hc
+        ghost_lo = c_lo + f1_lo * w[:, e_lo : e_lo + 1]
+        if f2_lo:
+            ghost_lo = ghost_lo + f2_lo * w[:, e_lo + 1 : e_lo + 2]
+        e_hi = w.shape[1] - 1 - hc
+        ghost_hi = c_hi + f1_hi * w[:, e_hi : e_hi + 1]
+        if f2_hi:
+            ghost_hi = ghost_hi + f2_hi * w[:, e_hi - 1 : e_hi]
+        cols = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        w = jnp.where((cols == e_lo - 1) & gate_lo, ghost_lo, w)
+        w = jnp.where((cols == e_hi + 1) & gate_hi, ghost_hi, w)
         return w
 
     def neighbors_cols(center, bc_cols):
@@ -650,6 +954,7 @@ def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):
         right = pltpu.roll(center, n_cols - 1, 1)
         if bc_cols is not None:
             (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
+            _, _, gate_lo, gate_hi = edge_gates()
             ghost_lo = c_lo + f1_lo * center
             if f2_lo:
                 ghost_lo = ghost_lo + f2_lo * right
@@ -657,12 +962,83 @@ def _make_stencil_helpers(grid, pl, pltpu, band: int, n_programs: int):
             if f2_hi:
                 ghost_hi = ghost_hi + f2_hi * left
             lanes = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
-            left = jnp.where(lanes == 0, ghost_lo, left)
-            right = jnp.where(lanes == n_cols - 1, ghost_hi, right)
+            left = jnp.where((lanes == 0) & gate_lo, ghost_lo, left)
+            right = jnp.where((lanes == n_cols - 1) & gate_hi, ghost_hi, right)
         return left, right
+
+    if ext_cols:
+        # decomposed columns: shifted slices instead of lane rolls; every
+        # primitive consumes one column per side, mirroring the rows
+        class helpers:
+            cols = n_cols
+            flags = None
+
+            @staticmethod
+            def trim(value, amount):
+                if isinstance(value, tuple):
+                    return tuple(helpers.trim(v, amount) for v in value)
+                if amount == 0 or jnp.ndim(value) == 0:
+                    return value
+                return value[amount:-amount, amount:-amount]
+
+            @staticmethod
+            def lap(work, bc=None):
+                bc_rows, bc_cols = bc if bc is not None else (None, None)
+                work = fix_ghost_rows(work, bc_rows)
+                work = fix_ghost_cols(work, bc_cols)
+                up = work[:-2, 1:-1]
+                center = work[1:-1, 1:-1]
+                down = work[2:, 1:-1]
+                left = work[1:-1, :-2]
+                right = work[1:-1, 2:]
+                if radial is not None:
+                    fac = radial_fac(work)
+                    return (
+                        ((sx) - fac) * up
+                        + ((sx) + fac) * down
+                        + sy * (left + right)
+                        - (2.0 * (sx + sy)) * center
+                    )
+                if sx == sy:
+                    return (up + down + left + right - 4.0 * center) * sx
+                return (up + down - 2.0 * center) * sx + (
+                    left + right - 2.0 * center
+                ) * sy
+
+            @staticmethod
+            def gradient_squared(work, bc=None):
+                bc_rows, bc_cols = bc if bc is not None else (None, None)
+                work = fix_ghost_rows(work, bc_rows)
+                work = fix_ghost_cols(work, bc_cols)
+                d_row = (work[2:, 1:-1] - work[:-2, 1:-1]) * gx
+                d_col = (work[1:-1, 2:] - work[1:-1, :-2]) * gy
+                return d_row * d_row + d_col * d_col
+
+            @staticmethod
+            def d_row(work, bc=None):
+                bc_rows = bc[0] if bc is not None else None
+                work = fix_ghost_rows(work, bc_rows)
+                return (work[2:, 1:-1] - work[:-2, 1:-1]) * gx
+
+            @staticmethod
+            def d_col(work, bc=None):
+                bc_cols = bc[1] if bc is not None else None
+                work = fix_ghost_cols(work, bc_cols)
+                return (work[1:-1, 2:] - work[1:-1, :-2]) * gy
+
+        return helpers
 
     class helpers:
         cols = n_cols
+        flags = None
+
+        @staticmethod
+        def trim(value, amount):
+            if isinstance(value, tuple):
+                return tuple(helpers.trim(v, amount) for v in value)
+            if amount == 0 or jnp.ndim(value) == 0:
+                return value
+            return value[amount:-amount, :]
 
         @staticmethod
         def lap(work, bc=None):
@@ -841,32 +1217,36 @@ def make_fused_multi_stencil_window_2d(
 
 def make_fused_multi_ext_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
-    local_rows: int, dtype=np.float32, k: int | None = None,
-    interpret: bool = False,
+    local_rows: int, local_cols: int | None = None, ext_cols: bool = False,
+    dtype=np.float32, k: int | None = None, interpret: bool = False,
 ) -> tuple[Callable, int]:
-    """Multi-field temporal-blocking kernel on row-halo-extended local blocks.
+    """Multi-field temporal-blocking kernel on halo-extended local blocks.
 
     The decomposed (shard_map) variant of
-    :func:`make_fused_multi_stencil_window_2d` for grids cut along the ROW
-    axis only: each input carries ``ext_halo_width(k*halo_per_step)`` halo
-    rows per side (filled by ppermute outside), columns stay locally periodic
-    via lane rolls, and the kernel is otherwise identical — all fields share
-    one HBM pass per k steps. ``grid`` is the GLOBAL grid (providing the
-    discretization and column extent); ``local_rows`` is the shard's row
-    count.
+    :func:`make_fused_multi_stencil_window_2d`: each input carries
+    ``ext_halo_width(k*halo_per_step)`` halo rows per side (filled by
+    ppermute outside) and, with ``ext_cols``, the same column halo (grids cut
+    along the column axis); otherwise columns stay locally periodic via lane
+    rolls. All fields share one HBM pass per k steps. ``grid`` is the GLOBAL
+    grid (providing the discretization); ``local_rows``/``local_cols`` are
+    the shard's extent. Physical (const-affine) BCs are supported through
+    the helpers' ``bc=`` parameters, gated by the ``edge_flags`` int32
+    ``(5,)`` array ``[row_lo, row_hi, col_lo, col_hi, row_offset]`` marking
+    GLOBAL domain edges — the returned ``window_k(datas, edge_flags)``
+    mirrors the single-field ext kernel's contract.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if k is None:
         k = max(1, _HALO // halo_per_step)
-    n_cols = grid.shape[1]
+    n_cols = grid.shape[1] if local_cols is None else local_cols
     if not interpret:
         if jax.default_backend() != "tpu":
             raise PallasUnsupportedError("TPU backend required")
         if (
             local_rows % 8 != 0
-            or n_cols % 128 != 0
+            or (not ext_cols and n_cols % 128 != 0)
             or np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16))
             # the ext halo is fixed at _HALO rows on TPU, so the temporal
             # block must fit inside it: halo_total > _HALO would make the
@@ -878,19 +1258,26 @@ def make_fused_multi_ext_window_2d(
             )
     halo_total = k * halo_per_step
     halo = ext_halo_width(halo_total, interpret=interpret)
-    if local_rows < halo:
+    if local_rows < halo or (ext_cols and n_cols < halo):
         raise PallasUnsupportedError("Shard too small for the halo exchange")
     itemsize = np.dtype(dtype).itemsize
-    band = _pick_band_ext(local_rows, n_cols * n_fields, itemsize, halo)
-    helpers = _make_stencil_helpers(grid, pl, pltpu, band, local_rows // band)
+    # lane extent of the padded input (multiple of 128 on TPU)
+    cols_ext = n_cols + 2 * halo if ext_cols else n_cols
+    lanes = cols_ext if interpret else -(-cols_ext // 128) * 128
+    band = _pick_band_ext(local_rows, lanes * n_fields, itemsize, halo)
+    helpers = _make_stencil_helpers(
+        grid, pl, pltpu, band, local_rows // band,
+        ext_cols=ext_cols, n_cols=n_cols,
+    )
     step = make_step(helpers)
     F = n_fields
 
-    def kernel(*refs):
+    def kernel(flags_ref, *refs):
         ins = refs[:F]
         outs = refs[F : 2 * F]
         work_refs = refs[2 * F : 3 * F]
         sem = refs[3 * F]
+        helpers.flags = flags_ref
         i = pl.program_id(0)
         row0 = i * band  # input rows [row0, row0 + band + 2*halo)
         copies = []
@@ -905,8 +1292,13 @@ def make_fused_multi_ext_window_2d(
         for cp in copies:
             cp.wait()
 
+        col_sl = (
+            slice(halo - halo_total, halo + halo_total + n_cols)
+            if ext_cols
+            else slice(None, n_cols)
+        )
         works = [
-            work_refs[f][halo - halo_total : halo + halo_total + band, :]
+            work_refs[f][halo - halo_total : halo + halo_total + band, col_sl]
             for f in range(F)
         ]
         for _ in range(k):
@@ -918,19 +1310,29 @@ def make_fused_multi_ext_window_2d(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((local_rows, n_cols), dtype)] * F,
         grid=(local_rows // band,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * F,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * F,
         out_specs=[
             pl.BlockSpec((band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] * F,
         scratch_shapes=(
-            [pltpu.VMEM((band + 2 * halo, n_cols), dtype)] * F
+            [pltpu.VMEM((band + 2 * halo, lanes), dtype)] * F
             + [pltpu.SemaphoreType.DMA((F,))]
         ),
         interpret=interpret,
     )
 
-    def window_k(datas):
-        return list(call(*[jnp.asarray(d, dtype=dtype) for d in datas]))
+    pad_lanes = lanes - cols_ext
+    no_edges = jnp.zeros((5,), jnp.int32)
+
+    def window_k(datas, edge_flags=None):
+        arrs = [jnp.asarray(d, dtype=dtype) for d in datas]
+        if pad_lanes:
+            arrs = [jnp.pad(d, ((0, 0), (0, pad_lanes))) for d in arrs]
+        flags = no_edges if edge_flags is None else jnp.asarray(
+            edge_flags, jnp.int32
+        )
+        return list(call(flags, *arrs))
 
     return window_k, k
 
@@ -1259,7 +1661,7 @@ def make_fused_euler_window_2d(
                 return False
             if bcs is not None:
                 try:
-                    affine_bc_params(grid, bcs)
+                    affine_bc_specs(grid, bcs)
                 except PallasUnsupportedError:
                     return False
             return True
@@ -1280,7 +1682,43 @@ def make_fused_euler_window_2d(
             interpret=interpret, radial=radial,
         )
 
-    return _make_binary_chunked_window(build, k)
+    probe = build(1)
+    if probe.t_slots is None:
+        return _make_binary_chunked_window(build, k)
+
+    # time-dependent BC values: each chunk recomputes its per-step SMEM
+    # const table from the expression functions (the sharded XLA path does
+    # the same per-step evaluation, `parallel/boundaries.py`); ghost values
+    # at inner step s use t0 + s*dt, matching the unfused stepper's t
+    t_funcs = probe.t_slots
+    kernels = _binary_kernel_ladder(build, k)
+
+    def make_t_tab(ts):
+        cols = []
+        for fn in t_funcs:
+            if fn is None:
+                cols.append(jnp.zeros_like(ts))
+            else:
+                cols.append(jax.vmap(fn)(ts))
+        return jnp.stack(cols, axis=1)
+
+    def window(data, t0, steps):
+        index = jnp.asarray(0, jnp.int32)
+        remaining = steps
+        for kk, step_fn in kernels:
+            chunks = remaining // kk
+
+            def body(c, carry, _kk=kk, _step=step_fn):
+                d, idx = carry
+                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                return (_step(d, make_t_tab(ts)), idx + _kk)
+
+            data, index = jax.lax.fori_loop(0, chunks, body, (data, index))
+            remaining = remaining - chunks * kk
+        return data
+
+    window.needs_t = True
+    return window
 
 
 def supports_affine_laplace_cyl(grid, bcs, dtype, k: int = 1) -> bool:
@@ -1294,7 +1732,7 @@ def supports_affine_laplace_cyl(grid, bcs, dtype, k: int = 1) -> bool:
     if not _supports_fused_shape_2d(grid, dtype, k, grid_cls=object):
         return False
     try:
-        affine_bc_params(grid, bcs)
+        affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
         return False
     return True

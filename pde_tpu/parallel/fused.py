@@ -264,9 +264,13 @@ def make_fused_multi_window_sharded(
     """Sharded multi-field window: all fields share one HBM pass per k steps.
 
     Returns ``window(local_datas, steps) -> local_datas`` for use INSIDE
-    ``shard_map``. Requires a fully periodic grid decomposed along the row
-    axis only (columns stay locally periodic via lane rolls); other layouts
-    raise :class:`PallasUnsupportedError` and callers fall back to XLA.
+    ``shard_map``. Rows are always halo-extended (the banded DMA axis);
+    columns are extended when the column axis is decomposed, otherwise they
+    stay locally periodic via lane rolls. Physical (const-affine) BCs pass
+    through the helpers' ``bc=`` parameters of ``make_step``, gated by the
+    per-shard global-edge flags — the reference's coupled systems run
+    decomposed with full BC support
+    (`/root/reference/pde/solvers/explicit_mpi.py:24`).
     """
     from ..ops.pallas_cartesian import (
         PallasUnsupportedError,
@@ -277,29 +281,42 @@ def make_fused_multi_window_sharded(
     from ..grids.cartesian import CartesianGrid
 
     grid = mesh.basegrid
-    if (
-        not isinstance(grid, CartesianGrid)
-        or grid.num_axes != 2
-        or not all(grid.periodic)
-    ):
+    if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
         raise PallasUnsupportedError(
-            "Sharded multi-field window requires a fully periodic 2D "
-            "Cartesian grid"
+            "Sharded multi-field window requires a 2D Cartesian grid"
         )
-    if mesh.decomposition[1] != 1:
-        raise PallasUnsupportedError(
-            "Sharded multi-field window supports row-axis decomposition only"
-        )
-    local_rows = mesh.subgrid.shape[0]
+    local_rows, local_cols = mesh.subgrid.shape
+    ext_cols = mesh.decomposition[1] > 1
+    periodic = [bool(p) for p in grid.periodic]
+    axis_names = mesh.axis_names
+    decomposition = mesh.decomposition
+
+    def edge_flags():
+        flags = []
+        for ax in range(2):
+            if periodic[ax]:
+                flags += [jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)]
+            else:
+                idx = jax.lax.axis_index(axis_names[ax])
+                flags += [
+                    (idx == 0).astype(jnp.int32),
+                    (idx == decomposition[ax] - 1).astype(jnp.int32),
+                ]
+        row_off = jax.lax.axis_index(axis_names[0]) * np.int32(local_rows)
+        flags.append(row_off.astype(jnp.int32))
+        return jnp.stack(flags)
 
     def build(kk):
         step, _ = make_fused_multi_ext_window_2d(
             grid, make_step, halo_per_step, n_fields, local_rows=local_rows,
-            dtype=dtype, k=kk, interpret=interpret,
+            local_cols=local_cols, ext_cols=ext_cols, dtype=dtype, k=kk,
+            interpret=interpret,
         )
         h = ext_halo_width(kk * halo_per_step, interpret=interpret)
-        pad = make_halo_pad(mesh, (h, 0))
-        return lambda datas: tuple(step([pad(d) for d in datas]))
+        pad = make_halo_pad(mesh, (h, h if ext_cols else 0), periodic)
+        return lambda datas: tuple(
+            step([pad(d) for d in datas], edge_flags())
+        )
 
     # probe the largest supported k (small shards need smaller halos)
     k = None
@@ -308,7 +325,8 @@ def make_fused_multi_window_sharded(
         try:
             _, k = make_fused_multi_ext_window_2d(
                 grid, make_step, halo_per_step, n_fields,
-                local_rows=local_rows, dtype=dtype, k=probe_k,
+                local_rows=local_rows, local_cols=local_cols,
+                ext_cols=ext_cols, dtype=dtype, k=probe_k,
                 interpret=interpret,
             )
             break

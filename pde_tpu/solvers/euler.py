@@ -100,6 +100,7 @@ class EulerSolver(AdaptiveSolverBase):
         self.info["fused_step"] = True
         multi = getattr(window, "multi_field", False)
         needs_key = getattr(window, "needs_key", False)
+        needs_t = getattr(window, "needs_t", False)
 
         def fused_stepper(state_obj, t_start, t_end):
             steps = max(1, round((t_end - t_start) / dt))
@@ -112,6 +113,11 @@ class EulerSolver(AdaptiveSolverBase):
                 self._key, key = jax.random.split(self._key)
                 (data,) = leaves
                 leaves = [run(data, key, jnp.asarray(steps))]
+            elif needs_t:
+                # time-dependent BC values: the window rebuilds its per-step
+                # const table from t_start
+                (data,) = leaves
+                leaves = [run(data, jnp.asarray(t_start), jnp.asarray(steps))]
             elif multi:
                 leaves = list(run(leaves, jnp.asarray(steps)))
             else:

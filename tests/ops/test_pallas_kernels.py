@@ -668,3 +668,125 @@ def test_fused_multi_field_cylindrical(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-12
         )
+
+
+# -- inhomogeneous / time-dependent BC values in the fused kernels -------------------
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": "periodic", "y-": {"value": np.linspace(0.0, 2.0, 16)},
+         "y+": {"derivative": 0}},
+        {"x-": {"value": np.linspace(-1.0, 1.0, 16)}, "x+": {"derivative": 0},
+         "y": {"derivative": 0}},
+        {"x": {"derivative": 0}, "y-": {"value_expression": "sin(3 * x)"},
+         "y+": {"value_expression": "cos(x)"}},
+        {"x-": {"value_expression": "y**2"}, "x+": {"derivative": 0.5},
+         "y": {"derivative": 0}},
+    ],
+    ids=["array-col", "array-row", "expr-col", "expr-row"],
+)
+def test_fused_window_inhomogeneous_bc_parity(bc, rng, monkeypatch):
+    """Per-boundary-point BC value arrays lower into the fused kernel
+    (reference virtual-point arrays, `local.py:1541-2104`)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    periodic = [bc.get(ax) == "periodic" for ax in "xy"]
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.1, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.05, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.05, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": {"derivative": 0}, "y-": {"value_expression": "sin(3 * t)"},
+         "y+": {"derivative": 0}},
+        {"x-": {"value_expression": "t"}, "x+": {"derivative": 0},
+         "y": "periodic"},
+        {"x": {"derivative": 0},
+         "y-": {"derivative_expression": "0.5 * cos(t)"},
+         "y+": {"value_expression": "sin(t)"}},
+    ],
+    ids=["t-col", "t-row", "t-both-sides"],
+)
+def test_fused_window_time_dependent_bc_parity(bc, rng, monkeypatch):
+    """Time-dependent expression BC values pass per-step SMEM consts."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    periodic = [bc.get(ax) == "periodic" for ax in "xy"]
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.1, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.05, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.05, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_window_time_bc_tracker_windows(rng, monkeypatch):
+    """t-dependent BCs stay consistent across tracker-window boundaries
+    (the per-chunk t table must restart from the window's t_start)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=[True, False])
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"x": "periodic", "y-": {"value_expression": "sin(5 * t)"},
+          "y+": {"derivative": 0}}
+    eq = pde.DiffusionPDE(diffusivity=0.2, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+    from pde_tpu.storage.memory import MemoryStorage
+
+    storage = MemoryStorage()
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.06,
+                     tracker=storage.tracker(0.02)).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.06, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_window_unsupported_bc_values_fall_back(rng, monkeypatch):
+    """Space-AND-time-dependent and adjacent-value expressions fall back."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.euler import EulerSolver
+
+    for bc in (
+        {"x": "periodic", "y": {"value_expression": "sin(x * t)"}},
+        {"x": "periodic", "y": {"virtual_point": "2 * value"}},
+        {"x": "periodic", "y": {"mixed_expression": "x"}},
+    ):
+        grid = pde.UnitGrid([16, 16], periodic=[True, False])
+        state = pde.ScalarField.random_uniform(grid, rng=rng)
+        eq = pde.DiffusionPDE(diffusivity=0.1, bc=bc)
+        solver = EulerSolver(eq)
+        stepper = solver.make_stepper(state, dt=1e-3)
+        out, _ = stepper(state, 0.0, 0.01)
+        assert solver.info.get("fused_step") is None
+        assert np.all(np.isfinite(np.asarray(out.data)))

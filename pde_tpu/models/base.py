@@ -312,6 +312,28 @@ def make_fused_window_via_expression(pde_obj, state, dt: float, rhs_str: str, bc
     return eq.make_fused_euler_window(state, dt, mesh=mesh)
 
 
+class EtdrkParts:
+    """Spectral linear/nonlinear split consumed by the ETDRK4 solver.
+
+    ``L_vals`` holds the linear operator's modal values: shape
+    ``spectral_shape`` for a single field, or ``(*spectral_shape, N, N)``
+    for an N-field coupled system (per-mode coupling matrices).
+    ``axis_kinds`` names the diagonalizing transform per grid axis:
+    ``"periodic"`` (rfft), ``"neumann"`` (DCT-II), or ``"dirichlet"``
+    (DST-II). Iterating yields ``(L_vals, nonlinear_rhs)`` so the original
+    two-tuple contract keeps working.
+    """
+
+    def __init__(self, L_vals, nonlinear_rhs, axis_kinds=None, n_fields=1):
+        self.L_vals = L_vals
+        self.nonlinear_rhs = nonlinear_rhs
+        self.axis_kinds = axis_kinds
+        self.n_fields = n_fields
+
+    def __iter__(self):
+        return iter((self.L_vals, self.nonlinear_rhs))
+
+
 def make_etdrk_parts_via_expression(pde_obj, state, rhs_str: str, bc):
     """ETDRK spectral split for predefined scalar classes, routed through the
     expression compiler (see `PDE.make_etdrk_parts`)."""

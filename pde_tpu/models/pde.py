@@ -370,7 +370,13 @@ class PDE(SDEBase):
         if get_bc is None:
             get_bc = lambda op_name: None
 
+        # shrink semantics are helper-defined: roll-based kernels consume
+        # rows only, halo-extended (column-decomposed) kernels both dims
+        helpers_trim = getattr(helpers, "trim", None)
+
         def trim(value, amount):
+            if helpers_trim is not None:
+                return helpers_trim(value, amount)
             if isinstance(value, tuple):
                 return tuple(trim(v, amount) for v in value)
             if amount == 0 or jnp.ndim(value) == 0:
@@ -646,6 +652,7 @@ class PDE(SDEBase):
             gradient_squared = staticmethod(lambda x, bc=None: x)
             d_row = staticmethod(lambda x, bc=None: x)
             d_col = staticmethod(lambda x, bc=None: x)
+            trim = staticmethod(lambda x, amount: x)
 
         depths = [self._lower_stencil_expr(e, var_map, _Probe)[1] for e in exprs]
         depth = max(depths)
@@ -664,10 +671,8 @@ class PDE(SDEBase):
             def step(works):
                 new = []
                 for f, (rhs_fn, d) in enumerate(rhs_fns):
-                    rate = rhs_fn(works)
-                    if jnp.ndim(rate) != 0 and depth - d:
-                        rate = rate[depth - d : -(depth - d), :]
-                    center = works[f][depth:-depth, :]
+                    rate = ops.trim(rhs_fn(works), depth - d)
+                    center = ops.trim(works[f], depth)
                     new.append(
                         center
                         + dt * jnp.broadcast_to(jnp.asarray(rate), center.shape)
@@ -677,14 +682,11 @@ class PDE(SDEBase):
             return step
 
         if mesh is not None:
-            # decomposed: all fields share the halo-extended kernel; the halo
-            # pad (ppermute) happens outside, so only periodic BCs qualify
+            # decomposed: all fields share the halo-extended kernel; halos
+            # move via ppermute outside, physical (const-affine) BCs lower as
+            # edge-flag-gated ghost fixups inside the kernel
             if self.is_sde:
                 raise NotImplementedError("Sharded fused window does not support noise")
-            if any(p is not None for p in bc_table.values()):
-                raise NotImplementedError(
-                    "Sharded fused expression windows require periodic BCs"
-                )
             from ..parallel.fused import make_fused_multi_window_sharded
 
             try:
@@ -705,7 +707,7 @@ class PDE(SDEBase):
 
                 def step(work):
                     rate = rhs_fn([work])
-                    center = work[d:-d, :]
+                    center = ops.trim(work, d)
                     return center + dt * jnp.broadcast_to(
                         jnp.asarray(rate), center.shape
                     )
@@ -831,50 +833,93 @@ class PDE(SDEBase):
         return sympy.Matrix(jacobian)
 
     # -- exponential-integrator support ---------------------------------------------------
+    @staticmethod
+    def _axis_spectral_kind(pair) -> str:
+        """Transform kind diagonalizing the FD Laplacian along one axis.
+
+        ``"periodic"`` (rfft modes), ``"neumann"`` (DCT-II modes, homogeneous
+        no-flux both sides), or ``"dirichlet"`` (DST-II modes, homogeneous
+        value-0 both sides); anything else raises NotImplementedError.
+        """
+        from ..grids.boundaries.local import DirichletBC, NeumannBC
+
+        if pair.periodic:
+            if getattr(pair.low, "flip_sign", False):
+                raise NotImplementedError(
+                    "The spectral split does not support anti-periodic axes"
+                )
+            return "periodic"
+        for kind, cls in (("neumann", NeumannBC), ("dirichlet", DirichletBC)):
+            if all(
+                isinstance(bc, cls)
+                and not getattr(bc, "normal", False)
+                and np.all(np.asarray(bc.value) == 0)
+                for bc in (pair.low, pair.high)
+            ):
+                return kind
+        raise NotImplementedError(
+            "The spectral split requires periodic, homogeneous-Neumann, or "
+            "homogeneous-Dirichlet boundary conditions per axis"
+        )
+
     def make_etdrk_parts(self, state):
         """Split the rhs into a spectral linear part and a nonlinear remainder.
 
-        Returns ``(L_vals, nonlinear_rhs)`` for exponential integrators
-        (:class:`~pde_tpu.solvers.etdrk.ETDRK4Solver`): ``L_vals`` is the
-        continuous Fourier symbol of the stiff linear constant-coefficient
-        part — sums of ``c * laplace^m(u)`` and ``c * u`` — evaluated over
-        the grid's ``rfftn`` wavenumbers (shape ``(*shape[:-1],
-        shape[-1]//2 + 1)``), and ``nonlinear_rhs(leaves, t) -> leaves``
+        Returns an :class:`~pde_tpu.models.base.EtdrkParts` for exponential
+        integrators (:class:`~pde_tpu.solvers.etdrk.ETDRK4Solver`). The
+        linear constant-coefficient part — sums of ``c * laplace^m(u_j)`` and
+        ``c * u_j`` over all fields — is evaluated per mode of the
+        diagonalizing basis: rfft modes on periodic axes, DCT-II modes on
+        homogeneous-Neumann axes, DST-II modes on homogeneous-Dirichlet axes
+        (the eigenbases of the cell-centered ghost-cell stencils, so the
+        integrator advances exactly the same semi-discretization as every
+        other solver). For coupled FieldCollection systems ``L_vals`` holds
+        per-mode ``(N, N)`` coupling matrices. ``nonlinear_rhs(leaves, t)``
         computes everything else. Linear operators are first distributed
         over sums (``laplace(a + b) -> laplace(a) + laplace(b)``) so e.g.
         Cahn-Hilliard's ``laplace(c**3 - c - laplace(c))`` splits into the
         stiff ``q**2 - q**4`` symbol plus ``laplace(c**3)``.
 
-        Requires one scalar variable on a fully periodic CartesianGrid.
         There is no reference equivalent — py-pde handles stiffness by
         handing the rhs to scipy's implicit integrators on the host
         (`/root/reference/pde/solvers/scipy.py:17`).
         """
         from ..grids.cartesian import CartesianGrid
+        from .base import EtdrkParts
 
-        if len(self.variables) != 1:
-            raise NotImplementedError(
-                "The spectral split supports a single scalar variable"
-            )
         if self.is_sde:
             raise NotImplementedError("The spectral split is deterministic")
         grid = state.grid
-        if not isinstance(grid, CartesianGrid) or not all(grid.periodic):
+        if not isinstance(grid, CartesianGrid):
             raise NotImplementedError(
-                "The spectral split requires a fully periodic Cartesian grid"
+                "The spectral split requires a Cartesian grid"
             )
-        var = self.variables[0]
-        # the rfft symbol encodes PLAIN periodic wrapping: anti-periodic (or
-        # any other) laplace BCs would silently get the wrong eigenvalues
-        bcs_resolved = grid.get_boundary_conditions(self._resolve_bc(var, "laplace"))
-        for pair in bcs_resolved:
-            if not pair.periodic or getattr(pair.low, "flip_sign", False):
+        variables = self.variables
+        n_fields = len(variables)
+        # the modal basis must diagonalize every laplace application: check
+        # the (var, laplace) BCs of every field that uses the operator
+        axis_kinds = None
+        for var in variables:
+            if "laplace" not in self._operators[var]:
+                continue  # no laplace terms: no constraint from this field
+            bcs_resolved = grid.get_boundary_conditions(
+                self._resolve_bc(var, "laplace")
+            )
+            kinds = tuple(self._axis_spectral_kind(p) for p in bcs_resolved)
+            if axis_kinds is None:
+                axis_kinds = kinds
+            elif kinds != axis_kinds:
                 raise NotImplementedError(
-                    "The spectral split requires plain periodic boundary "
-                    "conditions for the laplace operator"
+                    "The spectral split requires all fields to share the "
+                    "same laplace boundary-condition types"
                 )
-        u = sympy.Symbol(var)
-        expr = self._rhs_expr[var]._sympy_expr
+        if axis_kinds is None:
+            # no laplace anywhere: any orthogonal basis works — pick by
+            # grid periodicity so the transform stays well-defined
+            axis_kinds = tuple(
+                "periodic" if p else "neumann" for p in grid.periodic
+            )
+
         # substitute scalar consts so e.g. `D*laplace(c)` with consts={'D':1}
         # keeps the stiff term in the exponential part instead of silently
         # dropping it into the explicit remainder (coeff.is_number is False
@@ -884,58 +929,92 @@ class PDE(SDEBase):
             for name, value in self.consts.items()
             if isinstance(value, numbers.Number) and not isinstance(value, complex)
         }
-        if scalar_consts:
-            expr = expr.subs(scalar_consts)
-        expr = self._distribute_linear_ops(sympy.expand(expr))
-        expr = sympy.expand(expr)
-
+        u_syms = [sympy.Symbol(v) for v in variables]
         q = sympy.Symbol("__wave_number")
-        lin_symbol = sympy.S.Zero
-        rest_terms = []
-        for term in expr.as_ordered_terms():
-            sym = self._linear_term_symbol(term, u, q)
-            if sym is None:
-                rest_terms.append(term)
-            else:
-                lin_symbol = lin_symbol + sym
-
-        # evaluate the symbol with the DISCRETE Laplacian eigenvalues
-        # λ(k) = -Σ_i 4 sin²(k_i dx_i / 2) / dx_i² over the rfftn modes, so
-        # the exponential integrator advances exactly the same
-        # finite-difference semi-discretization as every other solver (a
-        # continuum -|q|² symbol would silently change the spatial scheme)
-        from ..ops.common import laplace_eigenvalues_1d
-
-        lam = None
-        for ax, (n, dx) in enumerate(
-            zip(grid.shape, grid.discretization, strict=True)
-        ):
-            lam_ax = laplace_eigenvalues_1d(
-                n, float(dx), real_half=ax == grid.num_axes - 1
+        lin_matrix = [
+            [sympy.S.Zero for _ in variables] for _ in variables
+        ]
+        rest_exprs = {}
+        for i1, var in enumerate(variables):
+            expr = self._rhs_expr[var]._sympy_expr
+            if scalar_consts:
+                expr = expr.subs(scalar_consts)
+            expr = self._distribute_linear_ops(sympy.expand(expr))
+            expr = sympy.expand(expr)
+            rest_terms = []
+            for term in expr.as_ordered_terms():
+                matched = False
+                for i2, u2 in enumerate(u_syms):
+                    if not term.has(u2):
+                        continue
+                    sym = self._linear_term_symbol(term, u2, q)
+                    if sym is not None:
+                        lin_matrix[i1][i2] = lin_matrix[i1][i2] + sym
+                        matched = True
+                    break  # a linear term involves exactly one field symbol
+                if not matched:
+                    rest_terms.append(term)
+            rest_exprs[var] = (
+                sympy.Add(*rest_terms) if rest_terms else sympy.S.Zero
             )
+
+        # evaluate the symbols with the DISCRETE Laplacian eigenvalues of the
+        # per-axis modal bases (λ(k) = -4 sin²(·)/dx² chains); a continuum
+        # -|q|² symbol would silently change the spatial scheme
+        from ..ops.common import (
+            dirichlet_laplace_eigenvalues_1d,
+            laplace_eigenvalues_1d,
+            neumann_laplace_eigenvalues_1d,
+        )
+
+        periodic_axes = [
+            ax for ax, kind in enumerate(axis_kinds) if kind == "periodic"
+        ]
+        half_axis = periodic_axes[-1] if periodic_axes else None
+        lam = None
+        for ax, (n, dx, kind) in enumerate(
+            zip(grid.shape, grid.discretization, axis_kinds, strict=True)
+        ):
+            if kind == "periodic":
+                lam_ax = laplace_eigenvalues_1d(
+                    n, float(dx), real_half=ax == half_axis
+                )
+            elif kind == "neumann":
+                lam_ax = neumann_laplace_eigenvalues_1d(n, float(dx))
+            else:
+                lam_ax = dirichlet_laplace_eigenvalues_1d(n, float(dx))
             shape = [1] * grid.num_axes
             shape[ax] = len(lam_ax)
             lam_ax = lam_ax.reshape(shape)
             lam = lam_ax if lam is None else lam + lam_ax
-        if lin_symbol == 0:
-            L_vals = np.zeros(lam.shape)
-        else:
-            # the symbol contains only even powers of q ((-q²)^m chains), so
-            # substituting q = sqrt(-λ) evaluates (-q²)^m as λ^m exactly
-            sym_fn = sympy.lambdify(q, lin_symbol, modules="numpy")
-            L_vals = np.asarray(sym_fn(np.sqrt(-lam)), dtype=float)
-            L_vals = np.broadcast_to(L_vals, lam.shape).copy()
 
-        rest_expr = sympy.Add(*rest_terms) if rest_terms else sympy.S.Zero
+        def eval_symbol(sym):
+            if sym == 0:
+                return np.zeros(lam.shape)
+            # symbols contain only even powers of q ((-q²)^m chains), so
+            # substituting q = sqrt(-λ) evaluates (-q²)^m as λ^m exactly
+            sym_fn = sympy.lambdify(q, sym, modules="numpy")
+            vals = np.asarray(sym_fn(np.sqrt(-lam)), dtype=float)
+            return np.broadcast_to(vals, lam.shape).copy()
+
+        if n_fields == 1:
+            L_vals = eval_symbol(lin_matrix[0][0])
+        else:
+            L_vals = np.zeros((*lam.shape, n_fields, n_fields))
+            for i1 in range(n_fields):
+                for i2 in range(n_fields):
+                    if lin_matrix[i1][i2] != 0:
+                        L_vals[..., i1, i2] = eval_symbol(lin_matrix[i1][i2])
+
         sub_pde = PDE(
-            {var: str(rest_expr)},
+            {var: str(rest_exprs[var]) for var in variables},
             bc=self.bcs.get("*:*"),
             bc_ops={k: v for k, v in self.bcs.items() if k != "*:*"},
             user_funcs=self.user_funcs,
             consts=self.consts,
         )
         nonlinear_rhs = sub_pde.make_pde_rhs(state)
-        return L_vals, nonlinear_rhs
+        return EtdrkParts(L_vals, nonlinear_rhs, axis_kinds, n_fields)
 
     @staticmethod
     def _distribute_linear_ops(expr):

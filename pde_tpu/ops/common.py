@@ -126,3 +126,44 @@ def laplace_eigenvalues_1d(n: int, dx: float, *, real_half: bool = False) -> np.
     """
     f_cyc = np.fft.rfftfreq(n, d=dx) if real_half else np.fft.fftfreq(n, d=dx)
     return -4.0 * np.sin(np.pi * f_cyc * dx) ** 2 / dx**2
+
+
+def neumann_laplace_eigenvalues_1d(n: int, dx: float) -> np.ndarray:
+    """Eigenvalues of the cell-centered FD Laplacian with homogeneous no-flux
+    BCs (ghost = edge): ``-4 sin²(π k / (2n)) / dx²`` for the DCT-II modes
+    ``cos(π k (i + ½) / n)``, k = 0..n-1."""
+    k = np.arange(n)
+    return -4.0 * np.sin(np.pi * k / (2 * n)) ** 2 / dx**2
+
+
+def dirichlet_laplace_eigenvalues_1d(n: int, dx: float) -> np.ndarray:
+    """Eigenvalues of the cell-centered FD Laplacian with homogeneous
+    Dirichlet BCs (ghost = -edge): ``-4 sin²(π k / (2n)) / dx²`` for the
+    DST-II modes ``sin(π k (i + ½) / n)``, k = 1..n."""
+    k = np.arange(1, n + 1)
+    return -4.0 * np.sin(np.pi * k / (2 * n)) ** 2 / dx**2
+
+
+def dct2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II analysis matrix ``M`` with rows = eigenvectors of
+    the no-flux Laplacian: ``(M @ x)`` are the modal coefficients, ``M.T`` is
+    the exact inverse. Applied as a matmul — on TPU the MXU makes the O(n²)
+    transform competitive with FFT at these sizes, and it supports axes whose
+    BCs rule out plain FFTs."""
+    i = np.arange(n)
+    k = np.arange(n)[:, None]
+    m = np.cos(np.pi * k * (i + 0.5) / n)
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+def dst2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DST-II analysis matrix (homogeneous-Dirichlet modes
+    ``sin(π k (i + ½) / n)``, k = 1..n); inverse is the transpose."""
+    i = np.arange(n)
+    k = np.arange(1, n + 1)[:, None]
+    m = np.sin(np.pi * k * (i + 0.5) / n)
+    m[:-1] *= np.sqrt(2.0 / n)
+    m[-1] *= np.sqrt(1.0 / n)
+    return m

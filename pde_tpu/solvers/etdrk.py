@@ -1,19 +1,27 @@
 """Exponential time differencing RK4 (ETDRK4) — a TPU-native stiff solver.
 
 For semilinear PDEs ``u_t = L u + N(u)`` with a stiff linear part that is
-diagonal in Fourier space (laplace chains on periodic Cartesian grids —
-diffusion, Cahn-Hilliard, Kuramoto-Sivashinsky, Swift-Hohenberg), the linear
-part is integrated EXACTLY via ``exp(h L)`` and only the nonlinearity is
-treated with a 4th-order Runge-Kutta scheme (Cox & Matthews 2002). The
-stability restriction of explicit stepping on the stiff operator (dt ~ dx²
-for diffusion, dx⁴ for biharmonic terms) disappears: dt is limited by
-accuracy on the nonlinearity alone, typically orders of magnitude larger.
+diagonal in a separable modal basis (laplace chains on Cartesian grids —
+diffusion, Cahn-Hilliard, Kuramoto-Sivashinsky, Swift-Hohenberg, coupled
+reaction-diffusion systems), the linear part is integrated EXACTLY via
+``exp(h L)`` and only the nonlinearity is treated with a 4th-order
+Runge-Kutta scheme (Cox & Matthews 2002). The stability restriction of
+explicit stepping on the stiff operator (dt ~ dx² for diffusion, dx⁴ for
+biharmonic terms) disappears: dt is limited by accuracy on the nonlinearity
+alone, typically orders of magnitude larger.
+
+The modal basis is per-axis: rfft modes on periodic axes, DCT-II modes on
+homogeneous-Neumann axes, and DST-II modes on homogeneous-Dirichlet axes —
+the exact eigenbases of the cell-centered ghost-cell stencils, applied as
+orthonormal matmuls (MXU-friendly; inverses are transposes). Coupled
+N-field systems diagonalize the per-mode ``(N, N)`` coupling matrix on the
+host (batched eigendecomposition) and evaluate the phi functions on its
+eigenvalues.
 
 The phi-function coefficients are evaluated with the Kassam & Trefethen
 (2005) complex contour quadrature (numerically stable near ``h L → 0``) on
 the host; each step then costs a handful of elementwise spectral products
-plus 9 real FFT transforms (5 forward, 4 inverse), all inside the compiled
-window loop (XLA's TPU FFT).
+plus the forward/inverse transforms, all inside the compiled window loop.
 
 There is no reference equivalent: py-pde handles stiff problems by handing
 the rhs to scipy's implicit host-side integrators
@@ -32,41 +40,151 @@ from ..fields.base import FieldBase
 from .base import SolverBase
 
 
-def _phi_coefficients(L: np.ndarray, dt: float, n_points: int = 64):
-    """ETDRK4 coefficient arrays via complex contour quadrature.
+def _phi_scalars(mu: np.ndarray, n_points: int = 64):
+    """ETDRK4 phi values on (possibly complex) ``mu = dt * eigenvalue``.
 
-    Evaluates the Cox-Matthews phi functions on a circle of radius 1 around
-    each ``h L`` value (Kassam & Trefethen 2005, eq. 2.5) — the naive closed
-    forms lose all precision for ``|h L|`` near 0. Accumulates over the
-    quadrature points to keep host memory at O(grid size). Returns real f64
-    arrays (L is real for laplace-chain symbols).
+    Contour quadrature on a unit circle around each value (Kassam &
+    Trefethen 2005, eq. 2.5) — the naive closed forms lose all precision for
+    ``|mu|`` near 0. Returns the RAW phi quadratures (call sites scale by
+    ``dt``); complex for complex input. ``E``/``E2`` are exact exponentials.
     """
-    Lh = dt * np.asarray(L, dtype=np.float64)
-    E = np.exp(Lh)
-    E2 = np.exp(Lh / 2)
-    Q = np.zeros_like(Lh)
-    f1 = np.zeros_like(Lh)
-    f2 = np.zeros_like(Lh)
-    f3 = np.zeros_like(Lh)
-    for m in range(n_points):
-        r = np.exp(1j * np.pi * (m + 0.5) / n_points)  # upper half circle
-        z = Lh + r
+    mu = np.asarray(mu)
+    complex_in = np.iscomplexobj(mu)
+    E = np.exp(mu)
+    E2 = np.exp(mu / 2)
+    Q = np.zeros(mu.shape, dtype=complex)
+    f1 = np.zeros(mu.shape, dtype=complex)
+    f2 = np.zeros(mu.shape, dtype=complex)
+    f3 = np.zeros(mu.shape, dtype=complex)
+    # real input: points on the upper half circle + taking the real part is
+    # equivalent to (and half the cost of) the full circle
+    points = n_points if complex_in else n_points
+    for m in range(points):
+        if complex_in:
+            r = np.exp(2j * np.pi * (m + 0.5) / points)
+        else:
+            r = np.exp(1j * np.pi * (m + 0.5) / points)
+        z = mu + r
         ez = np.exp(z)
-        Q += ((np.exp(z / 2) - 1) / z).real
+        Q += (np.exp(z / 2) - 1) / z
         z3 = z**3
-        f1 += ((-4 - z + ez * (4 - 3 * z + z**2)) / z3).real
-        f2 += ((2 + z + ez * (-2 + z)) / z3).real
-        f3 += ((-4 - 3 * z - z**2 + ez * (4 - z)) / z3).real
-    scale = dt / n_points
-    return E, E2, Q * scale, f1 * scale, f2 * scale, f3 * scale
+        f1 += (-4 - z + ez * (4 - 3 * z + z**2)) / z3
+        f2 += (2 + z + ez * (-2 + z)) / z3
+        f3 += (-4 - 3 * z - z**2 + ez * (4 - z)) / z3
+    scale = 1.0 / points
+    out = (Q * scale, f1 * scale, f2 * scale, f3 * scale)
+    if not complex_in:
+        out = tuple(o.real for o in out)
+    return (E, E2, *out)
+
+
+def _phi_coefficients(L: np.ndarray, dt: float, n_points: int = 64):
+    """Scalar-field coefficient arrays: real f64, scaled by dt."""
+    E, E2, Q, f1, f2, f3 = _phi_scalars(dt * np.asarray(L, dtype=np.float64),
+                                        n_points)
+    return E, E2, dt * Q, dt * f1, dt * f2, dt * f3
+
+
+def _phi_coefficient_matrices(L: np.ndarray, dt: float, n_points: int = 64):
+    """Coupled-system coefficients: per-mode matrix functions of ``dt L``.
+
+    ``L`` has shape ``(*modes, N, N)`` (real). Diagonalizes every mode with
+    a batched eigendecomposition and assembles ``V f(dt µ) V⁻¹``; raises
+    NotImplementedError for (numerically) defective coupling matrices, where
+    the eigenvector basis cannot represent the matrix functions.
+    """
+    shape = L.shape
+    N = shape[-1]
+    M = (dt * np.asarray(L, dtype=np.float64)).reshape(-1, N, N)
+    mu, V = np.linalg.eig(M)
+    cond = np.linalg.cond(V)
+    if not np.all(np.isfinite(cond)) or np.max(cond) > 1e8:
+        raise NotImplementedError(
+            "ETDRK4: the linear coupling matrix is (near-)defective; its "
+            "matrix exponential cannot be computed by diagonalization"
+        )
+    Vinv = np.linalg.inv(V)
+    E_e, E2_e, Q_e, f1_e, f2_e, f3_e = _phi_scalars(mu, n_points)
+
+    def assemble(diag_vals, scale=1.0):
+        mats = np.einsum("kij,kj,kjl->kil", V, scale * diag_vals, Vinv)
+        return mats.real.reshape(shape)
+
+    return (
+        assemble(E_e),
+        assemble(E2_e),
+        assemble(Q_e, dt),
+        assemble(f1_e, dt),
+        assemble(f2_e, dt),
+        assemble(f3_e, dt),
+    )
+
+
+def _make_transforms(grid, axis_kinds, real_dtype):
+    """(forward, inverse, spectral_shape) for the per-axis modal bases.
+
+    Periodic axes use one ``rfftn`` (the real half on the LAST periodic
+    axis, matching the eigenvalue layout of ``make_etdrk_parts``);
+    Neumann/Dirichlet axes apply orthonormal DCT-II/DST-II matrices as
+    matmuls along the axis (inverse = transpose) — MXU work instead of FFTs.
+    """
+    from ..ops.common import dct2_matrix, dst2_matrix
+
+    num_axes = grid.num_axes
+    periodic_axes = [
+        ax for ax, kind in enumerate(axis_kinds) if kind == "periodic"
+    ]
+    matrix_axes = [
+        (ax, kind)
+        for ax, kind in enumerate(axis_kinds)
+        if kind != "periodic"
+    ]
+    fft_sizes = [grid.shape[ax] for ax in periodic_axes]
+    mats = {}
+    for ax, kind in matrix_axes:
+        n = grid.shape[ax]
+        m = dct2_matrix(n) if kind == "neumann" else dst2_matrix(n)
+        mats[ax] = jnp.asarray(m, dtype=real_dtype)
+
+    spectral_shape = list(grid.shape)
+    if periodic_axes:
+        spectral_shape[periodic_axes[-1]] = (
+            grid.shape[periodic_axes[-1]] // 2 + 1
+        )
+    spectral_shape = tuple(spectral_shape)
+
+    def apply_matrix(m, u, ax):
+        moved = jnp.moveaxis(u, ax, -1)
+        out = moved @ m.T if not jnp.iscomplexobj(moved) else (
+            (moved.real @ m.T) + 1j * (moved.imag @ m.T)
+        )
+        return jnp.moveaxis(out, -1, ax)
+
+    def forward(u):
+        for ax, _ in matrix_axes:
+            u = apply_matrix(mats[ax], u, ax)
+        if periodic_axes:
+            u = jnp.fft.rfftn(u, axes=periodic_axes)
+        return u
+
+    def inverse(v):
+        if periodic_axes:
+            v = jnp.fft.irfftn(v, s=fft_sizes, axes=periodic_axes)
+        for ax, _ in matrix_axes:
+            v = apply_matrix(mats[ax].T, v, ax)
+        return v
+
+    return forward, inverse, spectral_shape, bool(periodic_axes)
 
 
 class ETDRK4Solver(SolverBase):
     """Exponential time differencing RK4 for stiff semilinear PDEs.
 
     Requires a PDE exposing ``make_etdrk_parts`` (the expression
-    :class:`~pde_tpu.models.pde.PDE` does) with a single scalar variable on
-    a fully periodic CartesianGrid. Deterministic and fixed-dt.
+    :class:`~pde_tpu.models.pde.PDE` does) with scalar fields — a single
+    field or a coupled FieldCollection — on a CartesianGrid whose axes are
+    periodic or carry homogeneous Neumann/Dirichlet conditions.
+    Deterministic and fixed-dt.
     """
 
     name = "etdrk4"
@@ -76,7 +194,7 @@ class ETDRK4Solver(SolverBase):
         super().__init__(pde, backend=backend, decomposition=decomposition)
         if decomposition is not None:
             raise NotImplementedError(
-                "ETDRK4 operates in global Fourier space; decomposed grids "
+                "ETDRK4 operates in global modal space; decomposed grids "
                 "are not supported"
             )
         if self.info["stochastic"]:
@@ -89,43 +207,92 @@ class ETDRK4Solver(SolverBase):
                 "linear/nonlinear split required by ETDRK4 "
                 "(make_etdrk_parts); use an expression PDE"
             )
-        L_vals, nonlinear_rhs = self.pde.make_etdrk_parts(state)
+        parts = self.pde.make_etdrk_parts(state)
+        L_vals = parts.L_vals if hasattr(parts, "L_vals") else parts[0]
+        nonlinear_rhs = (
+            parts.nonlinear_rhs if hasattr(parts, "nonlinear_rhs") else parts[1]
+        )
         grid = state.grid
-        axes = tuple(range(-grid.num_axes, 0))
-        shape = tuple(grid.shape)
-        # coefficients are real (laplace-chain symbols); match the state's
-        # dtype so f32 states stay complex64 throughout the spectral step
-        # (f64 coefficient arrays would promote every product under x64)
-        real_dtype = np.asarray(state.data).dtype
-        if np.issubdtype(real_dtype, np.complexfloating):
+        axis_kinds = getattr(parts, "axis_kinds", None)
+        if axis_kinds is None:
+            axis_kinds = ("periodic",) * grid.num_axes
+        n_fields = getattr(parts, "n_fields", 1)
+        # coefficients are real; match the state's dtype so f32 states stay
+        # f32/complex64 throughout (f64 coefficient arrays would promote
+        # every product under x64)
+        from ..models.base import state_leaves
+
+        leaves0 = [np.asarray(x) for x in state_leaves(state)]
+        if len(leaves0) != n_fields:
             raise NotImplementedError(
-                "ETDRK4 operates on real fields via rfft; complex states "
+                "ETDRK4 state does not match the PDE's field count"
+            )
+        real_dtype = leaves0[0].dtype
+        if any(np.issubdtype(np.asarray(x).dtype, np.complexfloating)
+               for x in leaves0):
+            raise NotImplementedError(
+                "ETDRK4 operates on real fields; complex states "
                 "are not supported"
             )
+        forward, inverse, spec_shape, _has_fft = _make_transforms(
+            grid, axis_kinds, real_dtype
+        )
+        if n_fields == 1:
+            coeffs = _phi_coefficients(L_vals, dt)
+        else:
+            coeffs = _phi_coefficient_matrices(L_vals, dt)
         E, E2, Q, f1, f2, f3 = (
-            jnp.asarray(arr, dtype=real_dtype)
-            for arr in _phi_coefficients(L_vals, dt)
+            jnp.asarray(arr, dtype=real_dtype) for arr in coeffs
         )
         self.info["solver_scheme"] = "etdrk4 (Cox-Matthews / Kassam-Trefethen)"
+        self.info["etdrk_axis_kinds"] = tuple(axis_kinds)
 
-        def N_hat(u, t):
-            (rate,) = nonlinear_rhs([u], t)
-            return jnp.fft.rfftn(rate, axes=axes)
+        if n_fields == 1:
 
-        def irfft(v):
-            return jnp.fft.irfftn(v, s=shape, axes=axes)
+            def N_hat(u, t):
+                (rate,) = nonlinear_rhs([u], t)
+                return forward(rate)
 
-        def single_step(leaves, t, key):
-            (u,) = leaves
-            v = jnp.fft.rfftn(u, axes=axes)
-            Nv = N_hat(u, t)
-            a = E2 * v + Q * Nv
-            Na = N_hat(irfft(a), t + dt / 2)
-            b = E2 * v + Q * Na
-            Nb = N_hat(irfft(b), t + dt / 2)
-            c = E2 * a + Q * (2 * Nb - Nv)
-            Nc = N_hat(irfft(c), t + dt)
-            v = E * v + f1 * Nv + 2 * f2 * (Na + Nb) + f3 * Nc
-            return [irfft(v)]
+            def single_step(leaves, t, key):
+                (u,) = leaves
+                v = forward(u)
+                Nv = N_hat(u, t)
+                a = E2 * v + Q * Nv
+                Na = N_hat(inverse(a), t + dt / 2)
+                b = E2 * v + Q * Na
+                Nb = N_hat(inverse(b), t + dt / 2)
+                c = E2 * a + Q * (2 * Nb - Nv)
+                Nc = N_hat(inverse(c), t + dt)
+                v = E * v + f1 * Nv + 2 * f2 * (Na + Nb) + f3 * Nc
+                return [inverse(v)]
 
-        return single_step
+            return single_step
+
+        # coupled system: spectral state is (*modes, N); coefficients apply
+        # as per-mode (N, N) matvecs
+        def mat(C, v):
+            return jnp.einsum("...ij,...j->...i", C, v)
+
+        def fwd_stack(leaves):
+            return jnp.stack([forward(x) for x in leaves], axis=-1)
+
+        def inv_unstack(v):
+            return [inverse(v[..., i]) for i in range(n_fields)]
+
+        def N_hat_multi(leaves, t):
+            rates = nonlinear_rhs(leaves, t)
+            return jnp.stack([forward(r) for r in rates], axis=-1)
+
+        def single_step_multi(leaves, t, key):
+            v = fwd_stack(leaves)
+            Nv = N_hat_multi(leaves, t)
+            a = mat(E2, v) + mat(Q, Nv)
+            Na = N_hat_multi(inv_unstack(a), t + dt / 2)
+            b = mat(E2, v) + mat(Q, Na)
+            Nb = N_hat_multi(inv_unstack(b), t + dt / 2)
+            c = mat(E2, a) + mat(Q, 2 * Nb - Nv)
+            Nc = N_hat_multi(inv_unstack(c), t + dt)
+            v = mat(E, v) + mat(f1, Nv) + 2 * mat(f2, Na + Nb) + mat(f3, Nc)
+            return inv_unstack(v)
+
+        return single_step_multi

@@ -421,10 +421,15 @@ def make_affine_laplace_2d(
             if slot < 2:  # row side: varies along columns
                 row_slot_arr[slot] = len(row_arrays)
                 row_arrays.append(arr.reshape(1, n_cols))
-            else:  # column side: varies along rows; extend for halo wrap
+            else:  # column side: varies along rows; extend for halo wrap.
+                # Mosaic rejects width-1 memref slices, so the vector is
+                # broadcast across one 128-lane tile in HBM; the kernel
+                # loads the block and value-slices lane 0 (a vector op)
                 ext = np.concatenate([arr[-halo:], arr, arr[:halo]])
                 col_slot_arr[slot] = len(col_arrays)
-                col_arrays.append(ext.reshape(-1, 1))
+                col_arrays.append(
+                    np.broadcast_to(ext.reshape(-1, 1), (ext.size, 128)).copy()
+                )
         if spec.const_t is not None:
             t_slots[slot] = spec.const_t
 
@@ -500,7 +505,7 @@ def make_affine_laplace_2d(
             elif slot < 2:
                 c = row_refs[row_slot_arr[slot]][0:1, :]
             else:
-                c = col_vmem[col_slot_arr[slot]][col_rows]
+                c = col_vmem[col_slot_arr[slot]][col_rows][:, 0:1]
             if t_slots[slot] is not None:
                 c = c + t_tab[s, slot]
             return c
@@ -603,7 +608,7 @@ def make_affine_laplace_2d(
             pltpu.VMEM((halo, n_cols), dtype),
             pltpu.VMEM((halo, n_cols), dtype),
         ]
-        + [pltpu.VMEM((band + 2 * halo, 1), dtype)] * n_col_in
+        + [pltpu.VMEM((band + 2 * halo, 128), dtype)] * n_col_in
         + [pltpu.SemaphoreType.DMA((3 + n_col_in,))],
         interpret=interpret,
     )

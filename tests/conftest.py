@@ -2,7 +2,11 @@
 
 Mirrors the reference test strategy (SURVEY.md §4): numerics tests run in
 float64 on CPU; sharded tests use the virtual device mesh in place of
-`mpiexec -n N`.
+`mpiexec -n N`. An opt-in hardware lane
+(``PDE_TPU_TEST_PLATFORM=tpu python -m pytest -m tpu``) runs the
+``@pytest.mark.tpu`` tests on the real chip in f32 — kernel-vs-XLA parity
+and the fused gating contract on actual Mosaic lowerings, which interpret
+mode cannot validate (it has missed real geometry bugs before).
 """
 
 import os
@@ -11,7 +15,8 @@ import os
 # NOTE: jax may already be imported at interpreter startup (sitecustomize), so
 # the environment variable alone is not sufficient — use jax.config as well.
 _platform = os.environ.get("PDE_TPU_TEST_PLATFORM", "cpu")
-os.environ["JAX_PLATFORMS"] = _platform
+if _platform != "tpu":
+    os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,11 +25,35 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", _platform)
-jax.config.update("jax_enable_x64", True)
+if _platform != "tpu":
+    jax.config.update("jax_platforms", _platform)
+    # fp64 numerics oracles on CPU; the TPU lane stays in native f32
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: hardware lane (real chip; skipped on CPU CI)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    on_tpu = _platform == "tpu"
+    skip_tpu = pytest.mark.skip(
+        reason="hardware lane: run with PDE_TPU_TEST_PLATFORM=tpu -m tpu"
+    )
+    skip_cpu = pytest.mark.skip(
+        reason="CPU-oracle test: not run on the hardware lane"
+    )
+    for item in items:
+        has_tpu_mark = "tpu" in item.keywords
+        if has_tpu_mark and not on_tpu:
+            item.add_marker(skip_tpu)
+        elif not has_tpu_mark and on_tpu:
+            item.add_marker(skip_cpu)
 
 
 @pytest.fixture

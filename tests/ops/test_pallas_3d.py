@@ -80,3 +80,312 @@ def test_fused_euler_window_3d_bc_solver_path(rng, monkeypatch):
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
     )
     assert float(res.integral) == pytest.approx(float(state.integral), rel=1e-9)
+
+
+def test_fused_window_3d_randomized_configs(rng, monkeypatch):
+    """Property sweep: random shapes x k x BC mixes x remainder steps stay
+    consistent with the XLA lowering (the 3D analogue of the 2D
+    test_fused_window_randomized_configs)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    def random_side_bc():
+        kind = rng.choice(["value", "derivative", "mixed", "curvature"])
+        if kind == "mixed":
+            return {"type": "mixed", "value": float(rng.uniform(-1, 2)),
+                    "const": float(rng.uniform(-1, 1))}
+        return {kind: float(rng.uniform(-1, 1))}
+
+    for trial in range(6):
+        # the banded x axis needs nx % 8 == 0 (the band table); y/z are free
+        shape = (
+            int(rng.choice([8, 16])),
+            int(rng.choice([8, 12, 16])),
+            int(rng.choice([8, 12, 16])),
+        )
+        periodic = [bool(rng.integers(2)) for _ in range(3)]
+        bc = {}
+        for ax, per in zip("xyz", periodic):
+            if per:
+                bc[ax] = "periodic"
+            else:
+                bc[ax + "-"] = random_side_bc()
+                bc[ax + "+"] = random_side_bc()
+        grid = pde.CartesianGrid(
+            [(0, float(rng.uniform(0.5, 2))) for _ in range(3)],
+            shape, periodic=periodic,
+        )
+        state = pde.ScalarField.random_uniform(grid, rng=rng)
+        eq = pde.DiffusionPDE(diffusivity=float(rng.uniform(0.01, 0.2)), bc=bc)
+        steps = int(rng.integers(3, 11))  # exercises remainder decomposition
+
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+        solver = EulerSolver(eq)
+        res = Controller(solver, t_range=steps * 1e-4, tracker=None).run(
+            state, dt=1e-4
+        )
+        assert solver.info.get("fused_step") is True, f"trial {trial}: {bc}"
+        assert solver.info["steps"] == steps
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+        ref = eq.solve(state, t_range=steps * 1e-4, dt=1e-4, tracker=None)
+        np.testing.assert_allclose(
+            np.asarray(res.data), np.asarray(ref.data), rtol=1e-11,
+            atol=1e-12, err_msg=f"trial {trial}: shape={shape} bc={bc}",
+        )
+
+
+def test_affine_laplace_3d_direct_k_sweep(rng):
+    """Direct kernel calls at every temporal-blocking factor match the
+    repeated XLA operator application."""
+    from pde_tpu.ops.pallas_cartesian import make_affine_laplace_3d
+
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
+    data = jnp.asarray(rng.random((16, 8, 8)))
+    lap = grid.make_operator("laplace", bc="periodic")
+    for k in (1, 2, 4):
+        kernel, k_used = make_affine_laplace_3d(
+            grid, a=1.0, b=2e-4, k=k, dtype=jnp.float64, interpret=True
+        )
+        assert k_used == k
+        ref = data
+        for _ in range(k):
+            ref = ref + 2e-4 * lap(ref)
+        np.testing.assert_allclose(
+            np.asarray(kernel(data)), np.asarray(ref), rtol=1e-12, atol=1e-12
+        )
+
+
+def test_affine_laplace_3d_anisotropic(rng):
+    """Anisotropic discretizations use the per-axis scale branch."""
+    from pde_tpu.ops.pallas_cartesian import make_affine_laplace_3d
+
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (16, 8, 8),
+                             periodic=True)
+    data = jnp.asarray(rng.random((16, 8, 8)))
+    kernel, _ = make_affine_laplace_3d(
+        grid, a=1.0, b=1e-4, k=2, dtype=jnp.float64, interpret=True
+    )
+    lap = grid.make_operator("laplace", bc="periodic")
+    ref = data
+    for _ in range(2):
+        ref = ref + 1e-4 * lap(ref)
+    np.testing.assert_allclose(
+        np.asarray(kernel(data)), np.asarray(ref), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_fused_window_3d_remainder_steps(rng, monkeypatch):
+    """Step counts not divisible by k decompose over the binary ladder."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.05)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=7e-4, tracker=None).run(state, dt=1e-4)
+    assert solver.info.get("fused_step") is True
+    assert solver.info["steps"] == 7
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=7e-4, dt=1e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_window_3d_tracker_windows(rng, monkeypatch):
+    """Tracker interrupts split the 3D run into multiple kernel windows."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.05, bc={"derivative": 0})
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+    from pde_tpu.storage.memory import MemoryStorage
+
+    storage = MemoryStorage()
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.01,
+                     tracker=storage.tracker(0.004)).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    assert len(storage) >= 3
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_3d_band_k_table_vmem_accounting():
+    """The (band, k) table tracks the k-plane halo sizing (round-2 fix)."""
+    from pde_tpu.ops.pallas_cartesian import _pick_band_k_3d
+
+    # plane = ny*nz*itemsize: 96 KB boundary between k=4 and k=2
+    assert _pick_band_k_3d((64, 64, 128), 4) == (8, 4)   # 32 KB plane
+    assert _pick_band_k_3d((64, 128, 192), 4) == (8, 4)  # 96 KB plane
+    assert _pick_band_k_3d((64, 128, 256), 4) == (8, 2)  # 128 KB plane
+    assert _pick_band_k_3d((64, 256, 256), 4) == (8, 2)  # 256 KB plane
+    assert _pick_band_k_3d((64, 512, 256), 4) is None    # too large
+    # band must divide the x extent
+    assert _pick_band_k_3d((12, 64, 128), 4) is None
+
+
+def test_supports_ext_3d_preconditions():
+    """Halo-supply and alignment preconditions of the 3D ext kernel."""
+    from pde_tpu.ops.pallas_cartesian import supports_affine_laplace_ext_3d
+
+    ok = supports_affine_laplace_ext_3d
+    # interpret mode: only the halo-supply constraint applies
+    assert ok((8, 8, 8), np.float64, 2, ext_axes=(True, True, False),
+              interpret=True)
+    assert not ok((1, 8, 8), np.float64, 2, ext_axes=(True, False, False),
+                  interpret=True)  # shard thinner than the halo
+    assert not ok((8, 1, 8), np.float64, 2, ext_axes=(True, True, False),
+                  interpret=True)
+    # x must always be extended (it is the banded DMA axis)
+    assert not ok((8, 8, 8), np.float64, 2, ext_axes=(False, True, False),
+                  interpret=True)
+    # 2D shapes are rejected
+    assert not ok((8, 8), np.float64, 1, ext_axes=(True, False),
+                  interpret=True)
+
+
+def test_ext_3d_direct_periodic_wrap(rng):
+    """Direct ext-3D kernel call with a manually built periodic halo matches
+    the wrapped single-device kernel."""
+    from pde_tpu.ops.pallas_cartesian import (
+        make_affine_laplace_3d,
+        make_affine_laplace_ext_3d,
+    )
+
+    grid = pde.CartesianGrid([(0, 1)] * 3, (8, 8, 8), periodic=True)
+    data = rng.random((8, 8, 8))
+    k = 2
+    ref_kernel, _ = make_affine_laplace_3d(
+        grid, a=1.0, b=1e-4, k=k, dtype=jnp.float64, interpret=True
+    )
+    ext_kernel = make_affine_laplace_ext_3d(
+        (8, 8, 8), a=1.0, b=1e-4, k=k, discretization=grid.discretization,
+        ext_axes=(True, True, True), dtype=jnp.float64, interpret=True,
+    )
+    ext = np.pad(data, k, mode="wrap")
+    np.testing.assert_allclose(
+        np.asarray(ext_kernel(ext)), np.asarray(ref_kernel(data)),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_ext_3d_bc_edge_flags(rng):
+    """Edge-flag-gated BC fixups in the ext-3D kernel match the XLA chain."""
+    from pde_tpu.ops.pallas_cartesian import (
+        affine_bc_params,
+        make_affine_laplace_ext_3d,
+    )
+
+    grid = pde.CartesianGrid([(0, 1)] * 3, (8, 8, 8))
+    bcs = grid.get_boundary_conditions({"derivative": 0})
+    bc_params = affine_bc_params(grid, bcs)
+    data = rng.random((8, 8, 8))
+    k = 2
+    ext_kernel = make_affine_laplace_ext_3d(
+        (8, 8, 8), a=1.0, b=1e-4, k=k, discretization=grid.discretization,
+        ext_axes=(True, True, True), dtype=jnp.float64, bc_params=bc_params,
+        interpret=True,
+    )
+    ext = np.pad(data, k)  # zeros: must be ignored at flagged edges
+    flags = np.ones(6, dtype=np.int32)
+    lap = grid.make_operator("laplace", bc={"derivative": 0})
+    ref = jnp.asarray(data)
+    for _ in range(k):
+        ref = ref + 1e-4 * lap(ref)
+    np.testing.assert_allclose(
+        np.asarray(ext_kernel(ext, flags)), np.asarray(ref),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_3d_gating_on_mocked_tpu(monkeypatch):
+    """Benchmark-scale 3D configs pass the compiled-mode support checks."""
+    import pde_tpu.ops.pallas_cartesian as pc
+
+    monkeypatch.setattr(pc.jax, "default_backend", lambda: "tpu")
+    assert pc.supports_affine_laplace_3d(
+        pde.UnitGrid([128, 128, 128], periodic=True), np.float32
+    )
+    assert pc.supports_affine_laplace_3d(
+        pde.UnitGrid([256, 256, 256], periodic=True), np.float32
+    )
+    # misaligned lanes -> no fused path in compiled mode
+    assert not pc.supports_affine_laplace_3d(
+        pde.UnitGrid([128, 128, 100], periodic=True), np.float32
+    )
+    # f64 never fuses in compiled mode
+    assert not pc.supports_affine_laplace_3d(
+        pde.UnitGrid([128, 128, 128], periodic=True), np.float64
+    )
+    # bf16 is a supported storage dtype
+    assert pc.supports_affine_laplace_3d(
+        pde.UnitGrid([128, 128, 128], periodic=True), jnp.bfloat16
+    )
+    # ext variant on an aligned local shard
+    assert pc.supports_affine_laplace_ext_3d(
+        (64, 64, 128), np.float32, 2, ext_axes=(True, True, False)
+    )
+    assert not pc.supports_affine_laplace_ext_3d(
+        (64, 100, 128), np.float32, 2, ext_axes=(True, False, False)
+    )  # misaligned non-extended y
+
+
+def test_3d_f32_dtype_stability(rng, monkeypatch):
+    """f32 3D states keep their dtype through the fused window under x64."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
+    state = pde.ScalarField(
+        grid, np.asarray(rng.random((16, 8, 8)), dtype=np.float32)
+    )
+    eq = pde.DiffusionPDE(0.05)
+
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    stepper = solver.make_stepper(state, dt=1e-3)
+    out, _ = stepper(state, 0.0, 0.01)
+    assert solver.info.get("fused_step") is True
+    assert np.asarray(out.data).dtype == np.float32
+
+
+def test_3d_expression_pde_falls_back(rng, monkeypatch):
+    """Expression PDEs have no 3D stencil lowering yet: clean XLA fallback."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.PDE({"c": "0.1 * laplace(c) - c**3"})
+
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    stepper = solver.make_stepper(state, dt=1e-3)
+    out, _ = stepper(state, 0.0, 0.01)
+    assert solver.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out.data)))
+
+
+def test_3d_integral_conservation_noflux(rng, monkeypatch):
+    """No-flux diffusion conserves the integral through the fused kernel."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.1, bc={"derivative": 0})
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    assert float(res.integral) == pytest.approx(float(state.integral),
+                                                rel=1e-9)

@@ -1,0 +1,200 @@
+"""Real-TPU hardware lane: kernel-vs-XLA parity on actual Mosaic lowerings.
+
+Run as ONE process: ``PDE_TPU_TEST_PLATFORM=tpu python -m pytest -m tpu -q``
+(wrap in ``timeout`` — remote compiles are occasionally wedged; see
+CLAUDE.md). Interpret mode has missed real geometry bugs before (round-2
+fixups); every fused-path feature must also compile and match XLA on the
+chip. CPU CI skips these via the conftest marker hook.
+"""
+
+import numpy as np
+import pytest
+
+import pde_tpu as pde
+
+pytestmark = pytest.mark.tpu
+
+F32_TOL = dict(rtol=2e-5, atol=2e-5)  # f32 after ~1000 accumulation steps
+
+
+def _solve_pair(eq, state, t_range, dt, monkeypatch, decomposition=None):
+    """(fused result, XLA result, solver info) for the same configuration."""
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=t_range, tracker=None).run(state, dt=dt)
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(
+        state, t_range=t_range, dt=dt, tracker=None,
+        solver="euler" if decomposition is None else "explicit_sharded",
+        **({} if decomposition is None else
+           {"adaptive": False, "decomposition": decomposition}),
+    )
+    return res, ref, solver.info
+
+
+def _f32(state):
+    return pde.ScalarField(
+        state.grid, np.asarray(state.data, dtype=np.float32)
+    )
+
+
+def test_fused_periodic_parity(rng, monkeypatch):
+    """The temporal-blocking kernel matches XLA over 1000 f32 steps."""
+    grid = pde.UnitGrid([256, 256], periodic=True)
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.1)
+    res, ref, info = _solve_pair(eq, state, 1.0, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_fused_gating_contract(rng, monkeypatch):
+    """Unsupported shapes fall back; supported shapes fuse (the contract
+    bench.py relies on)."""
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    # 100x100 breaks the lane alignment -> XLA fallback
+    bad = _f32(pde.ScalarField.random_uniform(
+        pde.UnitGrid([100, 100], periodic=True), rng=rng
+    ))
+    eq = pde.DiffusionPDE(0.1)
+    solver = EulerSolver(eq)
+    stepper = solver.make_stepper(bad, dt=1e-3)
+    out, _ = stepper(bad, 0.0, 0.01)
+    assert solver.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out.data)))
+    # aligned shape fuses
+    good = _f32(pde.ScalarField.random_uniform(
+        pde.UnitGrid([128, 128], periodic=True), rng=rng
+    ))
+    solver2 = EulerSolver(eq)
+    stepper2 = solver2.make_stepper(good, dt=1e-3)
+    out2, _ = stepper2(good, 0.0, 0.01)
+    assert solver2.info.get("fused_step") is True
+    assert np.all(np.isfinite(np.asarray(out2.data)))
+
+
+def test_fused_noflux_bc_parity(rng, monkeypatch):
+    """Const-affine BC fixups (no-flux) on the chip."""
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], (128, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.2, bc={"derivative": 0})
+    res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_fused_inhomogeneous_bc_parity(rng, monkeypatch):
+    """Array-valued BC consts: the (band+2h, 1) column-vector DMA and the
+    (1, n_cols) row block must Mosaic-compile and match XLA."""
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (128, 128))
+    values_y = np.linspace(0.0, 2.0, 128)  # y- boundary varying along x
+    values_x = np.linspace(-1.0, 1.0, 128)  # x- boundary varying along y
+    bc = {"x-": {"value": values_x}, "x+": {"derivative": 0},
+          "y-": {"value": values_y}, "y+": {"derivative": 0}}
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.2, bc=bc)
+    res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_fused_time_dependent_bc_parity(rng, monkeypatch):
+    """t-dependent expression BCs via the per-step SMEM const table."""
+    grid = pde.UnitGrid([128, 128], periodic=[True, False])
+    bc = {"x": "periodic", "y-": {"value_expression": "sin(3 * t)"},
+          "y+": {"derivative": 0}}
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.2, bc=bc)
+    res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_fused_3d_parity(rng, monkeypatch):
+    """3D kernel (k-plane halos) on the chip."""
+    grid = pde.CartesianGrid([(0, 1)] * 3, (64, 64, 128), periodic=True)
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.05)
+    res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_sharded_ext_kernel_single_chip(rng, monkeypatch):
+    """The halo-extended kernel + ppermute pad on a [1, 1] mesh (the only
+    mesh a single chip can run) matches the serial XLA path."""
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], (128, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.1, bc={"derivative": 0})
+    res, ref, info = _solve_pair(
+        eq, state, 0.5, 1e-3, monkeypatch, decomposition=[1, 1]
+    )
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_multi_field_expression_parity(rng, monkeypatch):
+    """Coupled two-field expression PDE through the multi-field kernel."""
+    grid = pde.UnitGrid([128, 128], periodic=True)
+    u = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    v = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    u.label, v.label = "u", "v"
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "0.1 * laplace(u) + 1 - 2 * u + u**2 * v",
+        "v": "0.05 * laplace(v) + u - u**2 * v",
+    })
+    res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    for a, b in zip(res, ref):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), **F32_TOL
+        )
+
+
+def test_etdrk4_window(rng):
+    """One compiled ETDRK4 window (rfft spectral step) runs on the chip."""
+    grid = pde.UnitGrid([128, 128], periodic=True)
+    state = _f32(pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng))
+    eq = pde.PDE({"c": "laplace(c**3 - c - laplace(c))"})
+    res = eq.solve(state, t_range=0.5, dt=0.01, solver="etdrk4", tracker=None)
+    assert np.asarray(res.data).dtype == np.float32
+    assert np.all(np.isfinite(np.asarray(res.data)))
+
+
+def test_etdrk4_dct_window(rng):
+    """ETDRK4 through the DCT-II (no-flux) matmul basis on the chip."""
+    grid = pde.UnitGrid([128, 128])
+    state = _f32(pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng))
+    eq = pde.PDE({"u": "0.05 * laplace(u) + u - u**3"}, bc={"derivative": 0})
+    res = eq.solve(state, t_range=0.5, dt=0.01, solver="etdrk4", tracker=None)
+    assert np.all(np.isfinite(np.asarray(res.data)))
+
+
+def test_cylindrical_fused_parity(rng, monkeypatch):
+    """Cylindrical kernel (per-row radial coefficients) on the chip."""
+    grid = pde.CylindricalSymGrid(1.0, (0, 1), (128, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.05, bc={"derivative": 0})
+    res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )

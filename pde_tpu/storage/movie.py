@@ -1,28 +1,38 @@
 """Storage writing field time series as (lossily quantized) video files.
 
-Reference: `/root/reference/pde/storage/movie.py:83`: fields are quantized to
-16-bit gray frames between `vmin` and `vmax`, encoded with the lossless FFV1
-codec via ffmpeg, and the metadata needed for reconstruction is stored in a
-JSON sidecar. When the `ffmpeg` binary is unavailable the frames are written
-uncompressed ("raw" backend) with identical quantization semantics, so stored
-series remain readable and the format logic stays exercised in environments
-without ffmpeg.
+Format-interchangeable with the reference (`/root/reference/pde/storage/
+movie.py:83`): fields are normalized to ``[vmin, vmax]``, quantized to the
+chosen pixel format, encoded with the lossless FFV1 codec via an ffmpeg
+subprocess, and the reconstruction metadata is stored as a shlex-quoted JSON
+string in the container's ``comment`` tag (version 1 — the reference's
+scheme, so movies written by either implementation read back in the other).
+Exact time stamps go to a ``<filename>.times`` sidecar text file (one float
+per line), matching the reference's ``write_times`` behavior.
+
+When the ``ffmpeg`` binary is unavailable the frames are written
+uncompressed ("raw" backend) with identical quantization semantics and a
+JSON sidecar, so stored series remain readable and the format logic stays
+exercised in environments without ffmpeg.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shlex
 import shutil
 import subprocess
+
 import numpy as np
 
 from ..fields.base import FieldBase
 from ..trackers.base import InfoDict
+from ..utils import ffmpeg as ffmpeg_formats
 from .base import StorageBase
 
 
 class MovieStorage(StorageBase):
-    """Stores scalar-field time series in a video file (16-bit quantization)."""
+    """Stores scalar-field time series in a video file (quantized)."""
 
     def __init__(
         self,
@@ -52,52 +62,95 @@ class MovieStorage(StorageBase):
         if bits_per_channel not in (8, 16):
             raise ValueError("bits_per_channel must be 8 or 16")
         self.bits_per_channel = bits_per_channel
+        self.video_format = video_format
+        self.bitrate = int(bitrate)
         self.write_times = write_times
         self._times: list[float] = []
         self._proc = None
         self._shape: tuple[int, ...] | None = None
+        self._meta_loaded = False
 
-        import os
-
-        if os.path.exists(self._meta_path) and os.path.exists(self.filename):
-            self._load_meta()
+        if os.path.exists(self.filename):
+            if os.path.exists(self._meta_path):
+                self._load_meta()  # raw backend / legacy JSON sidecar
+            elif self._backend == "ffmpeg":
+                self._read_metadata()
 
     @property
     def _meta_path(self) -> str:
         return self.filename + ".json"
 
+    @property
+    def _times_path(self) -> str:
+        return self.filename + ".times"
+
+    @property
+    def _format(self) -> ffmpeg_formats.FFmpegFormat:
+        name = self.video_format
+        if name == "auto":
+            name = "gray16le" if self.bits_per_channel == 16 else "gray"
+        return ffmpeg_formats.formats[name]
+
+    def _get_metadata(self) -> str:
+        """JSON metadata string stored in the movie comment (version 1)."""
+        info = {
+            "version": 1,
+            "vmin": self.vmin,
+            "vmax": self.vmax,
+            "write_times": self.write_times,
+            # extra keys (ignored by the reference, which reads frame
+            # geometry from the stream): used by our ffprobe-less fallback
+            "bits_per_channel": self.bits_per_channel,
+            "width": self._shape[0] if self._shape else None,
+            "height": self._shape[1] if self._shape and len(self._shape) > 1 else 1,
+        }
+        if self._field is not None:
+            info["field_attributes"] = self._field.attributes_serialized
+        return json.dumps(info)
+
     # -- writing -----------------------------------------------------------------------
     def start_writing(self, field: FieldBase, info: InfoDict | None = None) -> None:
-        if field.data.ndim != 2:
-            raise NotImplementedError("MovieStorage only supports 2d scalar fields")
+        if field.data.ndim not in (1, 2):
+            raise NotImplementedError(
+                "MovieStorage only supports 1d/2d scalar fields"
+            )
         super().start_writing(field, info)
         self._times = []
         self._shape = tuple(np.asarray(field.data).shape)
-        h, w = self._shape
+        # reference frame layout: -s {shape[0]}x{shape[1]} with C-order
+        # bytes — the video's pixel grid is transposed relative to the
+        # field, consistently on both ends (`movie.py:356-360, 484`)
+        w0 = self._shape[0]
+        h0 = self._shape[1] if len(self._shape) > 1 else 1
         if self._backend == "raw":
             self._raw_fh = open(self.filename, "wb")
             return
-        pix_fmt = "gray16le" if self.bits_per_channel == 16 else "gray"
+        fmt = self._format
         cmd = [
             "ffmpeg", "-y",
             "-f", "rawvideo", "-vcodec", "rawvideo",
-            "-s", f"{w}x{h}", "-pix_fmt", pix_fmt, "-r", "30", "-i", "-",
-            "-an", "-vcodec", "ffv1", self.filename,
+            "-s", f"{w0}x{h0}", "-pix_fmt", fmt.pix_fmt_data,
+            "-r", "30", "-i", "-",
+            "-an", "-vcodec", fmt.codec, "-pix_fmt", fmt.pix_fmt_file,
+            # the tag value is the shlex-QUOTED json — the reference writes
+            # it through ffmpeg-python the same way and unquotes on read
+            "-metadata", "comment=" + shlex.quote(self._get_metadata()),
         ]
+        if self.bitrate > 0:
+            cmd += ["-b:v", str(self.bitrate)]
+        cmd.append(self.filename)
         self._proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
 
     def _quantize(self, data: np.ndarray) -> np.ndarray:
-        scale = (2**self.bits_per_channel - 1) / (self.vmax - self.vmin)
-        clipped = np.clip((data - self.vmin) * scale, 0, 2**self.bits_per_channel - 1)
-        dtype = np.uint16 if self.bits_per_channel == 16 else np.uint8
-        return clipped.astype(dtype)
+        normalized = (data - self.vmin) / (self.vmax - self.vmin)
+        return self._format.data_to_frame(normalized)
 
     def _dequantize(self, raw: np.ndarray) -> np.ndarray:
-        scale = (self.vmax - self.vmin) / (2**self.bits_per_channel - 1)
-        return raw.astype(float) * scale + self.vmin
+        normalized = self._format.data_from_frame(raw)
+        return normalized * (self.vmax - self.vmin) + self.vmin
 
     def append(self, field: FieldBase, time: float | None = None) -> None:
         if self._proc is None and getattr(self, "_raw_fh", None) is None:
@@ -115,6 +168,10 @@ class MovieStorage(StorageBase):
             self._proc.stdin.close()
             self._proc.wait()
             self._proc = None
+            if self.write_times:
+                with open(self._times_path, "w") as fh:
+                    fh.writelines(f"{t}\n" for t in self._times)
+            return
         if getattr(self, "_raw_fh", None) is not None:
             self._raw_fh.close()
             self._raw_fh = None
@@ -133,6 +190,19 @@ class MovieStorage(StorageBase):
             json.dump(meta, fh)
 
     # -- reading ------------------------------------------------------------------------
+    def _apply_field_attributes(self, attrs) -> None:
+        if not attrs:
+            return
+        field_cls = FieldBase._subclasses[attrs["class"]]
+        kwargs = field_cls.unserialize_attributes(attrs)
+        kwargs.pop("class", None)
+        kwargs.pop("dtype", None)
+        grid = kwargs.pop("grid")
+        self._field = field_cls(grid, **kwargs)  # type: ignore[call-arg]
+        self._grid = grid
+        self._data_shape = self._shape
+        self._dtype = np.dtype(float)
+
     def _load_meta(self) -> None:
         with open(self._meta_path) as fh:
             meta = json.load(fh)
@@ -142,17 +212,57 @@ class MovieStorage(StorageBase):
         self._backend = meta.get("backend", self._backend)
         self._shape = tuple(meta["shape"])
         self._times = list(meta["times"])
-        attrs = meta.get("field_attributes")
-        if attrs:
-            field_cls = FieldBase._subclasses[attrs["class"]]
-            kwargs = field_cls.unserialize_attributes(attrs)
-            kwargs.pop("class", None)
-            kwargs.pop("dtype", None)
-            grid = kwargs.pop("grid")
-            self._field = field_cls(grid, **kwargs)  # type: ignore[call-arg]
-            self._grid = grid
-            self._data_shape = self._shape
-            self._dtype = np.dtype(float)
+        self._apply_field_attributes(meta.get("field_attributes"))
+        self._meta_loaded = True
+
+    def _read_metadata(self) -> None:
+        """Read the comment-tag metadata of an ffmpeg-written movie.
+
+        Understands movies written by this class AND by the reference
+        implementation (same version-1 comment scheme)."""
+        probe = subprocess.run(
+            [
+                "ffprobe", "-v", "quiet", "-print_format", "json",
+                "-show_format", "-show_streams", self.filename,
+            ],
+            stdout=subprocess.PIPE, check=True,
+        )
+        info = json.loads(probe.stdout)
+        tags = info.get("format", {}).get("tags", {})
+        raw_comment = tags.get("comment", tags.get("COMMENT", "{}"))
+        try:
+            metadata = json.loads(shlex.split(raw_comment)[0])
+        except (ValueError, IndexError):
+            metadata = {}
+        self.vmin = metadata.get("vmin", 0)
+        self.vmax = metadata.get("vmax", 1)
+        self.write_times = metadata.get("write_times", self.write_times)
+        stream = info.get("streams", [{}])[0]
+        # the video pixel grid is the transposed field (see start_writing)
+        width = stream.get("width")
+        height = stream.get("height")
+        if width is None:
+            width = metadata.get("width")
+            height = metadata.get("height", 1)
+        self._shape = (int(width),) if height in (1, None) else (
+            int(width), int(height)
+        )
+        pix = stream.get("pix_fmt")
+        for name, fmt in ffmpeg_formats.formats.items():
+            if fmt.pix_fmt_file == pix:
+                self.video_format = name
+                self.bits_per_channel = fmt.bits_per_channel
+                break
+        # times: exact stamps from the sidecar when present
+        if os.path.exists(self._times_path):
+            with open(self._times_path) as fh:
+                self._times = [float(line) for line in fh if line.strip()]
+        else:
+            n = stream.get("nb_frames")
+            count = int(n) if n is not None else len(self._read_frames())
+            self._times = [float(i) for i in range(count)]
+        self._apply_field_attributes(metadata.get("field_attributes"))
+        self._meta_loaded = True
 
     @property
     def times(self):
@@ -166,23 +276,27 @@ class MovieStorage(StorageBase):
         return _MovieFrames(self)
 
     def _read_frames(self) -> np.ndarray:
-        h, w = self._shape  # type: ignore[misc]
-        dtype = np.uint16 if self.bits_per_channel == 16 else np.uint8
+        shape = self._shape  # type: ignore[misc]
+        w0 = shape[0]
+        h0 = shape[1] if len(shape) > 1 else 1
+        fmt = self._format
         if self._backend == "raw":
             raw = open(self.filename, "rb").read()
         else:
-            pix_fmt = "gray16le" if self.bits_per_channel == 16 else "gray"
             cmd = [
                 "ffmpeg", "-i", self.filename,
-                "-f", "rawvideo", "-pix_fmt", pix_fmt, "-",
+                "-f", "rawvideo", "-pix_fmt", fmt.pix_fmt_data, "-",
             ]
             raw = subprocess.run(
                 cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
                 check=True,
             ).stdout
-        frames = np.frombuffer(raw, dtype=dtype)
-        count = len(frames) // (h * w)
-        return frames[: count * h * w].reshape(count, h, w)
+        frames = np.frombuffer(raw, dtype=fmt.dtype)
+        count = len(frames) // (w0 * h0)
+        frames = frames[: count * w0 * h0].reshape(count, w0, h0)
+        if len(shape) == 1:
+            frames = frames[:, :, 0]
+        return frames
 
     def _get_field(self, t_index: int) -> FieldBase:
         frames = self._read_frames()

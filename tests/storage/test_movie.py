@@ -76,14 +76,93 @@ def test_movie_storage_tracker_integration(rng, tmp_path):
     assert np.ptp(np.asarray(last)) <= np.ptp(np.asarray(first)) + 1e-3
 
 
-def test_movie_storage_rejects_non_2d(tmp_path):
-    grid = pde.UnitGrid([8])
-    f = pde.ScalarField(grid, data=np.zeros(8))
+def test_movie_storage_rejects_3d(tmp_path):
+    grid = pde.UnitGrid([8, 8, 8])
+    f = pde.ScalarField(grid, data=np.zeros((8, 8, 8)))
     storage = MovieStorage(str(tmp_path / "x.avi"))
     with pytest.raises(NotImplementedError):
         storage.start_writing(f)
 
 
+def test_movie_storage_1d_roundtrip(tmp_path, rng):
+    """1D fields store as height-1 frames (the reference supports 1D too)."""
+    grid = pde.UnitGrid([16])
+    storage = MovieStorage(str(tmp_path / "x.avi"), vmin=-1, vmax=1)
+    fields = []
+    for t in range(3):
+        f = pde.ScalarField(grid, np.clip(rng.normal(size=16), -1, 1))
+        storage.append(f, time=float(t))
+        fields.append(f)
+    storage.end_writing()
+
+    loaded = MovieStorage(str(tmp_path / "x.avi"))
+    assert len(loaded) == 3
+    for f, g in zip(fields, loaded):
+        np.testing.assert_allclose(
+            np.asarray(g.data), np.asarray(f.data), atol=2 / 65535
+        )
+
+
 def test_movie_storage_invalid_bits(tmp_path):
     with pytest.raises(ValueError):
         MovieStorage(str(tmp_path / "x.avi"), bits_per_channel=12)
+
+
+@pytest.mark.skipif(
+    not __import__("shutil").which("ffmpeg"),
+    reason="ffmpeg binary not available",
+)
+class TestMovieFormatInterchange:
+    """Cross-implementation format compatibility (comment-tag metadata).
+
+    Gated on the ffmpeg binary; runs wherever ffmpeg exists. The reference
+    side additionally needs the `ffmpeg-python` package."""
+
+    def _ref_pde(self):
+        import os
+        import sys
+
+        if not os.path.isdir("/root/reference/pde"):
+            pytest.skip("reference package not available")
+        sys.path.insert(0, "/root/reference")
+        pytest.importorskip("ffmpeg")
+        return pytest.importorskip("pde")
+
+    def test_pde_tpu_writes_reference_reads(self, tmp_path, rng):
+        refpde = self._ref_pde()
+        grid = pde.UnitGrid([16, 8])
+        path = str(tmp_path / "x.avi")
+        storage = MovieStorage(path, vmin=0, vmax=1)
+        fields = []
+        for t in range(3):
+            f = pde.ScalarField(grid, rng.random((16, 8)))
+            storage.append(f, time=float(t))
+            fields.append(f)
+        storage.end_writing()
+
+        ref_storage = refpde.MovieStorage(path)
+        assert len(ref_storage) == 3
+        for f, g in zip(fields, ref_storage):
+            np.testing.assert_allclose(
+                np.asarray(g.data), np.asarray(f.data), atol=2 / 65535
+            )
+
+    def test_reference_writes_pde_tpu_reads(self, tmp_path, rng):
+        refpde = self._ref_pde()
+        grid_ref = refpde.UnitGrid([16, 8])
+        path = str(tmp_path / "y.avi")
+        ref_storage = refpde.MovieStorage(path, vmin=0, vmax=1)
+        datas = []
+        ref_storage.start_writing(refpde.ScalarField(grid_ref, 0.0))
+        for t in range(3):
+            data = rng.random((16, 8))
+            ref_storage.append(refpde.ScalarField(grid_ref, data), time=float(t))
+            datas.append(data)
+        ref_storage.end_writing()
+
+        loaded = MovieStorage(path)
+        assert len(loaded) == 3
+        for data, g in zip(datas, loaded):
+            np.testing.assert_allclose(
+                np.asarray(g.data), data, atol=2 / 65535
+            )

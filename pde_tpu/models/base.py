@@ -132,6 +132,7 @@ class PDEBase:
         from ..solvers import Controller
         from ..solvers.base import SolverBase
 
+        gather_mode = kwargs.pop("gather_mode", "all")
         if callable(solver) and not isinstance(solver, (str, SolverBase)):
             solver_obj = solver(pde=self, backend=backend, **kwargs)
         elif isinstance(solver, str):
@@ -143,7 +144,9 @@ class PDEBase:
         else:
             raise TypeError(f"Solver {solver} is not supported")
 
-        controller = Controller(solver_obj, t_range=t_range, tracker=tracker)
+        controller = Controller(
+            solver_obj, t_range=t_range, tracker=tracker, gather_mode=gather_mode
+        )
         try:
             final_state = controller.run(state, dt)
         finally:

@@ -25,10 +25,13 @@ class Controller:
 
     _t_range: tuple[float, float]
 
-    def __init__(self, solver, t_range, tracker="auto"):
+    def __init__(self, solver, t_range, tracker="auto", *, gather_mode: str = "all"):
+        if gather_mode not in ("all", "main"):
+            raise ValueError("gather_mode must be 'all' or 'main'")
         self.solver = solver
         self.t_range = t_range  # type: ignore[assignment]
         self.trackers = TrackerCollection.from_data(tracker)
+        self.gather_mode = gather_mode
         self._logger = logging.getLogger(self.__class__.__name__)
 
         self.info: dict[str, Any] = {"t_start": self.t_range[0], "t_end": self.t_range[1]}
@@ -108,11 +111,18 @@ class Controller:
         non-addressable shards: host-side consumers (trackers, storage,
         plotting) cannot read it, and a one-sided fetch DEADLOCKS because the
         underlying transfer is a collective. Every process must therefore
-        call the returned function at the same sequence points; it allgathers
-        the data to host-replicated numpy — the analogue of the reference's
-        per-interrupt MPI gather to rank 0 (`solvers/controller.py:146-342`),
-        except every process receives the global data. Identity on
-        single-process runs (where shards are always addressable).
+        call the returned function at the same sequence points.
+
+        ``gather_mode="all"`` (default) allgathers the data to
+        host-replicated numpy on EVERY process. ``gather_mode="main"``
+        replicates on device (the same ICI collective) but materializes the
+        host copy only on process 0, where the trackers run — the analogue of
+        the reference's per-interrupt MPI gather to rank 0
+        (`solvers/controller.py:146-342`); client processes skip the
+        device-to-host transfer and host memory entirely and receive ``None``
+        (so ``run()`` returns ``None`` on clients, like the reference's
+        client ranks). Identity on single-process runs (where shards are
+        always addressable).
         """
         import jax
 
@@ -121,6 +131,44 @@ class Controller:
         from jax.experimental import multihost_utils
 
         from ..fields.collection import FieldCollection
+
+        if self.gather_mode == "main":
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            is_main = jax.process_index() == 0
+            replicators: dict[Any, Callable] = {}  # one jitted fn per mesh
+
+            def gather_main(state: FieldBase) -> FieldBase | None:
+                result = state.copy()
+                fields = (
+                    list(result)
+                    if isinstance(result, FieldCollection)
+                    else [result]
+                )
+                for fld in fields:
+                    arr = fld.data
+                    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+                        # replicate over the SAME device mesh (ICI
+                        # collective, matched on every process) ...
+                        mesh = arr.sharding.mesh
+                        rep_fn = replicators.get(mesh)
+                        if rep_fn is None:
+                            rep_fn = jax.jit(
+                                lambda x: x,
+                                out_shardings=NamedSharding(
+                                    mesh, PartitionSpec()
+                                ),
+                            )
+                            replicators[mesh] = rep_fn
+                        rep = rep_fn(arr)
+                        # ... but fetch to host only where trackers run
+                        if is_main:
+                            fld._data = np.asarray(rep.addressable_data(0))
+                        else:
+                            fld._data = None
+                return result if is_main else None
+
+            return gather_main
 
         def gather(state: FieldBase) -> FieldBase:
             result = state.copy()

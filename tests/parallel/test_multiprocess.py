@@ -62,6 +62,23 @@ out = {
     "successful": bool(info["controller"]["successful"]),
 }
 
+# gather_mode="main": interrupt state is fetched to process 0 only; client
+# processes skip the host copy and get None back (the reference's client
+# ranks return None too, `solvers/controller.py:300`)
+storage_m = pde.MemoryStorage()
+res_m, info_m = eq.solve(field, t_range=0.03, dt=1e-3,
+                         tracker=storage_m.tracker(0.01),
+                         decomposition=[2, 1], gather_mode="main",
+                         ret_info=True)
+if proc_id == 0:
+    out["main_maxdiff"] = float(
+        np.max(np.abs(np.asarray(res_m.data) - np.asarray(ref.data)))
+    )
+    out["main_frames"] = len(storage_m)
+else:
+    out["main_result_none"] = res_m is None
+out["main_successful"] = bool(info_m["controller"]["successful"])
+
 # a mid-run abort on process 0 must propagate successful=False to clients
 def abort(state, t):
     if t > 0.005:
@@ -167,6 +184,11 @@ def test_two_process_distributed_run(tmp_path):
         assert r["radial_maxdiff"] == 0.0, r
         # final-interrupt aborts propagate their status too
         assert r["final_abort_successful"] is False, r
+    # gather_mode="main": full-resolution result on process 0, None on clients
+    assert results[0]["main_maxdiff"] == 0.0, results[0]
+    assert results[0]["main_frames"] > 0, results[0]
+    assert results[1]["main_result_none"] is True, results[1]
+    assert all(r["main_successful"] for r in results.values())
     # trackers and storage run on process 0 only, on full-resolution data
     assert results[0]["tracker_calls"] > 0
     assert results[1]["tracker_calls"] == 0

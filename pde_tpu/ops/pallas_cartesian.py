@@ -41,14 +41,26 @@ def interpret_requested() -> bool:
     return os.environ.get("PDE_TPU_PALLAS_INTERPRET") == "1"
 
 
+_VMEM_BUDGET = 15 * 1024 * 1024  # 16 MB scoped VMEM minus 1 MB headroom
+
+
 def _pick_band(n_rows: int, n_cols: int, itemsize: int, k: int) -> int:
-    """Row-band size dividing n_rows that keeps ~4 band-sized buffers in VMEM."""
-    # keep band buffers small enough that band + halos + output block +
-    # double-buffering stay well under the 16MB VMEM limit
-    limit = 2 * 1024 * 1024
-    budget_rows = max(8, limit // max(1, n_cols * itemsize))
+    """Largest row-band dividing n_rows whose per-program VMEM footprint fits.
+
+    Footprint model (validated against hardware: at 4096² f32 k=16 the
+    band=256 variant measured 6.45 MB over the 16 MB scoped-VMEM limit and
+    band=128 fits, which this model reproduces): the band input buffer, the
+    pipelined output block (double-buffered), two DMA halo buffers, and ~3
+    live work-region temporaries of (band + 2k) rows inside the step loop.
+    """
+    halo = -(-k // _HALO) * _HALO
+
+    def footprint(band):
+        rows = 2 * band + 2 * halo + 3 * (band + 2 * k)
+        return rows * n_cols * itemsize
+
     for candidate in (256, 128, 64, 32, 16, 8):
-        if candidate <= budget_rows and n_rows % candidate == 0:
+        if footprint(candidate) <= _VMEM_BUDGET and n_rows % candidate == 0:
             return candidate
     # nothing divides n_rows: one program over the whole array (interpret mode
     # only — the TPU path requires n_rows % 8 == 0, so a candidate matched)
@@ -101,8 +113,66 @@ def _radial_row_coeffs(radial, a, b, sx, sy, dtype, row_start, length):
     return cu_full, cd_full, c_center
 
 
-def _supports_fused_shape_2d(grid, dtype, k: int = 1, *, grid_cls=None) -> bool:
-    """Shape/backend preconditions shared by all 2D fused kernels."""
+_LANE_TILE = 128
+
+
+def _lane_shift_matrices(dtype):
+    """(T, U, L) 128x128 matrices expressing the lane-neighbor sum as banded
+    matmuls: for lane tile j, ``left + right = X_{j-1} @ U + X_j @ T +
+    X_{j+1} @ L`` (periodic wrap over the tiles). This is what makes bf16
+    kernels possible — Mosaic cannot lane-rotate non-32-bit data
+    (docs/BENCHMARKS.md round-3 experiments)."""
+    T = np.zeros((_LANE_TILE, _LANE_TILE), np.float32)
+    for i in range(_LANE_TILE - 1):
+        T[i + 1, i] = 1.0  # contribution of the right neighbor
+        T[i, i + 1] = 1.0  # contribution of the left neighbor
+    # (matrices are f32 even for bf16 data: 0/1 values are exact either way)
+    U = np.zeros((_LANE_TILE, _LANE_TILE), np.float32)
+    U[_LANE_TILE - 1, 0] = 1.0
+    L = np.zeros((_LANE_TILE, _LANE_TILE), np.float32)
+    L[0, _LANE_TILE - 1] = 1.0
+    return tuple(np.asarray(m, dtype) for m in (T, U, L))
+
+
+def _mxu_lane_lr(center, T0j, Uj, Lj):
+    """``left + right`` lane-neighbor sum via per-tile MXU matmuls.
+
+    Precision (measured, docs/BENCHMARKS.md round-3 experiments): for bf16
+    data the native MXU multiply is EXACT (0/1 matrices copy the inputs into
+    an f32 accumulator) — and rolls cannot compile for bf16 at all, so this
+    path is what makes bf16 storage work. For f32 data the default matmul
+    precision rounds inputs to bf16 (maxdiff 5.7e-5 after 16 steps vs the
+    roll formulation), so f32 uses this path only via the documented
+    reduced-precision opt-in; Precision.HIGHEST would be exact but measured
+    5x slower than the rolls."""
+    n_cols = center.shape[1]
+    nt = n_cols // _LANE_TILE
+    tiles = [
+        center[:, j * _LANE_TILE : (j + 1) * _LANE_TILE] for j in range(nt)
+    ]
+    out = []
+    for j in range(nt):
+        acc = jnp.dot(tiles[j], T0j, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(
+            tiles[(j - 1) % nt], Uj, preferred_element_type=jnp.float32
+        )
+        acc = acc + jnp.dot(
+            tiles[(j + 1) % nt], Lj, preferred_element_type=jnp.float32
+        )
+        out.append(acc.astype(center.dtype))
+    return jnp.concatenate(out, axis=1)
+
+
+def _supports_fused_shape_2d(
+    grid, dtype, k: int = 1, *, grid_cls=None, allow_bf16: bool = False
+) -> bool:
+    """Shape/backend preconditions shared by all 2D fused kernels.
+
+    bf16 qualifies only where the kernel avoids lane rolls (Mosaic cannot
+    rotate non-32-bit data): the MXU lane path of the single-field kernel
+    with periodic columns, and the halo-extended column variants — callers
+    that have such a path pass ``allow_bf16=True``.
+    """
     if jax.default_backend() != "tpu":
         return False
     if grid_cls is None:
@@ -112,7 +182,10 @@ def _supports_fused_shape_2d(grid, dtype, k: int = 1, *, grid_cls=None) -> bool:
     n_rows, n_cols = grid.shape
     if n_rows % 8 != 0 or n_cols % 128 != 0 or n_rows < 16:
         return False
-    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+    ok_dtypes = [np.dtype(np.float32)]
+    if allow_bf16:
+        ok_dtypes.append(np.dtype(jnp.bfloat16))
+    if np.dtype(dtype) not in ok_dtypes:
         return False
     itemsize = np.dtype(dtype).itemsize
     if not _fused_geometry_ok(n_rows, n_cols, itemsize, k):
@@ -124,7 +197,10 @@ def _supports_fused_shape_2d(grid, dtype, k: int = 1, *, grid_cls=None) -> bool:
 
 def supports_affine_laplace(grid, dtype, k: int = 1) -> bool:
     """Check the preconditions of the fused kernel (fully periodic case)."""
-    return _supports_fused_shape_2d(grid, dtype, k) and all(grid.periodic)
+    # fully periodic: bf16 works through the MXU lane path
+    return _supports_fused_shape_2d(
+        grid, dtype, k, allow_bf16=True
+    ) and all(grid.periodic)
 
 
 def affine_bc_params(grid, bcs):
@@ -329,13 +405,13 @@ def affine_bc_specs(grid, bcs):
 def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
     """Preconditions of the fused kernel with physical (const-affine) BCs
     (incl. inhomogeneous arrays and t-dependent expression values)."""
-    if not _supports_fused_shape_2d(grid, dtype, k):
-        return False
     try:
-        affine_bc_specs(grid, bcs)
+        specs = affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
         return False
-    return True
+    # bf16 needs the MXU lane path, which requires periodic columns
+    cols_periodic = specs is None or specs[1] is None
+    return _supports_fused_shape_2d(grid, dtype, k, allow_bf16=cols_periodic)
 
 
 def make_affine_laplace_2d(
@@ -390,7 +466,10 @@ def make_affine_laplace_2d(
                 "Grid too small for the k-step band/halo geometry"
             )
     elif not _supports_fused_shape_2d(
-        grid, dtype, k, grid_cls=object if radial is not None else CartesianGrid
+        grid, dtype, k,
+        grid_cls=object if radial is not None else CartesianGrid,
+        # bf16 requires the MXU lane path, i.e. periodic columns
+        allow_bf16=bc_specs is None or bc_specs[1] is None,
     ):
         raise PallasUnsupportedError(
             "Fused Pallas laplace requires a 2D grid with aligned "
@@ -442,12 +521,27 @@ def make_affine_laplace_2d(
     has_t = any(f is not None for f in t_slots)
     n_row_in = len(row_arrays)
     n_col_in = len(col_arrays)
+    # lane-neighbor sum on the MXU for periodic columns: bf16 only — rolls
+    # cannot compile for bf16 (Mosaic 32-bit rotate), and the MXU lane sums
+    # are EXACT for bf16 inputs. For f32 the MXU variant measured a wash
+    # (1.61e11 vs 1.59e11 updates/s at 4096²) at REDUCED precision (inputs
+    # round to bf16 in the matmuls), so f32 keeps the rolls — see
+    # docs/BENCHMARKS.md round-3 experiments.
+    use_mxu = (
+        not interpret
+        and bc_cols is None
+        and n_cols % _LANE_TILE == 0
+        and np.dtype(dtype) == np.dtype(jnp.bfloat16)
+    )
 
     def kernel(*refs):
         pos = 0
         if has_t:
             t_tab = refs[pos]
             pos += 1
+        if use_mxu:
+            mxu_mats = tuple(r[:, :] for r in refs[pos : pos + 3])
+            pos += 3
         row_refs = refs[pos : pos + n_row_in]
         pos += n_row_in
         col_hbm = refs[pos : pos + n_col_in]
@@ -544,26 +638,38 @@ def make_affine_laplace_2d(
             up = work[:-2, :]
             center = work[1:-1, :]
             down = work[2:, :]
-            left = pltpu.roll(center, 1, 1)
-            right = pltpu.roll(center, n_cols - 1, 1)
-            if bc_cols is not None:
-                # patch the wrapped lanes: at lane 0 the left neighbor is the
-                # ghost value; raw rolls provide the inward neighbors
-                # (right[:,0] = center[:,1], left[:,m-1] = center[:,m-2]).
-                # center rows span global [row0-(k-s)+1, row0+band+(k-s)-1):
-                # slice the matching value-vector rows (VMEM index of global
-                # row g is g - row0 + halo)
-                lo, hi = bc_cols
-                col_rows = slice(halo - (k - s) + 1, halo + band + (k - s) - 1)
-                ghost_lo = const_for(2, s, col_rows) + lo.f1 * center
-                if lo.f2:
-                    ghost_lo = ghost_lo + lo.f2 * right
-                ghost_hi = const_for(3, s, col_rows) + hi.f1 * center
-                if hi.f2:
-                    ghost_hi = ghost_hi + hi.f2 * left
-                lanes = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
-                left = jnp.where(lanes == 0, ghost_lo, left)
-                right = jnp.where(lanes == n_cols - 1, ghost_hi, right)
+            if use_mxu:
+                # lane-neighbor sum on the MXU (periodic columns)
+                lr = _mxu_lane_lr(center, *mxu_mats)
+            else:
+                left = pltpu.roll(center, 1, 1)
+                right = pltpu.roll(center, n_cols - 1, 1)
+                if bc_cols is not None:
+                    # patch the wrapped lanes: at lane 0 the left neighbor is
+                    # the ghost value; raw rolls provide the inward neighbors
+                    # (right[:,0] = center[:,1], left[:,m-1] = center[:,m-2]).
+                    # center rows span global [row0-(k-s)+1,
+                    # row0+band+(k-s)-1): slice the matching value-vector
+                    # rows (VMEM index of global row g is g - row0 + halo)
+                    lo, hi = bc_cols
+                    col_rows = slice(
+                        halo - (k - s) + 1, halo + band + (k - s) - 1
+                    )
+                    ghost_lo = const_for(2, s, col_rows) + lo.f1 * center
+                    if lo.f2:
+                        ghost_lo = ghost_lo + lo.f2 * right
+                    ghost_hi = const_for(3, s, col_rows) + hi.f1 * center
+                    if hi.f2:
+                        ghost_hi = ghost_hi + hi.f2 * left
+                    lanes = jax.lax.broadcasted_iota(
+                        jnp.int32, center.shape, 1
+                    )
+                    left = jnp.where(lanes == 0, ghost_lo, left)
+                    right = jnp.where(lanes == n_cols - 1, ghost_hi, right)
+                # NOTE: do NOT materialize `left + right` here — an explicit
+                # intermediate breaks Mosaic's fusion of the rolls into the
+                # add chain (measured 1.18e11 vs 1.57e11 updates/s at 4096²)
+                lr = None
             if radial is not None:
                 # cylindrical: per-row coefficients carry the (1/r) d/dr
                 # term; rows shrink with the trapezoid
@@ -571,22 +677,34 @@ def make_affine_laplace_2d(
                 work = (
                     cu_full[sl] * up
                     + cd_full[sl] * down
-                    + (b * sy) * (left + right)
+                    + (b * sy) * (lr if use_mxu else left + right)
                     + c_center * center
                 )
             elif isotropic:
                 # fold the scale into b: fewer VPU ops in this compute-bound loop
-                lap4 = up + down + left + right - 4.0 * center
+                if use_mxu:
+                    lap4 = up + down + lr - 4.0 * center
+                else:
+                    lap4 = up + down + left + right - 4.0 * center
                 work = a * center + (b * sx) * lap4
             else:
-                lap = (up + down - 2.0 * center) * sx + (
-                    left + right - 2.0 * center
-                ) * sy
+                lane_part = (
+                    (lr - 2.0 * center) if use_mxu
+                    else (left + right - 2.0 * center)
+                )
+                lap = (up + down - 2.0 * center) * sx + lane_part * sy
                 work = a * center + b * lap
         out_ref[:, :] = work
 
     in_specs = (
         ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+        + [
+            pl.BlockSpec(
+                (_LANE_TILE, _LANE_TILE),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * (3 if use_mxu else 0)
         + [
             pl.BlockSpec(
                 (1, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -615,13 +733,18 @@ def make_affine_laplace_2d(
 
     row_consts = [jnp.asarray(arr, dtype=dtype) for arr in row_arrays]
     col_consts = [jnp.asarray(arr, dtype=dtype) for arr in col_arrays]
+    mxu_consts = (
+        [jnp.asarray(m) for m in _lane_shift_matrices(dtype)]
+        if use_mxu
+        else []
+    )
 
     if has_t:
 
         def affine_laplace_t(data, t_tab):
             return call(
-                jnp.asarray(t_tab, dtype=dtype), *row_consts, *col_consts,
-                jnp.asarray(data, dtype=dtype),
+                jnp.asarray(t_tab, dtype=dtype), *mxu_consts, *row_consts,
+                *col_consts, jnp.asarray(data, dtype=dtype),
             )
 
         affine_laplace_t.t_slots = tuple(t_slots)
@@ -629,7 +752,10 @@ def make_affine_laplace_2d(
         return affine_laplace_t
 
     def affine_laplace(data):
-        return call(*row_consts, *col_consts, jnp.asarray(data, dtype=dtype))
+        return call(
+            *mxu_consts, *row_consts, *col_consts,
+            jnp.asarray(data, dtype=dtype),
+        )
 
     affine_laplace.t_slots = None
     affine_laplace.k = k
@@ -680,7 +806,9 @@ def supports_affine_laplace_3d(grid, dtype, *, interpret: bool = False) -> bool:
     nx, ny, nz = grid.shape
     if nx % 8 != 0 or ny % 8 != 0 or nz % 128 != 0 or nx < 16:
         return False
-    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+    # f32 only: the y/z neighbors use lane/sublane rolls, which Mosaic
+    # cannot compile for bf16
+    if np.dtype(dtype) != np.dtype(np.float32):
         return False
     return _pick_band_k_3d(grid.shape, np.dtype(dtype).itemsize) is not None
 
@@ -1252,7 +1380,11 @@ def make_fused_multi_ext_window_2d(
         if (
             local_rows % 8 != 0
             or (not ext_cols and n_cols % 128 != 0)
-            or np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16))
+            or np.dtype(dtype) not in (
+                [np.dtype(np.float32), np.dtype(jnp.bfloat16)]
+                if ext_cols  # roll-free column path; rolls reject bf16
+                else [np.dtype(np.float32)]
+            )
             # the ext halo is fixed at _HALO rows on TPU, so the temporal
             # block must fit inside it: halo_total > _HALO would make the
             # work-region slice start negative and silently wrap
@@ -1734,13 +1866,14 @@ def supports_affine_laplace_cyl(grid, bcs, dtype, k: int = 1) -> bool:
         return False
     if bcs is None:  # the r axis is never periodic: explicit BCs required
         return False
-    if not _supports_fused_shape_2d(grid, dtype, k, grid_cls=object):
-        return False
     try:
-        affine_bc_specs(grid, bcs)
+        specs = affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
         return False
-    return True
+    cols_periodic = specs is None or specs[1] is None
+    return _supports_fused_shape_2d(
+        grid, dtype, k, grid_cls=object, allow_bf16=cols_periodic
+    )
 
 
 def make_fused_euler_window_cyl(
@@ -1783,7 +1916,8 @@ def supports_affine_laplace_ext_3d(
         return k >= 1
     if jax.default_backend() != "tpu":
         return False
-    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+    # f32 only: non-extended y/z axes use rolls (illegal for bf16)
+    if np.dtype(dtype) != np.dtype(np.float32):
         return False
     if not ext_axes[1] and ny % 8 != 0:
         return False
@@ -2034,17 +2168,26 @@ def supports_affine_laplace_ext(
         return False
     if n_rows % 8 != 0 or n_cols % 128 != 0:
         return False
-    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+    ok_dtypes = [np.dtype(np.float32)]
+    if ext_cols:  # extended columns use shifted slices, not rolls
+        ok_dtypes.append(np.dtype(jnp.bfloat16))
+    if np.dtype(dtype) not in ok_dtypes:
         return False
     return 1 <= k <= _HALO
 
 
 def _pick_band_ext(n_rows: int, n_cols_ext: int, itemsize: int, halo: int) -> int:
-    """Output-row band size dividing n_rows; input block is (band + 2*halo) rows."""
-    limit = 2 * 1024 * 1024
-    budget_rows = max(2 * halo + 1, limit // max(1, n_cols_ext * itemsize))
+    """Output-row band size dividing n_rows; input block is (band + 2*halo) rows.
+
+    Same VMEM footprint model as :func:`_pick_band` with the halo-extended
+    input block in place of the band + DMA-halo buffers."""
+
+    def footprint(band):
+        rows = (band + 2 * halo) + 2 * band + 3 * (band + 2 * halo)
+        return rows * n_cols_ext * itemsize
+
     for candidate in (256, 128, 64, 32, 16, 8, 4, 2, 1):
-        if candidate + 2 * halo <= budget_rows and n_rows % candidate == 0:
+        if footprint(candidate) <= _VMEM_BUDGET and n_rows % candidate == 0:
             return candidate
     return n_rows
 

@@ -327,8 +327,9 @@ def test_3d_gating_on_mocked_tpu(monkeypatch):
     assert not pc.supports_affine_laplace_3d(
         pde.UnitGrid([128, 128, 128], periodic=True), np.float64
     )
-    # bf16 is a supported storage dtype
-    assert pc.supports_affine_laplace_3d(
+    # bf16 is rejected in 3D: the y/z neighbors need rolls, which Mosaic
+    # cannot compile for non-32-bit data (round-3 gating fix)
+    assert not pc.supports_affine_laplace_3d(
         pde.UnitGrid([128, 128, 128], periodic=True), jnp.bfloat16
     )
     # ext variant on an aligned local shard

@@ -198,3 +198,40 @@ def test_cylindrical_fused_parity(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
+
+
+def test_bf16_mxu_lane_path(rng, monkeypatch):
+    """bf16 states fuse through the MXU lane-matmul path (rolls cannot
+    compile bf16) and match the XLA lowering run at the SAME dtype.
+
+    The oracle is the bf16 XLA path, not f32: bf16 time stepping loses
+    sub-ulp increments regardless of which kernel runs, so only the
+    same-dtype comparison isolates the kernel."""
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.UnitGrid([256, 256], periodic=True)
+    f32_state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    bf16_state = pde.ScalarField(
+        grid, np.asarray(f32_state.data).astype("bfloat16")
+    )
+    eq = pde.DiffusionPDE(0.1)
+    res16, ref16, info = _solve_pair(eq, bf16_state, 0.1, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res16.data, dtype=np.float32),
+        np.asarray(ref16.data, dtype=np.float32),
+        rtol=0.02, atol=0.02,  # same-dtype runs, different rounding order
+    )
+    # coarse sanity against the f32 trajectory (bf16 drift stays bounded)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    solver32 = EulerSolver(eq)
+    res32 = Controller(solver32, t_range=0.1, tracker=None).run(
+        f32_state, dt=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res16.data, dtype=np.float32),
+        np.asarray(res32.data),
+        rtol=0.3, atol=0.05,
+    )

@@ -416,13 +416,11 @@ class PDE(SDEBase):
                     if vec:
                         raise NotImplementedError("gradient of vector unsupported")
                     bc = get_bc("gradient")
+                    derivs = helpers.derivatives  # one per grid axis
 
-                    def grad_fn(ws, _fn=fn, _bc=bc):
+                    def grad_fn(ws, _fn=fn, _bc=bc, _derivs=derivs):
                         value = _fn(ws)
-                        return (
-                            helpers.d_row(value, bc=_bc),
-                            helpers.d_col(value, bc=_bc),
-                        )
+                        return tuple(dv(value, bc=_bc) for dv in _derivs)
 
                     return grad_fn, d + 1, True
                 if name == "divergence" and len(e.args) == 1:
@@ -430,10 +428,15 @@ class PDE(SDEBase):
                     if not vec:
                         raise NotImplementedError("divergence needs a vector")
                     bc = get_bc("divergence")
+                    derivs = helpers.derivatives
 
-                    def div_fn(ws, _fn=fn, _bc=bc):
-                        vx, vy = _fn(ws)
-                        return helpers.d_row(vx, bc=_bc) + helpers.d_col(vy, bc=_bc)
+                    def div_fn(ws, _fn=fn, _bc=bc, _derivs=derivs):
+                        comps = _fn(ws)
+                        total = None
+                        for dv, comp in zip(_derivs, comps, strict=True):
+                            term = dv(comp, bc=_bc)
+                            total = term if total is None else total + term
+                        return total
 
                     return div_fn, d + 1, False
                 if name in ("dot", "inner") and len(e.args) == 2:
@@ -444,9 +447,13 @@ class PDE(SDEBase):
                     depth = max(da, db)
 
                     def dot_fn(ws, _fa=fa, _fb=fb, _ea=depth - da, _eb=depth - db):
-                        ax, ay = trim(_fa(ws), _ea)
-                        bx, by = trim(_fb(ws), _eb)
-                        return ax * bx + ay * by
+                        avs = trim(_fa(ws), _ea)
+                        bvs = trim(_fb(ws), _eb)
+                        total = None
+                        for av, bv in zip(avs, bvs, strict=True):
+                            term = av * bv
+                            total = term if total is None else total + term
+                        return total
 
                     return dot_fn, depth, False
                 raise NotImplementedError(f"operator `{name}` has no stencil lowering")
@@ -652,6 +659,7 @@ class PDE(SDEBase):
             gradient_squared = staticmethod(lambda x, bc=None: x)
             d_row = staticmethod(lambda x, bc=None: x)
             d_col = staticmethod(lambda x, bc=None: x)
+            derivatives = (d_row,) * grid.num_axes
             trim = staticmethod(lambda x, amount: x)
 
         depths = [self._lower_stencil_expr(e, var_map, _Probe)[1] for e in exprs]
@@ -696,6 +704,26 @@ class PDE(SDEBase):
                 )
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err
+            return window
+
+        if grid.num_axes == 3:
+            # 3D rhs trees fuse through the 3D multi-field window (bands
+            # over x, rolls on y/z) — the reference compiles all its 3D
+            # stencils (`numba/operators/cartesian.py:109-192`)
+            if self.is_sde:
+                raise NotImplementedError(
+                    "Fused 3D SDE windows are not supported"
+                )
+            from ..ops.pallas_cartesian import make_chunked_multi_window_3d
+
+            try:
+                window = make_chunked_multi_window_3d(
+                    grid, make_multi_step, depth, len(fields),
+                    dtype=fields[0].dtype, interpret=interpret,
+                )
+            except PallasUnsupportedError as err:
+                raise NotImplementedError(str(err)) from err
+            window.multi_field = True
             return window
 
         if len(fields) == 1:

@@ -410,7 +410,7 @@ def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
     except PallasUnsupportedError:
         return False
     # bf16 needs the MXU lane path, which requires periodic columns
-    cols_periodic = specs is None or specs[1] is None
+    cols_periodic = specs is None or (len(specs) > 1 and specs[1] is None)
     return _supports_fused_shape_2d(grid, dtype, k, allow_bf16=cols_periodic)
 
 
@@ -469,7 +469,8 @@ def make_affine_laplace_2d(
         grid, dtype, k,
         grid_cls=object if radial is not None else CartesianGrid,
         # bf16 requires the MXU lane path, i.e. periodic columns
-        allow_bf16=bc_specs is None or bc_specs[1] is None,
+        allow_bf16=bc_specs is None
+        or (len(bc_specs) > 1 and bc_specs[1] is None),
     ):
         raise PallasUnsupportedError(
             "Fused Pallas laplace requires a 2D grid with aligned "
@@ -1159,6 +1160,7 @@ def _make_stencil_helpers(
                 work = fix_ghost_cols(work, bc_cols)
                 return (work[1:-1, 2:] - work[1:-1, :-2]) * gy
 
+        helpers.derivatives = (helpers.d_row, helpers.d_col)
         return helpers
 
     class helpers:
@@ -1220,7 +1222,264 @@ def _make_stencil_helpers(
             left, right = neighbors_cols(center, bc_cols)
             return (right - left) * gy
 
+    helpers.derivatives = (helpers.d_row, helpers.d_col)
     return helpers
+
+
+def _make_stencil_helpers_3d(grid, pl, pltpu, band: int, n_programs: int):
+    """3D in-VMEM stencil primitives; each consumes one x-plane per side.
+
+    The 3D analogue of :func:`_make_stencil_helpers`: the work arrays shrink
+    along x only (the banded axis); y/z stay locally periodic via
+    sublane/lane rolls with BC patches. ``bc`` is the per-axis affine ghost
+    tuple of :func:`affine_bc_params` (3 entries).
+    """
+    ny, nz = grid.shape[1], grid.shape[2]
+    sx, sy, sz = (1.0 / grid.discretization**2).tolist()
+    gx, gy, gz = (0.5 / grid.discretization).tolist()
+
+    def fix_ghost_x(w, bc_x):
+        if bc_x is None:
+            return w
+        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_x
+        hr = (w.shape[0] - band) // 2  # remaining halo planes per side
+        i = pl.program_id(0)
+        e_lo = hr
+        ghost_lo = c_lo + f1_lo * w[e_lo : e_lo + 1]
+        if f2_lo:
+            ghost_lo = ghost_lo + f2_lo * w[e_lo + 1 : e_lo + 2]
+        e_hi = w.shape[0] - 1 - hr
+        ghost_hi = c_hi + f1_hi * w[e_hi : e_hi + 1]
+        if f2_hi:
+            ghost_hi = ghost_hi + f2_hi * w[e_hi - 1 : e_hi]
+        planes = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        w = jnp.where((planes == e_lo - 1) & (i == 0), ghost_lo, w)
+        w = jnp.where((planes == e_hi + 1) & (i == n_programs - 1), ghost_hi, w)
+        return w
+
+    def neighbors_axis(center, bc_side, axis, n):
+        """(low, high) neighbors along y (axis 1) or z (axis 2) via rolls."""
+        low = pltpu.roll(center, 1, axis)
+        high = pltpu.roll(center, n - 1, axis)
+        if bc_side is not None:
+            (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_side
+            ghost_lo = c_lo + f1_lo * center
+            if f2_lo:
+                ghost_lo = ghost_lo + f2_lo * high
+            ghost_hi = c_hi + f1_hi * center
+            if f2_hi:
+                ghost_hi = ghost_hi + f2_hi * low
+            idx = jax.lax.broadcasted_iota(jnp.int32, center.shape, axis)
+            low = jnp.where(idx == 0, ghost_lo, low)
+            high = jnp.where(idx == n - 1, ghost_hi, high)
+        return low, high
+
+    class helpers:
+        cols = nz
+
+        @staticmethod
+        def trim(value, amount):
+            if isinstance(value, tuple):
+                return tuple(helpers.trim(v, amount) for v in value)
+            if amount == 0 or jnp.ndim(value) == 0:
+                return value
+            return value[amount:-amount]
+
+        @staticmethod
+        def lap(work, bc=None):
+            bc_x, bc_y, bc_z = bc if bc is not None else (None, None, None)
+            work = fix_ghost_x(work, bc_x)
+            up = work[:-2]
+            center = work[1:-1]
+            down = work[2:]
+            north, south = neighbors_axis(center, bc_y, 1, ny)
+            west, east = neighbors_axis(center, bc_z, 2, nz)
+            if sx == sy == sz:
+                return (
+                    up + down + north + south + west + east - 6.0 * center
+                ) * sx
+            return (
+                (up + down - 2.0 * center) * sx
+                + (north + south - 2.0 * center) * sy
+                + (west + east - 2.0 * center) * sz
+            )
+
+        @staticmethod
+        def gradient_squared(work, bc=None):
+            bc_x, bc_y, bc_z = bc if bc is not None else (None, None, None)
+            work = fix_ghost_x(work, bc_x)
+            center = work[1:-1]
+            d_x = (work[2:] - work[:-2]) * gx
+            north, south = neighbors_axis(center, bc_y, 1, ny)
+            d_y = (south - north) * gy
+            west, east = neighbors_axis(center, bc_z, 2, nz)
+            d_z = (east - west) * gz
+            return d_x * d_x + d_y * d_y + d_z * d_z
+
+        @staticmethod
+        def d_row(work, bc=None):
+            bc_x = bc[0] if bc is not None else None
+            work = fix_ghost_x(work, bc_x)
+            return (work[2:] - work[:-2]) * gx
+
+        @staticmethod
+        def d_col(work, bc=None):
+            bc_y = bc[1] if bc is not None else None
+            center = work[1:-1]
+            north, south = neighbors_axis(center, bc_y, 1, ny)
+            return (south - north) * gy
+
+        @staticmethod
+        def d_depth(work, bc=None):
+            bc_z = bc[2] if bc is not None else None
+            center = work[1:-1]
+            west, east = neighbors_axis(center, bc_z, 2, nz)
+            return (east - west) * gz
+
+    helpers.derivatives = (helpers.d_row, helpers.d_col, helpers.d_depth)
+    return helpers
+
+
+def make_fused_multi_stencil_window_3d(
+    grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
+    dtype=np.float32, k: int | None = None, interpret: bool = False,
+) -> tuple[Callable, int]:
+    """3D temporal-blocking kernel over ``n_fields`` coupled field volumes.
+
+    The 3D analogue of :func:`make_fused_multi_stencil_window_2d`: bands
+    over x (the untiled major dim, so halos cost exactly the needed planes),
+    y/z locally periodic via rolls with BC patches. ``make_step(helpers)``
+    returns ``step(works) -> works`` shrinking x by ``2*halo_per_step``
+    planes. This is what lets the expression compiler fuse 3D rhs trees —
+    the reference compiles all its 3D stencils
+    (`/root/reference/pde/backends/numba/operators/cartesian.py:109-192`).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not isinstance(grid, CartesianGrid) or grid.num_axes != 3:
+        raise PallasUnsupportedError("3D Cartesian grid required")
+    nx, ny, nz = grid.shape
+    itemsize = np.dtype(dtype).itemsize
+    if interpret:
+        if k is None:
+            k = max(1, 4 // halo_per_step)
+        band = nx if nx <= 8 or nx % 8 else 8
+        while nx % band:
+            band //= 2
+        if band < 1 or k * halo_per_step > nx:
+            raise PallasUnsupportedError("Grid too small for the 3D window")
+    else:
+        if jax.default_backend() != "tpu":
+            raise PallasUnsupportedError("TPU backend required")
+        if nx % 8 != 0 or ny % 8 != 0 or nz % 128 != 0:
+            raise PallasUnsupportedError("Unaligned 3D shape")
+        # rolls on y/z: f32 only (Mosaic cannot rotate bf16)
+        if np.dtype(dtype) != np.dtype(np.float32):
+            raise PallasUnsupportedError("3D fused windows require float32")
+        band_k = _pick_band_k_3d((nx, ny, nz * n_fields), itemsize)
+        if band_k is None:
+            raise PallasUnsupportedError("Plane too large for VMEM")
+        band, k_max = band_k
+        if k is None:
+            k = max(1, k_max // halo_per_step)
+        if not 1 <= k * halo_per_step <= k_max:
+            raise PallasUnsupportedError(f"k={k} unsupported for this shape")
+    halo = k * halo_per_step  # x is the major dim: no DMA granule
+    if halo > band:
+        raise PallasUnsupportedError(
+            "Temporal block exceeds the band (wrapped halo DMAs would "
+            "overrun the volume)"
+        )
+    n_programs = nx // band
+    helpers = _make_stencil_helpers_3d(grid, pl, pltpu, band, n_programs)
+    step = make_step(helpers)
+    F = n_fields
+
+    def kernel(*refs):
+        ins = refs[:F]
+        outs = refs[F : 2 * F]
+        band_refs = refs[2 * F : 3 * F]
+        tops = refs[3 * F : 4 * F]
+        bots = refs[4 * F : 5 * F]
+        sem = refs[5 * F]
+        i = pl.program_id(0)
+        row0 = i * band
+        top_row = jax.lax.rem(row0 + np.int32(nx - halo), np.int32(nx))
+        bot_row = jax.lax.rem(row0 + np.int32(band), np.int32(nx))
+        copies = []
+        for f in range(F):
+            for j, (src, dst) in enumerate((
+                (ins[f].at[pl.ds(pl.multiple_of(row0, band), band)], band_refs[f]),
+                (ins[f].at[pl.ds(top_row, halo)], tops[f]),
+                (ins[f].at[pl.ds(bot_row, halo)], bots[f]),
+            )):
+                cp = pltpu.make_async_copy(src, dst, sem.at[3 * f + j])
+                cp.start()
+                copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        works = [
+            jnp.concatenate(
+                [tops[f][:, :, :], band_refs[f][:, :, :], bots[f][:, :, :]],
+                axis=0,
+            )
+            for f in range(F)
+        ]
+        for _ in range(k):
+            works = step(works)
+        for f in range(F):
+            outs[f][:, :, :] = works[f]
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * F,
+        grid=(nx // band,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * F,
+        out_specs=[
+            pl.BlockSpec(
+                (band, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ] * F,
+        scratch_shapes=(
+            [pltpu.VMEM((band, ny, nz), dtype)] * F
+            + [pltpu.VMEM((halo, ny, nz), dtype)] * (2 * F)
+            + [pltpu.SemaphoreType.DMA((3 * F,))]
+        ),
+        interpret=interpret,
+    )
+
+    def window_k(datas):
+        out = call(*[jnp.asarray(d, dtype=dtype) for d in datas])
+        return list(out)
+
+    return window_k, k
+
+
+def make_chunked_multi_window_3d(
+    grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
+    dtype=np.float32, interpret: bool = False,
+) -> Callable:
+    """Return ``window(datas, steps)`` chunking steps into 3D kernel calls."""
+    _, k = make_fused_multi_stencil_window_3d(
+        grid, make_step, halo_per_step, n_fields, dtype=dtype,
+        interpret=interpret,
+    )
+
+    def build(kk):
+        step, _ = make_fused_multi_stencil_window_3d(
+            grid, make_step, halo_per_step, n_fields, dtype=dtype, k=kk,
+            interpret=interpret,
+        )
+        return lambda d: tuple(step(list(d)))
+
+    window_t = _make_binary_chunked_window(build, k)
+
+    def window(datas, steps):
+        return list(window_t(tuple(datas), steps))
+
+    return window
 
 
 def make_fused_multi_stencil_window_2d(
@@ -1870,7 +2129,7 @@ def supports_affine_laplace_cyl(grid, bcs, dtype, k: int = 1) -> bool:
         specs = affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
         return False
-    cols_periodic = specs is None or specs[1] is None
+    cols_periodic = specs is None or (len(specs) > 1 and specs[1] is None)
     return _supports_fused_shape_2d(
         grid, dtype, k, grid_cls=object, allow_bf16=cols_periodic
     )

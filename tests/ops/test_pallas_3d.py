@@ -359,19 +359,95 @@ def test_3d_f32_dtype_stability(rng, monkeypatch):
     assert np.asarray(out.data).dtype == np.float32
 
 
-def test_3d_expression_pde_falls_back(rng, monkeypatch):
-    """Expression PDEs have no 3D stencil lowering yet: clean XLA fallback."""
+@pytest.mark.parametrize(
+    "rhs, bc",
+    [
+        ("0.1 * laplace(c) - c**3", "periodic"),
+        ("laplace(0.5 * c**3 - c - 0.1 * laplace(c))", "periodic"),
+        ("0.1 * laplace(c) + c - c**3", {"derivative": 0}),
+        ("0.2 * laplace(c) - 0.1 * gradient_squared(c)", "periodic"),
+        ("0.1 * laplace(c) + 0.05 * dot(gradient(c), gradient(c))",
+         {"derivative": 0}),
+        ("0.1 * divergence(gradient(c)) - c", "periodic"),
+    ],
+    ids=["allen-cahn", "cahn-hilliard", "ac-noflux", "kpz", "dot-grad",
+         "div-grad"],
+)
+def test_3d_expression_pde_fused_parity(rhs, bc, rng, monkeypatch):
+    """3D expression rhs trees fuse through the 3D multi window and match
+    the XLA lowering (the round-3 extension of the stencil compiler)."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
-    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
-    state = pde.ScalarField.random_uniform(grid, rng=rng)
-    eq = pde.PDE({"c": "0.1 * laplace(c) - c**3"})
+    periodic = bc == "periodic"
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng,
+                                           label="c")
+    eq = pde.PDE({"c": rhs}, bc=bc)
 
+    from pde_tpu.solvers.controller import Controller
     from pde_tpu.solvers.euler import EulerSolver
 
     solver = EulerSolver(eq)
-    stepper = solver.make_stepper(state, dt=1e-3)
-    out, _ = stepper(state, 0.0, 0.01)
-    assert solver.info.get("fused_step") is None
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_3d_coupled_expression_fused_parity(rng, monkeypatch):
+    """Coupled 3D systems share the volume pass (Brusselator)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    v = pde.ScalarField.random_uniform(grid, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "0.1 * laplace(u) + 1 - 2 * u + u**2 * v",
+        "v": "0.05 * laplace(v) + u - u**2 * v",
+    })
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=1e-3, tracker=None)
+    for a, b in zip(res, ref):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_3d_predefined_models_fused(rng, monkeypatch):
+    """Predefined scalar models reach the 3D kernel via the expression
+    route; 3D SDEs fall back cleanly."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    eq = pde.AllenCahnPDE(interface_width=0.5)
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.005, tracker=None).run(state, dt=1e-4)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.005, dt=1e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+    # stochastic 3D: clean fallback
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    eq_sde = pde.KPZInterfacePDE(noise=0.1, rng=np.random.default_rng(0))
+    solver2 = EulerSolver(eq_sde)
+    stepper = solver2.make_stepper(state, dt=1e-4)
+    out, _ = stepper(state, 0.0, 1e-3)
+    assert not solver2.info.get("fused_step", False)
     assert np.all(np.isfinite(np.asarray(out.data)))
 
 

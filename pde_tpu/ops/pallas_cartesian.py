@@ -763,13 +763,41 @@ def make_affine_laplace_2d(
     return affine_laplace
 
 
-def make_laplace_pallas(grid: CartesianGrid, bcs=None, *, dtype=np.float32) -> Callable:
-    """Pallas-lowered plain laplace operator (2D Cartesian grids).
+def make_laplace_pallas(
+    grid, bcs=None, *, dtype=np.float32, interpret: bool = False,
+) -> Callable:
+    """Pallas-lowered plain laplace operator (2D Cartesian/cylindrical grids).
 
-    Periodic and const-affine BCs (value/derivative/mixed/curvature) are
-    lowered into the kernel; other BC types raise PallasUnsupportedError.
+    Periodic and const-affine BCs (value/derivative/mixed/curvature, incl.
+    inhomogeneous array values and t-dependent expressions) are lowered into
+    the kernel; other BC types raise PallasUnsupportedError. The returned
+    callable has the standard operator signature ``op(data, t=0.0,
+    args=None)`` (`reference grids/base.py:1198`).
     """
-    op = make_affine_laplace_2d(grid, a=0.0, b=1.0, k=1, dtype=dtype, bcs=bcs)
+    from ..grids.cylindrical import CylindricalSymGrid
+
+    if isinstance(grid, CylindricalSymGrid):
+        radial = (float(grid.axes_bounds[0][0]), float(grid.discretization[0]))
+    else:
+        radial = None
+    op = make_affine_laplace_2d(
+        grid, a=0.0, b=1.0, k=1, dtype=dtype, bcs=bcs, interpret=interpret,
+        radial=radial,
+    )
+
+    if op.t_slots is not None:
+        # t-dependent expression BCs: build the (1, 4) SMEM const table
+        t_funcs = op.t_slots
+
+        def laplace_t(data, t=0.0, args=None):
+            ts = jnp.atleast_1d(jnp.asarray(t, dtype=dtype))
+            cols = [
+                jnp.zeros_like(ts) if fn is None else jax.vmap(fn)(ts)
+                for fn in t_funcs
+            ]
+            return op(data, jnp.stack(cols, axis=1))
+
+        return laplace_t
 
     def laplace(data, t=0.0, args=None):
         return op(data)
@@ -1226,17 +1254,37 @@ def _make_stencil_helpers(
     return helpers
 
 
-def _make_stencil_helpers_3d(grid, pl, pltpu, band: int, n_programs: int):
+def _make_stencil_helpers_3d(
+    grid, pl, pltpu, band: int, n_programs: int, *,
+    ext_y: bool = False, ext_z: bool = False,
+    ny: int | None = None, nz: int | None = None,
+):
     """3D in-VMEM stencil primitives; each consumes one x-plane per side.
 
     The 3D analogue of :func:`_make_stencil_helpers`: the work arrays shrink
-    along x only (the banded axis); y/z stay locally periodic via
-    sublane/lane rolls with BC patches. ``bc`` is the per-axis affine ghost
-    tuple of :func:`affine_bc_params` (3 entries).
+    along x (the banded axis) always; y/z stay locally periodic via
+    sublane/lane rolls with BC patches unless ``ext_y``/``ext_z`` marks the
+    axis halo-extended (decomposed shards) — then the primitives use shifted
+    slices and also consume one row/lane per side there. ``bc`` is the
+    per-axis affine ghost tuple of :func:`affine_bc_params` (3 entries).
+    ``ny``/``nz`` are the VALID local extents (default: the grid's).
+    ``helpers.flags`` may be set inside a kernel to an int32 ``(6,)`` SMEM
+    ref ``[x_lo, x_hi, y_lo, y_hi, z_lo, z_hi]``; when present, ghost fixups
+    additionally gate on the shard sitting at the GLOBAL domain edge.
     """
-    ny, nz = grid.shape[1], grid.shape[2]
+    if ny is None:
+        ny = grid.shape[1]
+    if nz is None:
+        nz = grid.shape[2]
     sx, sy, sz = (1.0 / grid.discretization**2).tolist()
     gx, gy, gz = (0.5 / grid.discretization).tolist()
+
+    def gate(slot, base=None):
+        flags = helpers.flags
+        g = True if base is None else base
+        if flags is not None:
+            g = g & (flags[slot] != 0)
+        return g
 
     def fix_ghost_x(w, bc_x):
         if bc_x is None:
@@ -1253,8 +1301,36 @@ def _make_stencil_helpers_3d(grid, pl, pltpu, band: int, n_programs: int):
         if f2_hi:
             ghost_hi = ghost_hi + f2_hi * w[e_hi - 1 : e_hi]
         planes = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        w = jnp.where((planes == e_lo - 1) & (i == 0), ghost_lo, w)
-        w = jnp.where((planes == e_hi + 1) & (i == n_programs - 1), ghost_hi, w)
+        w = jnp.where((planes == e_lo - 1) & gate(0, i == 0), ghost_lo, w)
+        w = jnp.where(
+            (planes == e_hi + 1) & gate(1, i == n_programs - 1), ghost_hi, w
+        )
+        return w
+
+    def fix_ghost_dim(w, bc_side, dim, n_valid):
+        """Rewrite the ghost layer outside the valid region (ext mode)."""
+        if bc_side is None:
+            return w
+        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_side
+
+        def sl(idx):
+            return tuple(
+                slice(idx, idx + 1) if d == dim else slice(None)
+                for d in range(3)
+            )
+
+        hc = (w.shape[dim] - n_valid) // 2  # remaining halo layers per side
+        e_lo = hc
+        ghost_lo = c_lo + f1_lo * w[sl(e_lo)]
+        if f2_lo:
+            ghost_lo = ghost_lo + f2_lo * w[sl(e_lo + 1)]
+        e_hi = w.shape[dim] - 1 - hc
+        ghost_hi = c_hi + f1_hi * w[sl(e_hi)]
+        if f2_hi:
+            ghost_hi = ghost_hi + f2_hi * w[sl(e_hi - 1)]
+        idxs = jax.lax.broadcasted_iota(jnp.int32, w.shape, dim)
+        w = jnp.where((idxs == e_lo - 1) & gate(2 * dim), ghost_lo, w)
+        w = jnp.where((idxs == e_hi + 1) & gate(2 * dim + 1), ghost_hi, w)
         return w
 
     def neighbors_axis(center, bc_side, axis, n):
@@ -1270,12 +1346,37 @@ def _make_stencil_helpers_3d(grid, pl, pltpu, band: int, n_programs: int):
             if f2_hi:
                 ghost_hi = ghost_hi + f2_hi * low
             idx = jax.lax.broadcasted_iota(jnp.int32, center.shape, axis)
-            low = jnp.where(idx == 0, ghost_lo, low)
-            high = jnp.where(idx == n - 1, ghost_hi, high)
+            low = jnp.where((idx == 0) & gate(2 * axis), ghost_lo, low)
+            high = jnp.where(
+                (idx == n - 1) & gate(2 * axis + 1), ghost_hi, high
+            )
         return low, high
+
+    sy_sl = slice(1, -1) if ext_y else slice(None)
+    sz_sl = slice(1, -1) if ext_z else slice(None)
+
+    def fix_all(work, bc):
+        bc_x, bc_y, bc_z = bc if bc is not None else (None, None, None)
+        work = fix_ghost_x(work, bc_x)
+        if ext_y:
+            work = fix_ghost_dim(work, bc_y, 1, ny)
+        if ext_z:
+            work = fix_ghost_dim(work, bc_z, 2, nz)
+        return work, bc_y, bc_z
+
+    def neighbors_y(work, center, bc_y):
+        if ext_y:
+            return work[1:-1, :-2, sz_sl], work[1:-1, 2:, sz_sl]
+        return neighbors_axis(center, bc_y, 1, ny)
+
+    def neighbors_z(work, center, bc_z):
+        if ext_z:
+            return work[1:-1, sy_sl, :-2], work[1:-1, sy_sl, 2:]
+        return neighbors_axis(center, bc_z, 2, nz)
 
     class helpers:
         cols = nz
+        flags = None
 
         @staticmethod
         def trim(value, amount):
@@ -1283,17 +1384,20 @@ def _make_stencil_helpers_3d(grid, pl, pltpu, band: int, n_programs: int):
                 return tuple(helpers.trim(v, amount) for v in value)
             if amount == 0 or jnp.ndim(value) == 0:
                 return value
-            return value[amount:-amount]
+            return value[
+                amount:-amount,
+                slice(amount, -amount) if ext_y else slice(None),
+                slice(amount, -amount) if ext_z else slice(None),
+            ]
 
         @staticmethod
         def lap(work, bc=None):
-            bc_x, bc_y, bc_z = bc if bc is not None else (None, None, None)
-            work = fix_ghost_x(work, bc_x)
-            up = work[:-2]
-            center = work[1:-1]
-            down = work[2:]
-            north, south = neighbors_axis(center, bc_y, 1, ny)
-            west, east = neighbors_axis(center, bc_z, 2, nz)
+            work, bc_y, bc_z = fix_all(work, bc)
+            up = work[:-2, sy_sl, sz_sl]
+            center = work[1:-1, sy_sl, sz_sl]
+            down = work[2:, sy_sl, sz_sl]
+            north, south = neighbors_y(work, center, bc_y)
+            west, east = neighbors_z(work, center, bc_z)
             if sx == sy == sz:
                 return (
                     up + down + north + south + west + east - 6.0 * center
@@ -1306,13 +1410,12 @@ def _make_stencil_helpers_3d(grid, pl, pltpu, band: int, n_programs: int):
 
         @staticmethod
         def gradient_squared(work, bc=None):
-            bc_x, bc_y, bc_z = bc if bc is not None else (None, None, None)
-            work = fix_ghost_x(work, bc_x)
-            center = work[1:-1]
-            d_x = (work[2:] - work[:-2]) * gx
-            north, south = neighbors_axis(center, bc_y, 1, ny)
+            work, bc_y, bc_z = fix_all(work, bc)
+            center = work[1:-1, sy_sl, sz_sl]
+            d_x = (work[2:, sy_sl, sz_sl] - work[:-2, sy_sl, sz_sl]) * gx
+            north, south = neighbors_y(work, center, bc_y)
             d_y = (south - north) * gy
-            west, east = neighbors_axis(center, bc_z, 2, nz)
+            west, east = neighbors_z(work, center, bc_z)
             d_z = (east - west) * gz
             return d_x * d_x + d_y * d_y + d_z * d_z
 
@@ -1320,19 +1423,25 @@ def _make_stencil_helpers_3d(grid, pl, pltpu, band: int, n_programs: int):
         def d_row(work, bc=None):
             bc_x = bc[0] if bc is not None else None
             work = fix_ghost_x(work, bc_x)
-            return (work[2:] - work[:-2]) * gx
+            return (work[2:, sy_sl, sz_sl] - work[:-2, sy_sl, sz_sl]) * gx
 
         @staticmethod
         def d_col(work, bc=None):
             bc_y = bc[1] if bc is not None else None
-            center = work[1:-1]
+            if ext_y:
+                work = fix_ghost_dim(work, bc_y, 1, ny)
+                return (work[1:-1, 2:, sz_sl] - work[1:-1, :-2, sz_sl]) * gy
+            center = work[1:-1, :, sz_sl]
             north, south = neighbors_axis(center, bc_y, 1, ny)
             return (south - north) * gy
 
         @staticmethod
         def d_depth(work, bc=None):
             bc_z = bc[2] if bc is not None else None
-            center = work[1:-1]
+            if ext_z:
+                work = fix_ghost_dim(work, bc_z, 2, nz)
+                return (work[1:-1, sy_sl, 2:] - work[1:-1, sy_sl, :-2]) * gz
+            center = work[1:-1, sy_sl, :]
             west, east = neighbors_axis(center, bc_z, 2, nz)
             return (east - west) * gz
 
@@ -1480,6 +1589,156 @@ def make_chunked_multi_window_3d(
         return list(window_t(tuple(datas), steps))
 
     return window
+
+
+def _pick_band_ext_3d(
+    nx: int, ny_e: int, nz_e: int, ny: int, nz: int, itemsize: int,
+    halo: int, n_fields: int,
+) -> int | None:
+    """Output-plane band dividing nx for the 3D halo-extended multi kernel.
+
+    VMEM footprint per program: F extended scratch volumes, F double-buffered
+    output bands, and ~3 live work temporaries of the extended volume (the
+    same accounting as :func:`_pick_band_ext`, per plane instead of per row).
+    """
+
+    def footprint(band):
+        scratch = n_fields * (band + 2 * halo) * ny_e * nz_e
+        outs = n_fields * 2 * band * ny * nz
+        temps = 3 * (band + 2 * halo) * ny_e * nz_e
+        return (scratch + outs + temps) * itemsize
+
+    for candidate in (8, 4, 2, 1):
+        if nx % candidate == 0 and footprint(candidate) <= _VMEM_BUDGET:
+            return candidate
+    return None
+
+
+def make_fused_multi_ext_window_3d(
+    grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
+    local_shape, ext_axes=(True, False, False), dtype=np.float32,
+    k: int | None = None, interpret: bool = False,
+) -> tuple[Callable, int]:
+    """3D multi-field temporal-blocking kernel on halo-extended local blocks.
+
+    The decomposed (shard_map) variant of
+    :func:`make_fused_multi_stencil_window_3d`: each input carries
+    ``k*halo_per_step`` halo planes per side along x (the banded DMA axis —
+    x is untiled, so halos cost exactly the needed planes) and, where
+    ``ext_axes`` marks y/z decomposed, the same halo there (filled by
+    ppermute outside; the wrapper zero-pads extended y/z to the (8, 128)
+    tiling granule). Non-extended y/z stay locally periodic via rolls with
+    edge-flag-gated BC patches. ``grid`` is the GLOBAL grid (providing the
+    discretization); ``local_shape`` the shard's extent. The returned
+    ``window_k(datas, edge_flags)`` takes the int32 ``(6,)`` global-edge
+    flag array ``[x_lo, x_hi, y_lo, y_hi, z_lo, z_hi]`` — the reference
+    runs its 3D stencils under MPI with full BC support
+    (`/root/reference/pde/backends/numba_mpi/backend.py:163-195`).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lx, ly, lz = local_shape
+    ext_y, ext_z = bool(ext_axes[1]), bool(ext_axes[2])
+    itemsize = np.dtype(dtype).itemsize
+    if k is None:
+        k = max(1, 4 // halo_per_step)
+    halo = k * halo_per_step  # x is untiled: no DMA granule
+    # nearest-neighbor exchange must be able to supply the whole halo
+    if lx < halo or (ext_y and ly < halo) or (ext_z and lz < halo):
+        raise PallasUnsupportedError("Shard too small for the halo exchange")
+    ny_in = ly + 2 * halo if ext_y else ly
+    nz_in = lz + 2 * halo if ext_z else lz
+    if interpret:
+        ny_e, nz_e = ny_in, nz_in
+        band = lx if lx <= 8 or lx % 8 else 8
+        while lx % band:
+            band //= 2
+    else:
+        if jax.default_backend() != "tpu":
+            raise PallasUnsupportedError("TPU backend required")
+        # rolls on non-extended y/z: f32 only (Mosaic cannot rotate bf16)
+        if np.dtype(dtype) != np.dtype(np.float32):
+            raise PallasUnsupportedError("3D fused windows require float32")
+        if lx % 8 != 0 or (not ext_y and ly % 8 != 0) or (
+            not ext_z and lz % 128 != 0
+        ):
+            raise PallasUnsupportedError("Unaligned 3D local shape")
+        ny_e = -(-ny_in // 8) * 8 if ext_y else ny_in
+        nz_e = -(-nz_in // 128) * 128 if ext_z else nz_in
+        band = _pick_band_ext_3d(
+            lx, ny_e, nz_e, ly, lz, itemsize, halo, n_fields
+        )
+        if band is None:
+            raise PallasUnsupportedError("Plane too large for VMEM")
+    n_programs = lx // band
+    helpers = _make_stencil_helpers_3d(
+        grid, pl, pltpu, band, n_programs,
+        ext_y=ext_y, ext_z=ext_z, ny=ly, nz=lz,
+    )
+    step = make_step(helpers)
+    F = n_fields
+
+    def kernel(flags_ref, *refs):
+        ins = refs[:F]
+        outs = refs[F : 2 * F]
+        work_refs = refs[2 * F : 3 * F]
+        sem = refs[3 * F]
+        helpers.flags = flags_ref
+        i = pl.program_id(0)
+        row0 = i * band  # input planes [row0, row0 + band + 2*halo)
+        copies = []
+        for f in range(F):
+            cp = pltpu.make_async_copy(
+                ins[f].at[pl.ds(pl.multiple_of(row0, band), band + 2 * halo)],
+                work_refs[f],
+                sem.at[f],
+            )
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        works = [work_refs[f][:, :ny_in, :nz_in] for f in range(F)]
+        for _ in range(k):
+            works = step(works)
+        for f in range(F):
+            outs[f][:, :, :] = works[f]
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((lx, ly, lz), dtype)] * F,
+        grid=(lx // band,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * F,
+        out_specs=[
+            pl.BlockSpec(
+                (band, ly, lz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ] * F,
+        scratch_shapes=(
+            [pltpu.VMEM((band + 2 * halo, ny_e, nz_e), dtype)] * F
+            + [pltpu.SemaphoreType.DMA((F,))]
+        ),
+        interpret=interpret,
+    )
+
+    pad_y = ny_e - ny_in
+    pad_z = nz_e - nz_in
+    no_edges = jnp.zeros((6,), jnp.int32)
+
+    def window_k(datas, edge_flags=None):
+        arrs = [jnp.asarray(d, dtype=dtype) for d in datas]
+        if pad_y or pad_z:
+            arrs = [
+                jnp.pad(d, ((0, 0), (0, pad_y), (0, pad_z))) for d in arrs
+            ]
+        flags = no_edges if edge_flags is None else jnp.asarray(
+            edge_flags, jnp.int32
+        )
+        return list(call(flags, *arrs))
+
+    return window_k, k
 
 
 def make_fused_multi_stencil_window_2d(

@@ -281,6 +281,11 @@ def make_fused_multi_window_sharded(
     from ..grids.cartesian import CartesianGrid
 
     grid = mesh.basegrid
+    if isinstance(grid, CartesianGrid) and grid.num_axes == 3:
+        return _make_fused_multi_window_sharded_3d(
+            mesh, make_step, halo_per_step, n_fields, dtype=dtype,
+            interpret=interpret,
+        )
     if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
         raise PallasUnsupportedError(
             "Sharded multi-field window requires a 2D Cartesian grid"
@@ -338,6 +343,88 @@ def make_fused_multi_window_sharded(
         )
     from ..ops.pallas_cartesian import _make_binary_chunked_window
 
+    window_t = _make_binary_chunked_window(build, k)
+
+    def window(datas, steps):
+        return list(window_t(tuple(datas), steps))
+
+    window.multi_field = True
+    return window
+
+
+def _make_fused_multi_window_sharded_3d(
+    mesh, make_step, halo_per_step: int, n_fields: int, *,
+    dtype=np.float32, interpret: bool = False,
+) -> Callable:
+    """Sharded 3D multi-field window: expression rhs trees on decomposed
+    volumes.
+
+    x (the banded DMA axis) is always halo-extended; y/z are extended only
+    when decomposed, otherwise they stay locally periodic via rolls with
+    edge-flag-gated BC patches — the 3D analogue of
+    :func:`make_fused_multi_window_sharded`, with one paired-ppermute
+    exchange per k-step kernel call.
+    """
+    from ..ops.pallas_cartesian import (
+        PallasUnsupportedError,
+        _make_binary_chunked_window,
+        make_fused_multi_ext_window_3d,
+    )
+
+    grid = mesh.basegrid
+    local_shape = tuple(mesh.subgrid.shape)
+    ext_axes = (
+        True,  # x is the banded axis: always extended
+        mesh.decomposition[1] > 1,
+        mesh.decomposition[2] > 1,
+    )
+    periodic = [bool(p) for p in grid.periodic]
+    axis_names = mesh.axis_names
+    decomposition = mesh.decomposition
+
+    def edge_flags():
+        flags = []
+        for ax in range(3):
+            if periodic[ax]:
+                flags += [jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)]
+            else:
+                idx = jax.lax.axis_index(axis_names[ax])
+                flags += [
+                    (idx == 0).astype(jnp.int32),
+                    (idx == decomposition[ax] - 1).astype(jnp.int32),
+                ]
+        return jnp.stack(flags)
+
+    def build(kk):
+        step, _ = make_fused_multi_ext_window_3d(
+            grid, make_step, halo_per_step, n_fields,
+            local_shape=local_shape, ext_axes=ext_axes, dtype=dtype, k=kk,
+            interpret=interpret,
+        )
+        h = kk * halo_per_step
+        halos = tuple(h if e else 0 for e in ext_axes)
+        pad = make_halo_pad(mesh, halos, periodic)
+        return lambda datas: tuple(
+            step([pad(d) for d in datas], edge_flags())
+        )
+
+    # probe the largest supported k (small shards need smaller halos)
+    k = None
+    probe_k = max(1, 4 // halo_per_step)
+    while probe_k >= 1:
+        try:
+            _, k = make_fused_multi_ext_window_3d(
+                grid, make_step, halo_per_step, n_fields,
+                local_shape=local_shape, ext_axes=ext_axes, dtype=dtype,
+                k=probe_k, interpret=interpret,
+            )
+            break
+        except PallasUnsupportedError:
+            probe_k //= 2
+    if k is None:
+        raise PallasUnsupportedError(
+            "Shard too small for any temporal-blocking factor"
+        )
     window_t = _make_binary_chunked_window(build, k)
 
     def window(datas, steps):

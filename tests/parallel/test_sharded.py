@@ -583,3 +583,113 @@ def test_sharded_fused_window_3d_bc_parity(decomposition, bc, rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
     )
+
+
+@pytest.mark.parametrize(
+    "decomposition", [[2, 1, 1], [1, 2, 1], [1, 1, 2], [2, 2, 1], [1, 2, 2]]
+)
+def test_sharded_fused_expression_3d_parity(decomposition, rng, monkeypatch):
+    """3D expression rhs trees fuse on decomposed volumes (round-3: the
+    stencil compiler's 3D lowering reaches the halo-extended multi kernel)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng, label="c")
+    eq = pde.PDE({"c": "0.1 * laplace(c) + c - c**3"})
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+@pytest.mark.parametrize(
+    "decomposition, bc",
+    [
+        ([2, 1, 1], {"derivative": 0}),
+        ([1, 2, 1], {"x": "periodic", "y": {"value": 0.2}, "z": "periodic"}),
+        ([1, 1, 2], {"x": "periodic", "y": "periodic",
+                     "z": {"derivative": 0.1}}),
+        ([2, 2, 2], {"x": {"value": 0}, "y": {"derivative": 0},
+                     "z": {"value": 0.5}}),
+    ],
+    ids=["noflux-xcut", "dirichlet-ycut", "neumann-zcut", "mixed-all"],
+)
+def test_sharded_fused_expression_3d_bc_parity(
+    decomposition, bc, rng, monkeypatch
+):
+    """Physical BCs + 3D expression trees on every decomposed axis."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    periodic = [bc.get(ax) == "periodic" for ax in "xyz"]
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng, label="c")
+    eq = pde.PDE({"c": "0.1 * laplace(c) - 0.05 * gradient_squared(c)"}, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+@pytest.mark.parametrize("decomposition", [[2, 2, 1], [1, 2, 2]])
+def test_sharded_fused_coupled_3d_parity(decomposition, rng, monkeypatch):
+    """Coupled 3D systems share the decomposed volume pass (Brusselator)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    v = pde.ScalarField.random_uniform(grid, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "0.1 * laplace(u) + 1 - 2 * u + u**2 * v",
+        "v": "0.05 * laplace(v) + u - u**2 * v",
+    })
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=1e-3, tracker=None)
+    for a, b in zip(res, ref):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_sharded_fused_expression_3d_gradient_composition(rng, monkeypatch):
+    """dot/gradient/divergence compositions through the decomposed 3D
+    helpers (d_row/d_col/d_depth in ext mode)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 8, 8), periodic=True)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng, label="h")
+    eq = pde.PDE(
+        {"h": "0.1 * divergence(gradient(h))"
+              " + 0.05 * dot(gradient(h), gradient(h))"}
+    )
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=[1, 2, 2])
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )

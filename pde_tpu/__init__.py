@@ -20,6 +20,8 @@ __version__ = "0.1.0"
 from .utils.config import Config, Parameter, config, environment  # noqa: F401
 from .backends import (  # noqa: F401
     BackendBase,
+    NumpyBackend,
+    PallasBackend,
     XLABackend,
     get_backend,
     registered_backends,

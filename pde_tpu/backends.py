@@ -1,10 +1,27 @@
-"""Compatibility facade for the reference's backend registry.
+"""Compute-backend registry: XLA, Pallas, and eager-numpy engines.
 
 The reference (`/root/reference/pde/backends/`) maintains six compute backends
 (numpy/numba/numba_mpi/jax/torch/scipy) because it must JIT Python loops in
-several ways. This framework has ONE compute path — XLA — so the "backend"
-object is a thin facade delegating to the grid/operator layer. It exists so
-code written against the reference's `get_backend(...)` API keeps working.
+several ways. On TPU the compiled path is XLA, but this framework still has
+three genuinely distinct execution engines, exposed here as first-class
+backends with the reference's registry/inheritance semantics
+(`backends/base.py:65`, `registry.py:36`):
+
+- ``jax`` (:class:`XLABackend`, default): jnp operator factories compiled by
+  ``jax.jit``; solvers auto-select fused Pallas windows where available and
+  fall back to the XLA lowering otherwise.
+- ``pallas`` (:class:`PallasBackend`): hand-written TPU kernels. Operators
+  are looked up in a per-(backend, grid class) registry with MRO inheritance
+  — exactly the reference's ``get_operator_info`` scheme
+  (`backends/base.py:340`) — and *requiring* this backend turns the solvers'
+  soft Pallas preference into a hard guarantee (unsupported configurations
+  raise instead of silently falling back).
+- ``numpy`` (:class:`NumpyBackend`): eager execution without ``jax.jit`` —
+  the reference's debug engine (`backends/numpy/backend.py:36`,
+  ``compile_function`` = identity); steppers run plain Python loops, so
+  ``pdb``/prints work inside the rhs.
+
+Compatibility names (``numba``, ``torch``, ...) resolve to the XLA engine.
 """
 
 from __future__ import annotations
@@ -17,10 +34,15 @@ import numpy as np
 
 
 class XLABackend:
-    """The single compute backend: JAX/XLA (with Pallas fast paths)."""
+    """The default compute backend: JAX/XLA (auto-selects Pallas fast paths)."""
 
     name = "jax"
     implementation = "jax"
+    #: solvers compile whole windows into one device call
+    compiled_steppers = True
+    #: solvers may auto-select fused Pallas windows ("auto") — "require"
+    #: turns that into a hard guarantee, "never" disables it
+    fused_windows = "auto"
 
     def __repr__(self) -> str:
         return f"{self.__class__.__name__}(devices={[str(d) for d in jax.devices()]})"
@@ -87,7 +109,106 @@ class XLABackend:
         return solver.make_stepper(state, dt)
 
 
-_BACKENDS: dict[str, Any] = {}
+class NumpyBackend(XLABackend):
+    """Eager debug engine: no ``jax.jit``, numpy-array results.
+
+    The reference's numpy backend compiles nothing and borrows its operators
+    (`backends/numpy/backend.py:36`, `pdes/pde.py:354-357`); the equivalent
+    here is eager jnp execution with host numpy conversion, and solvers run
+    plain Python step loops (breakpoints and prints work inside the rhs).
+    """
+
+    name = "numpy"
+    implementation = "numpy"
+    compiled_steppers = False
+    fused_windows = "never"
+
+    def compile_function(self, func: Callable, **kwargs) -> Callable:
+        return func  # identity, like the reference numpy backend
+
+    def numpy_to_native(self, arr, dtype=None):
+        return np.asarray(arr, dtype=dtype)
+
+    def make_operator(self, grid, operator: str, bc, **kwargs) -> Callable:
+        op = grid.make_operator(operator, bc=bc, jit=False, **kwargs)
+
+        def eager_op(data, t=0.0, args=None):
+            return np.asarray(op(data, t, args))
+
+        return eager_op
+
+
+class PallasBackend(XLABackend):
+    """Hand-written TPU kernels with a per-(backend, grid) operator registry.
+
+    ``register_operator`` + MRO lookup mirror the reference's backend-level
+    registry (`backends/base.py:257,340`); operators without a Pallas kernel
+    inherit the XLA factory (the reference's numpy backend borrows numba
+    operators the same way). Unsupported shapes/BC types raise
+    ``PallasUnsupportedError`` (a ``NotImplementedError``) instead of
+    silently degrading.
+    """
+
+    name = "pallas"
+    implementation = "pallas"
+    fused_windows = "require"
+
+    #: (grid class, operator name) -> factory(grid, bcs, **kwargs)
+    _operators: dict[tuple[type, str], Callable] = {}
+
+    @classmethod
+    def register_operator(cls, grid_cls: type, name: str, factory=None):
+        """Register a Pallas operator factory for a grid class."""
+
+        def register(factory):
+            cls._operators[(grid_cls, name)] = factory
+            return factory
+
+        if factory is None:
+            return register
+        return register(factory)
+
+    @classmethod
+    def get_registered_factory(cls, grid, operator: str):
+        for klass in type(grid).__mro__:
+            if (klass, operator) in cls._operators:
+                return cls._operators[(klass, operator)]
+        return None
+
+    def make_operator(self, grid, operator: str, bc, **kwargs) -> Callable:
+        factory = self.get_registered_factory(grid, operator)
+        if factory is None:
+            # inheritance: fall back to the XLA factory (reference scheme)
+            return super().make_operator(grid, operator, bc, **kwargs)
+        bcs = grid.get_boundary_conditions(bc)
+        return factory(grid, bcs, **kwargs)
+
+
+def _pallas_laplace_factory(grid, bcs, **kwargs):
+    from .ops.pallas_cartesian import interpret_requested, make_laplace_pallas
+
+    return make_laplace_pallas(
+        grid, bcs, interpret=interpret_requested(), **kwargs
+    )
+
+
+def _register_default_pallas_operators():
+    from .grids.cartesian import CartesianGrid
+    from .grids.cylindrical import CylindricalSymGrid
+
+    PallasBackend.register_operator(
+        CartesianGrid, "laplace", _pallas_laplace_factory
+    )
+    PallasBackend.register_operator(
+        CylindricalSymGrid, "laplace", _pallas_laplace_factory
+    )
+
+
+_register_default_pallas_operators()
+
+
+#: compatibility aliases accepted by :func:`get_backend`, resolving to XLA
+_COMPAT_NAMES = ("auto", "jax", "numba", "numba_mpi", "torch", "scipy")
 
 
 class BackendRegistry(dict):
@@ -95,25 +216,30 @@ class BackendRegistry(dict):
 
     def __missing__(self, key):
         base = key.split(":")[0]
-        if base in ("jax", "auto", "numpy", "numba", "numba_mpi", "torch", "scipy", "pallas"):
+        if base == "numpy":
+            instance: XLABackend = NumpyBackend()
+        elif base == "pallas":
+            instance = PallasBackend()
+        elif base in _COMPAT_NAMES:
             instance = XLABackend()
-            self[key] = instance
-            return instance
-        raise KeyError(f"Backend `{key}` is not registered")
+        else:
+            raise KeyError(f"Backend `{key}` is not registered")
+        self[key] = instance
+        return instance
 
 
 backends = BackendRegistry()
 
 
 def get_backend(backend: str = "auto") -> XLABackend:
-    """Return the compute backend (always XLA; names accepted for compatibility)."""
+    """Return the compute backend for a name (reference `registry.py:278`)."""
     if isinstance(backend, XLABackend):
         return backend
     return backends[str(backend)]
 
 
 #: Compatibility alias: the reference's abstract engine base class
-#: (`backends/base.py:65`); this framework has one XLA engine.
+#: (`backends/base.py:65`).
 BackendBase = XLABackend
 
 

@@ -57,8 +57,22 @@ class SolverBase:
     _subclasses: dict[str, type[SolverBase]] = {}
 
     def __init__(self, pde: PDEBase, *, backend: str = "auto", decomposition=None):
+        from ..backends import get_backend
+
         self.pde = pde
-        self.backend = backend  # accepted for API compatibility; XLA is the backend
+        self.backend = backend
+        try:
+            # the backend object governs stepper compilation and the fused-
+            # window policy: "jax"/"auto" = compiled + auto-fused, "pallas" =
+            # fused REQUIRED, "numpy" = eager Python loops (debugging)
+            self._backend_obj = get_backend(backend)
+        except KeyError:
+            from ..backends import registered_backends
+
+            raise ValueError(
+                f"Unknown backend `{backend}`; registered backends: "
+                f"{registered_backends()}"
+            ) from None
         self.decomposition = decomposition  # device-mesh domain decomposition
         self._mesh = None
         self.info: dict[str, Any] = {
@@ -68,7 +82,7 @@ class SolverBase:
             "steps": 0,
             "state_modifications": 0.0,
             "stochastic": getattr(pde, "is_sde", False) if pde is not None else False,
-            "backend": "jax",
+            "backend": self._backend_obj.name,
         }
         self._logger = logging.getLogger(self.__class__.__name__)
         self._key = None  # device PRNG key, created lazily
@@ -171,6 +185,21 @@ class SolverBase:
     def _make_fixed_stepper(self, state: FieldBase, dt: float) -> Callable:
         """Compile a device loop performing N fixed steps per call."""
         mesh = self._get_mesh(state)
+        if self._backend_obj.fused_windows == "require":
+            # solvers with a fused path (EulerSolver) never reach this point
+            # in "require" mode — they either return the fused stepper or
+            # raise with the reason
+            raise RuntimeError(
+                f"backend='pallas' is not supported by "
+                f"{self.__class__.__name__}: no fused kernel path"
+            )
+        if not self._backend_obj.compiled_steppers:
+            if mesh is not None:
+                raise RuntimeError(
+                    "backend='numpy' (eager) cannot drive decomposed runs — "
+                    "shard_map requires compiled execution"
+                )
+            return self._make_fixed_stepper_eager(state, dt)
         if mesh is not None:
             return self._make_fixed_stepper_sharded(state, dt, mesh)
         single_step = self._make_single_step_fixed_dt(state, dt)
@@ -209,6 +238,40 @@ class SolverBase:
             leaves, post_data = run(
                 leaves, key, t_start, steps, self.info["post_step_data"]
             )
+            self.info["steps"] += steps
+            self.info["post_step_data"] = post_data
+            return state_from_leaves(state_obj, leaves), t_start + steps * dt
+
+        return fixed_stepper
+
+    def _make_fixed_stepper_eager(self, state: FieldBase, dt: float) -> Callable:
+        """Uncompiled Python step loop (the ``numpy`` debug backend).
+
+        Mirrors the reference numpy backend's stepper — identity
+        ``compile_function`` around a plain loop
+        (`/root/reference/pde/backends/numpy/backend.py:36`); breakpoints
+        and prints work inside the rhs because nothing is traced.
+        """
+        single_step = self._make_single_step_fixed_dt(state, dt)
+        post_hook, post_data_init = self._make_post_step_hook(state)
+        is_sde = self.info["stochastic"]
+        cast = self._make_dtype_cast(state)
+        self.info.setdefault("post_step_data", post_data_init)
+
+        def fixed_stepper(state_obj: FieldBase, t_start: float, t_end: float):
+            self._init_key()
+            steps = max(1, round((t_end - t_start) / dt))
+            leaves = state_leaves(state_obj)
+            if is_sde:
+                self._key, key = jax.random.split(self._key)
+            else:
+                key = self._key
+            post_data = self.info["post_step_data"]
+            for i in range(steps):
+                t = t_start + i * dt
+                sub = jax.random.fold_in(key, i) if is_sde else key
+                leaves = cast(single_step(leaves, t, sub))
+                leaves, post_data = post_hook(leaves, t + dt, post_data)
             self.info["steps"] += steps
             self.info["post_step_data"] = post_data
             return state_from_leaves(state_obj, leaves), t_start + steps * dt
@@ -490,6 +553,14 @@ class AdaptiveSolverBase(SolverBase):
         self.info["dt"] = dt_float
         self.info["dt_adaptive"] = bool(self.adaptive)
         if self.adaptive:
+            if not self._backend_obj.compiled_steppers:
+                raise NotImplementedError(
+                    "backend='numpy' (eager) supports fixed-dt stepping only"
+                )
+            if self._backend_obj.fused_windows == "require":
+                raise RuntimeError(
+                    "backend='pallas' has no adaptive-dt kernel path"
+                )
             return self._make_adaptive_stepper(state)
         return self._make_fixed_stepper(state, dt_float)
 

@@ -30,22 +30,40 @@ class EulerSolver(AdaptiveSolverBase):
                          tolerance=tolerance, decomposition=decomposition)
 
     def _make_fixed_stepper(self, state: FieldBase, dt: float) -> Callable:
-        # PDEs may provide a fused, temporally-blocked window (Pallas kernel)
+        # PDEs may provide a fused, temporally-blocked window (Pallas kernel);
+        # the backend sets the policy: "auto" tries it and falls back,
+        # "require" (backend='pallas') makes failure an error, "never"
+        # (backend='numpy') skips it
         import os
 
-        if (
-            hasattr(self.pde, "make_fused_euler_window")
-            and os.environ.get("PDE_TPU_DISABLE_FUSED") != "1"
-        ):
+        fused_mode = self._backend_obj.fused_windows
+        if os.environ.get("PDE_TPU_DISABLE_FUSED") == "1":
+            if fused_mode == "require":
+                raise RuntimeError(
+                    "backend='pallas' requested but PDE_TPU_DISABLE_FUSED=1"
+                )
+            fused_mode = "never"
+        if fused_mode != "never" and hasattr(self.pde, "make_fused_euler_window"):
             try:
                 self.pde.make_post_step_hook(state)
                 has_hook = True
             except NotImplementedError:
                 has_hook = False
-            if not has_hook:
-                window = self._build_fused_window(state, dt)
-                if window is not None:
-                    return self._wrap_fused_window(state, dt, window)
+            window = None if has_hook else self._build_fused_window(state, dt)
+            if window is not None:
+                return self._wrap_fused_window(state, dt, window)
+            if fused_mode == "require":
+                raise RuntimeError(
+                    "backend='pallas' requires the fused Pallas window, but "
+                    "this configuration does not support it"
+                    + (" (the PDE has a post-step hook)" if has_hook else "")
+                    + f": {self.info.get('fused_unsupported', 'see logs')}"
+                )
+        elif fused_mode == "require":
+            raise RuntimeError(
+                f"backend='pallas' requires a fused Pallas window, but "
+                f"{self.pde.__class__.__name__} does not provide one"
+            )
         return super()._make_fixed_stepper(state, dt)
 
     def _build_fused_window(self, state: FieldBase, dt: float):
@@ -59,9 +77,13 @@ class EulerSolver(AdaptiveSolverBase):
             # sharded variant: only PDEs whose hook accepts `mesh` support it
             sig = inspect.signature(self.pde.make_fused_euler_window)
             if "mesh" not in sig.parameters:
+                self.info["fused_unsupported"] = (
+                    "PDE has no sharded fused window"
+                )
                 return None
             return self.pde.make_fused_euler_window(state, dt, mesh=mesh)
-        except NotImplementedError:
+        except NotImplementedError as err:
+            self.info["fused_unsupported"] = str(err)
             return None
 
     def _wrap_fused_window(self, state: FieldBase, dt: float, window) -> Callable:

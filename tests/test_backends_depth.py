@@ -206,3 +206,120 @@ def test_remaining_api_surface(rng):
     expr = pde.ScalarExpression("x**2", signature=["x"])
     compiled = expr.get_compiled()
     assert float(compiled(3.0)) == pytest.approx(9.0)
+
+
+def test_backend_classes_distinct():
+    """The registry returns genuinely distinct engines (round-3: the
+    facade became real dispatch — compare reference `registry.py:278`)."""
+    from pde_tpu.backends import NumpyBackend, PallasBackend
+
+    assert isinstance(get_backend("numpy"), NumpyBackend)
+    assert isinstance(get_backend("pallas"), PallasBackend)
+    assert type(get_backend("jax")) is XLABackend
+    assert get_backend("numpy").compile_function(abs) is abs
+    assert get_backend("numpy").fused_windows == "never"
+    assert get_backend("pallas").fused_windows == "require"
+    with pytest.raises(KeyError):
+        get_backend("not-a-backend")
+
+
+def test_pallas_backend_operator_registry(rng, monkeypatch):
+    """Per-(backend, grid) operator lookup with MRO inheritance, mirroring
+    the reference's `get_operator_info` (`backends/base.py:340`)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.backends import PallasBackend
+
+    backend = get_backend("pallas")
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    assert PallasBackend.get_registered_factory(grid, "laplace") is not None
+    # UnitGrid inherits the CartesianGrid registration through the MRO
+    op = backend.make_operator(grid, "laplace", bc="periodic")
+    field = pde.ScalarField.random_uniform(grid, rng=rng)
+    ref = grid.make_operator("laplace", bc="periodic")(field.data)
+    np.testing.assert_allclose(
+        np.asarray(op(np.asarray(field.data, np.float32))),
+        np.asarray(ref), rtol=1e-5, atol=1e-6,
+    )
+    # unregistered operators inherit the XLA factory
+    op2 = backend.make_operator(grid, "gradient_squared", bc="periodic")
+    ref2 = grid.make_operator("gradient_squared", bc="periodic")(field.data)
+    np.testing.assert_allclose(np.asarray(op2(field.data)), np.asarray(ref2))
+
+
+def test_pallas_backend_operator_unsupported(monkeypatch):
+    """Unsupported configurations raise instead of silently degrading."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    backend = get_backend("pallas")
+    grid1d = pde.UnitGrid([16], periodic=True)
+    with pytest.raises(NotImplementedError):
+        backend.make_operator(grid1d, "laplace", bc="periodic")
+
+
+def test_solve_backend_pallas_forces_fused(rng, monkeypatch):
+    """backend='pallas' turns the soft fused preference into a guarantee."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.1)
+    solver = EulerSolver(eq, backend="pallas")
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    assert solver.info["backend"] == "pallas"
+    assert np.all(np.isfinite(np.asarray(res.data)))
+
+    # 1D grids have no fused kernel: hard error instead of fallback
+    grid1d = pde.UnitGrid([16], periodic=True)
+    state1d = pde.ScalarField.random_uniform(grid1d, rng=rng)
+    solver_bad = EulerSolver(eq, backend="pallas")
+    with pytest.raises(RuntimeError, match="pallas"):
+        solver_bad.make_stepper(state1d, dt=1e-3)
+
+    # solvers without any fused path reject it outright
+    solver_rk = pde.solvers.RungeKuttaSolver(eq, backend="pallas")
+    with pytest.raises(RuntimeError, match="pallas"):
+        solver_rk.make_stepper(state, dt=1e-3)
+
+    # contradictory request: pallas + explicitly disabled fusion
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    solver_c = EulerSolver(eq, backend="pallas")
+    with pytest.raises(RuntimeError, match="DISABLE_FUSED"):
+        solver_c.make_stepper(state, dt=1e-3)
+
+
+def test_solve_backend_numpy_eager(rng):
+    """backend='numpy' runs an uncompiled Python loop matching the compiled
+    result (the reference's debug engine, `backends/numpy/backend.py:36`)."""
+    grid = pde.UnitGrid([12, 12], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.1)
+    res_eager = eq.solve(state, t_range=0.02, dt=1e-2, backend="numpy",
+                         tracker=None)
+    res_jit = eq.solve(state, t_range=0.02, dt=1e-2, backend="jax",
+                       tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res_eager.data), np.asarray(res_jit.data),
+        rtol=1e-14, atol=1e-15,
+    )
+
+    from pde_tpu.solvers.euler import EulerSolver
+
+    # eager mode rejects what it cannot do honestly
+    with pytest.raises(NotImplementedError):
+        EulerSolver(eq, backend="numpy", adaptive=True).make_stepper(
+            state, dt=1e-2
+        )
+    with pytest.raises(RuntimeError):
+        EulerSolver(eq, backend="numpy", decomposition=[2, 1]).make_stepper(
+            state, dt=1e-2
+        )
+
+
+def test_solver_rejects_unknown_backend():
+    eq = pde.DiffusionPDE(0.1)
+    from pde_tpu.solvers.euler import EulerSolver
+
+    with pytest.raises(ValueError, match="registered backends"):
+        EulerSolver(eq, backend="cuda")

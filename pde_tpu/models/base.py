@@ -33,6 +33,66 @@ NOISE_INTERPRETATIONS: dict[str, float] = {
 }
 
 
+def make_increment_draw() -> Callable:
+    """Return ``draw(key, shape, dtype) -> array`` for SDE noise increments.
+
+    Selected by the config key ``sde.increment_dist``.  Euler-Maruyama
+    converges WEAKLY (order 1) for any increment law matching the Gaussian's
+    first three moments (Kloeden & Platen, weak Taylor schemes) — Gaussianity
+    is not required — so cheaper moment-matched laws are admissible when only
+    distributional statistics matter:
+
+    - ``"normal"`` (default): exact N(0,1) — required for strong/pathwise
+      convergence; the only law the reference offers
+      (`/root/reference/pde/backends/jax/backend.py:866`).
+    - ``"irwin4"``: ``(sum of 4 uniforms - 2) * sqrt(3)`` — exact first three
+      moments, excess kurtosis -0.3; measured 2.1x the Box-Muller generation
+      rate on the TPU VPU (docs/BENCHMARKS.md round-3 experiments).
+    - ``"rademacher"``: two-point law ±1 — the minimal weak-order-1
+      increment (matches E x, E x², E x³).
+
+    Complex dtypes draw independent real/imaginary parts at half variance,
+    matching ``jax.random.normal``'s complex convention.
+    """
+    from ..utils.config import config
+
+    dist = str(config["sde.increment_dist"])
+
+    if dist == "normal":
+        return jax.random.normal
+
+    if dist == "irwin4":
+
+        def draw_real(key, shape, dtype):
+            u = jax.random.uniform(key, (4, *shape), dtype=dtype)
+            return (jnp.sum(u, axis=0) - 2.0) * np.sqrt(3.0).astype(dtype)
+
+    elif dist == "rademacher":
+
+        def draw_real(key, shape, dtype):
+            return jax.random.rademacher(key, shape, dtype=dtype)
+
+    else:
+        raise ValueError(
+            f"Unknown sde.increment_dist {dist!r} "
+            "(expected 'normal', 'irwin4', or 'rademacher')"
+        )
+
+    def draw(key, shape, dtype=float):
+        dtype = jnp.dtype(dtype)
+        if jnp.issubdtype(dtype, jnp.complexfloating):
+            real_dtype = jnp.finfo(dtype).dtype
+            k_re, k_im = jax.random.split(key)
+            scale = np.sqrt(0.5).astype(real_dtype)
+            return (
+                scale * draw_real(k_re, shape, real_dtype)
+                + 1j * scale * draw_real(k_im, shape, real_dtype)
+            ).astype(dtype)
+        return draw_real(key, tuple(shape), dtype)
+
+    return draw
+
+
 def state_leaves(state: FieldBase) -> list:
     """Extract the raw data leaves of a field pytree."""
     return [jnp.asarray(x) for x in jax.tree_util.tree_leaves(state)]
@@ -243,6 +303,7 @@ class SDEBase(PDEBase):
         increments = []
         if self.use_noise_variance:
             noise_var_fn = self.make_noise_variance(state, ret_diff=has_drift)
+            draw_increment = make_increment_draw()  # resolved at factory time
 
             def variance_term(leaves, t, key, dt):
                 if has_drift:
@@ -255,7 +316,7 @@ class SDEBase(PDEBase):
                 dt_sqrt = jnp.sqrt(dt)
                 inv_cell = get_inv_cell()
                 for i, (leaf, var) in enumerate(zip(leaves, variances, strict=True)):
-                    dW = jax.random.normal(keys[i], leaf.shape, dtype=leaf.dtype)
+                    dW = draw_increment(keys[i], leaf.shape, dtype=leaf.dtype)
                     inc = dt_sqrt * jnp.sqrt(var * inv_cell) * dW
                     if has_drift:
                         inc = inc + 0.5 * dt * drift_factor * diffs[i] * inv_cell

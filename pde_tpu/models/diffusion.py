@@ -49,7 +49,14 @@ class DiffusionPDE(SDEBase):
         )
 
         if self.is_sde:
-            raise NotImplementedError("Fused window does not support noise")
+            # stochastic diffusion fuses as an Euler-Maruyama window via the
+            # expression compiler (same route as KPZ/Allen-Cahn)
+            from .base import make_fused_window_via_expression
+
+            return make_fused_window_via_expression(
+                self, state, dt, f"{self.diffusivity!r} * laplace(c)",
+                self.bc, mesh=mesh,
+            )
         bcs = state.grid.get_boundary_conditions(self.bc)
         if not isinstance(bcs, BoundariesList):
             raise NotImplementedError("Fused window requires per-axis BCs")

@@ -532,6 +532,35 @@ class PDE(SDEBase):
             raise NotImplementedError("rhs must be a scalar expression")
         return fn, depth
 
+    def _sde_kernel_noise_spec(self, grid, dt: float, interpret: bool):
+        """Spec for in-kernel hardware-PRNG noise in the fused SDE window,
+        or None when the external (bit-reproducible XLA threefry) staging
+        must be used.
+
+        Active when config ``sde.kernel_noise`` is ``"on"``, or ``"auto"``
+        (default) with a cheap weak-scheme ``sde.increment_dist`` — exact
+        Gaussian increments stay on the XLA stream because in-kernel
+        Box-Muller measured slower than the XLA path (docs/BENCHMARKS.md).
+        The increment scale ``sqrt(dt * var / cell_volume)`` replicates the
+        unfused stepper's cell-volume-scaled variance
+        (`models/base.py make_sde_noise_step`; reference
+        `/root/reference/pde/solvers/euler.py:66-147`).
+        """
+        from ..grids.cartesian import CartesianGrid
+        from ..utils.config import config
+
+        mode = str(config["sde.kernel_noise"])
+        dist = str(config["sde.increment_dist"])
+        if interpret or mode == "off" or np.ndim(self.noise) > 0:
+            return None
+        if mode == "auto" and dist == "normal":
+            return None
+        if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+            return None
+        var = float(self.noise)
+        cell_vol = float(np.prod(grid.discretization))
+        return {"dist": dist, "scale": float(np.sqrt(dt * var / cell_vol))}
+
     def make_fused_euler_window(self, state: FieldBase, dt: float, mesh=None):
         """Emit a fused Pallas temporal-blocking kernel for the rhs.
 
@@ -580,17 +609,26 @@ class PDE(SDEBase):
             # Measured on v5e: XLA-side noise generation (threefry + erfinv)
             # dominates and its forced materialization makes the fused SDE
             # window a net LOSS (14.5 vs 21.3 G updates/s for KPZ 4096²,
-            # docs/BENCHMARKS.md). Keep it opt-in on real hardware until an
-            # in-kernel PRNG path exists; interpret mode (CPU tests) always
-            # takes it so the machinery stays validated.
+            # docs/BENCHMARKS.md). Keep the external-noise variant opt-in on
+            # real hardware; interpret mode (CPU tests) always takes it so
+            # the machinery stays validated. The in-kernel hardware-PRNG
+            # variant (cheap weak-scheme increments drawn inside the kernel,
+            # `sde.kernel_noise`/`sde.increment_dist` config) measured a WIN
+            # and needs no opt-in.
             import os
 
-            if not interpret_requested() and os.environ.get(
-                "PDE_TPU_FUSED_SDE"
-            ) != "1":
+            if (
+                not interpret_requested()
+                and os.environ.get("PDE_TPU_FUSED_SDE") != "1"
+                and self._sde_kernel_noise_spec(
+                    state.grid, 1.0, False
+                ) is None
+            ):
                 raise NotImplementedError(
-                    "Fused SDE windows are opt-in (PDE_TPU_FUSED_SDE=1): "
-                    "measured slower than the XLA path on TPU"
+                    "Fused SDE windows with exact XLA-stream noise are "
+                    "opt-in (PDE_TPU_FUSED_SDE=1): measured slower than the "
+                    "XLA path on TPU. Set sde.increment_dist='irwin4' for "
+                    "the in-kernel fast path."
                 )
         if isinstance(state, FieldCollection):
             fields = list(state)
@@ -606,6 +644,13 @@ class PDE(SDEBase):
             raise NotImplementedError("Fused window requires uniform dtypes")
         grid = fields[0].grid
         interpret = interpret_requested()
+        if any("laplace" in self._operators[v] for v in self.variables):
+            from ..ops.pallas_cartesian import _require_default_laplace_stencil
+
+            try:
+                _require_default_laplace_stencil()
+            except PallasUnsupportedError as err:
+                raise NotImplementedError(str(err)) from err
         from ..grids.cylindrical import CylindricalSymGrid
 
         if isinstance(grid, CylindricalSymGrid):
@@ -759,6 +804,9 @@ class PDE(SDEBase):
                     window = make_chunked_sde_window_2d(
                         grid, make_step, depth, noise_fn,
                         dtype=fields[0].dtype, interpret=interpret,
+                        kernel_noise=self._sde_kernel_noise_spec(
+                            grid, dt, interpret
+                        ),
                     )
                 except PallasUnsupportedError as err:
                     raise NotImplementedError(str(err)) from err

@@ -41,6 +41,20 @@ def interpret_requested() -> bool:
     return os.environ.get("PDE_TPU_PALLAS_INTERPRET") == "1"
 
 
+def _require_default_laplace_stencil():
+    """All fused kernels lower the 5-point Laplacian; refuse (-> XLA
+    fallback, which honors the config) when the 9-point corner-weight
+    stencil is requested via ``operators.cartesian.laplacian_2d_corner_weight``
+    (reference `backends/numba/operators/cartesian.py:109-192`)."""
+    from ..utils.config import config
+
+    if config["operators.cartesian.laplacian_2d_corner_weight"] != 0:
+        raise PallasUnsupportedError(
+            "Fused kernels implement the 5-point Laplacian only "
+            "(laplacian_2d_corner_weight != 0 falls back to XLA)"
+        )
+
+
 _VMEM_BUDGET = 15 * 1024 * 1024  # 16 MB scoped VMEM minus 1 MB headroom
 
 
@@ -447,6 +461,7 @@ def make_affine_laplace_2d(
     compiles these loops with numba (`operators/cylindrical_sym.py:32`) but
     has no fused/temporal-blocked equivalent.
     """
+    _require_default_laplace_stencil()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -854,6 +869,7 @@ def make_affine_laplace_3d(
     plane rewrites at the banded axis (edge programs) and sublane/lane patches
     after the rolls.
     """
+    _require_default_laplace_stencil()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -993,6 +1009,7 @@ def make_fused_euler_window_3d(
     bcs=None, interpret: bool = False,
 ) -> Callable:
     """3D analogue of :func:`make_fused_euler_window_2d`."""
+    _require_default_laplace_stencil()
     _, k = make_affine_laplace_3d(
         grid, a=1.0, b=dt * diffusivity, dtype=dtype, bcs=bcs,
         interpret=interpret,
@@ -1992,6 +2009,207 @@ def make_fused_multi_ext_window_2d(
     return window_k, k
 
 
+def _make_kernel_noise_gen(pltpu, dist: str):
+    """Return ``gen(shape) -> unit-variance increments`` drawn from the
+    in-kernel TPU PRNG (``pltpu.prng_random_bits``; caller seeds first).
+
+    The laws mirror :func:`pde_tpu.models.base.make_increment_draw` — weak
+    order 1 of Euler-Maruyama needs only the Gaussian's first three moments
+    (Kloeden & Platen), so the cheap laws are admissible increments.
+    Measured generation rates at 4096 lanes, band 64 (one v5e chip,
+    scripts/experiment_sde_noise.py): box-muller 1.65e10, irwin4 3.40e10,
+    rademacher 2.42e10 samples/s against a 3.95e10 raw-bits floor — the
+    transcendentals, not the PRNG, dominate the exact-Gaussian cost.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    two24 = np.float32(2.0**-24)
+
+    def _to_f32(u32):
+        # Mosaic has no uint32->f32 cast; values below 2^31 go via int32
+        return pltpu.bitcast(u32, jnp.int32).astype(jnp.float32)
+
+    def uniform(shape):
+        bits = pltpu.prng_random_bits(shape)
+        return (
+            _to_f32(
+                jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.uint32), np.uint32(8)
+                )
+            )
+            * two24
+        )
+
+    if dist == "normal":  # Box-Muller
+
+        def gen(shape):
+            u1 = jnp.maximum(uniform(shape), two24)
+            u2 = uniform(shape)
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            return r * jnp.cos((2.0 * np.pi) * u2)
+
+    elif dist == "irwin4":
+        sqrt3 = np.float32(np.sqrt(3.0))
+
+        def gen(shape):
+            s = uniform(shape)
+            for _ in range(3):
+                s = s + uniform(shape)
+            return (s - 2.0) * sqrt3
+
+    elif dist == "rademacher":
+
+        def gen(shape):
+            bits = pltpu.prng_random_bits(shape)
+            sign = _to_f32(
+                jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.uint32), np.uint32(31)
+                )
+            )
+            return 1.0 - 2.0 * sign
+
+    else:
+        raise PallasUnsupportedError(
+            f"No in-kernel generator for increment law {dist!r}"
+        )
+
+    return gen
+
+
+def make_fused_sde_kernel_noise_window_2d(
+    grid: CartesianGrid, make_step, halo_per_step: int, *,
+    dist: str, scale: float, dtype=np.float32, k: int | None = None,
+) -> tuple[Callable, int]:
+    """Temporal-blocking Euler-Maruyama window with IN-KERNEL noise.
+
+    Unlike :func:`make_fused_sde_stencil_window_2d` (increments staged
+    through HBM), each step's increments are drawn from the TPU hardware
+    PRNG inside the kernel and never touch HBM.  Cross-band consistency:
+    halo rows recompute the neighbor band's updates, so every band that
+    touches global row ``r`` at step ``s`` must add the same increment —
+    the PRNG is therefore re-seeded per (seed, global step, 8-row global
+    granule) and drawn in (8, n_cols) granule blocks, making the stream a
+    pure function of the global row index (independent of the band size
+    picked).  The stream does NOT match the XLA path's threefry stream
+    (weak-scheme statistics only); no interpret-mode lowering exists for
+    ``pltpu.prng_seed``/``prng_random_bits``, so this variant is
+    hardware-only.  Returned ``window_k(data, ctl) -> data`` takes
+    ``ctl`` = int32 ``(seed_a, seed_b, global_step_base)``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+        raise PallasUnsupportedError("2D Cartesian grid required")
+    n_rows, n_cols = grid.shape
+    itemsize = np.dtype(dtype).itemsize
+    if k is None:
+        k = max(1, _HALO // halo_per_step)
+    if not _supports_fused_shape_2d(grid, dtype, k * halo_per_step):
+        raise PallasUnsupportedError(
+            "Fused SDE window requires a 2D Cartesian grid with aligned "
+            "shape and float32/bfloat16 data on a TPU backend"
+        )
+    # the (band + 2*halo, n_cols) noise plane replaces the external path's
+    # (k, ...) block: model it as one extra live work-region temporary
+    band = _pick_band(
+        n_rows, n_cols + -(-n_cols // 3), itemsize, k * halo_per_step
+    )
+    helpers = _make_stencil_helpers(grid, pl, pltpu, band, n_rows // band)
+    step = make_step(helpers)
+    gen = _make_kernel_noise_gen(pltpu, dist)
+    halo_total = k * halo_per_step
+    halo = -(-halo_total // _HALO) * _HALO
+    scale = np.dtype(dtype).type(scale)
+    n_ext = band + 2 * halo
+    assert n_ext % _HALO == 0
+
+    def kernel(ctl_ref, f_hbm, out_ref, band_ref, halo_top, halo_bot,
+               noise_ref, sem):
+        i = pl.program_id(0)
+        row0 = i * band
+        top_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(n_rows - halo), np.int32(n_rows)), 8
+        )
+        bot_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(band), np.int32(n_rows)), 8
+        )
+        copies = []
+        for src_ref, dst in (
+            (f_hbm.at[pl.ds(pl.multiple_of(row0, 8), band), :], band_ref),
+            (f_hbm.at[pl.ds(top_row, halo), :], halo_top),
+            (f_hbm.at[pl.ds(bot_row, halo), :], halo_bot),
+        ):
+            cp = pltpu.make_async_copy(src_ref, dst, sem.at[len(copies)])
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        work = jnp.concatenate(
+            [halo_top[halo - halo_total :, :], band_ref[:, :],
+             halo_bot[:halo_total, :]],
+            axis=0,
+        )
+        for s in range(k):
+            # draw this step's increments for the full extended row range
+            # into VMEM, one 8-row global granule at a time (fori_loop keeps
+            # the Mosaic program small — irwin4 draws 4 PRNG blocks/granule)
+            def gen_body(j, _, _s=s):
+                row_g = jax.lax.rem(
+                    row0 + np.int32(n_rows - halo) + 8 * j, np.int32(n_rows)
+                )
+                # Mosaic accepts at most 2 seed words: fold the global step
+                # and granule in via odd-multiplier Weyl mixing (bijective
+                # mod 2^32, so distinct (step, granule) pairs give distinct
+                # word pairs; the PRNG decorrelates nearby seeds)
+                step_mixed = ctl_ref[0] + (
+                    ctl_ref[2] + np.int32(_s)
+                ) * np.int32(-1640531527)  # 0x9E3779B9
+                gran_mixed = ctl_ref[1] + (row_g // 8) * np.int32(
+                    -2048144789  # 0x85EBCA6B
+                )
+                pltpu.prng_seed(step_mixed, gran_mixed)
+                noise_ref[pl.ds(pl.multiple_of(8 * j, 8), 8), :] = (
+                    gen((8, n_cols)) * scale
+                ).astype(dtype)
+                return 0
+
+            jax.lax.fori_loop(0, n_ext // 8, gen_body, 0)
+            work = step(work)
+            margin = halo_total - (s + 1) * halo_per_step
+            work = work + noise_ref[halo - margin : halo + band + margin, :]
+        out_ref[:, :] = work
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
+        grid=(n_rows // band,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band, n_cols), dtype),
+            pltpu.VMEM((halo, n_cols), dtype),
+            pltpu.VMEM((halo, n_cols), dtype),
+            pltpu.VMEM((n_ext, n_cols), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+
+    def window_k(data, ctl):
+        return call(
+            jnp.asarray(ctl, jnp.int32), jnp.asarray(data, dtype=dtype)
+        )
+
+    return window_k, k
+
+
 def make_fused_sde_stencil_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
     k: int | None = None, interpret: bool = False,
@@ -2133,7 +2351,7 @@ def make_fused_sde_stencil_window_2d(
 
 def make_chunked_sde_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, noise_fn, *,
-    dtype=np.float32, interpret: bool = False,
+    dtype=np.float32, interpret: bool = False, kernel_noise=None,
 ) -> Callable:
     """Return ``window(data, key, steps)`` for Euler-Maruyama stepping.
 
@@ -2141,7 +2359,54 @@ def make_chunked_sde_window_2d(
     pre-scaled increments for the given global step indices using the SAME
     per-index key folding as the unfused stepper, so fused and unfused runs
     follow identical trajectories.
+
+    ``kernel_noise={"dist": ..., "scale": ...}`` switches to the hardware
+    in-kernel PRNG variant instead (see
+    :func:`make_fused_sde_kernel_noise_window_2d`): ``noise_fn`` is unused,
+    the stream is derived from ``key`` via two raw bit words, and
+    trajectories match the XLA path only in distribution.
     """
+    if kernel_noise is not None:
+        if interpret:
+            raise PallasUnsupportedError(
+                "In-kernel SDE noise has no interpret-mode lowering"
+            )
+
+        def build_kn(kk):
+            step_kk, _ = make_fused_sde_kernel_noise_window_2d(
+                grid, make_step, halo_per_step, dtype=dtype, k=kk,
+                dist=kernel_noise["dist"], scale=kernel_noise["scale"],
+            )
+            return step_kk
+
+        _, k = make_fused_sde_kernel_noise_window_2d(
+            grid, make_step, halo_per_step, dtype=dtype,
+            dist=kernel_noise["dist"], scale=kernel_noise["scale"],
+        )
+        kernels = _binary_kernel_ladder(build_kn, k)
+
+        def window_kn(data, key, steps):
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(key, (2,), jnp.uint32), jnp.int32
+            )
+            index = jnp.asarray(0, jnp.int32)
+            remaining = steps
+            for kk, step_fn in kernels:
+                chunks = remaining // kk
+
+                def body(c, carry, _kk=kk, _step=step_fn):
+                    d, idx = carry
+                    ctl = jnp.concatenate([seed, idx[None]])
+                    return (_step(d, ctl), idx + _kk)
+
+                data, index = jax.lax.fori_loop(
+                    0, chunks, body, (data, index)
+                )
+                remaining = remaining - chunks * kk
+            return data
+
+        return window_kn
+
     _, k = make_fused_sde_stencil_window_2d(
         grid, make_step, halo_per_step, dtype=dtype, interpret=interpret
     )
@@ -2292,6 +2557,7 @@ def make_fused_euler_window_2d(
     CylindricalSymGrid (the ``(1/r) d/dr`` term lowers as per-row in-kernel
     coefficients; the r axis always requires physical BCs).
     """
+    _require_default_laplace_stencil()
     from ..grids.cylindrical import CylindricalSymGrid
 
     is_cyl = isinstance(grid, CylindricalSymGrid)
@@ -2469,6 +2735,7 @@ def make_affine_laplace_ext_3d(
     rewrites the ghost plane/row/lane each step instead of trusting the
     (garbage) halo.
     """
+    _require_default_laplace_stencil()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -2738,6 +3005,7 @@ def make_affine_laplace_ext_2d(
     ``row_offset + local row``, where the caller supplies ``row_offset =
     shard_index * local_rows`` via the flags array.
     """
+    _require_default_laplace_stencil()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -119,8 +119,16 @@ class SolverBase:
 
     def _init_key(self):
         if self._key is None:
+            from ..utils.config import config
+
             seed = int(self.pde.rng.integers(0, 2**31 - 1)) if self.pde else 0
-            self._key = jax.random.key(seed)
+            # 'rbg'/'unsafe_rbg' route bit generation through the XLA
+            # RngBitGenerator (the TPU's hardware PRNG) — SDE stepping is
+            # noise-generation-bound (docs/BENCHMARKS.md), and threefry is
+            # the dominant cost; key split/fold_in semantics are preserved
+            impl = str(config["sde.rng_impl"])
+            self._key = jax.random.key(seed, impl=impl)
+            self.info["rng_impl"] = impl
 
     @staticmethod
     def _make_dtype_cast(state: FieldBase):

@@ -181,6 +181,35 @@ DEFAULT_CONFIG = [
         "(1/2: Oono-Puri, 1/3: Patra-Karttunen)",
     ),
     Parameter(
+        "sde.rng_impl",
+        "threefry2x32",
+        str,
+        "PRNG key implementation for SDE noise: 'threefry2x32' (default; "
+        "reproducible across backends), 'rbg' or 'unsafe_rbg' (XLA "
+        "RngBitGenerator — much faster bit generation on TPU, streams may "
+        "differ between backends/compiler versions)",
+    ),
+    Parameter(
+        "sde.increment_dist",
+        "normal",
+        str,
+        "Distribution of Euler-Maruyama noise increments: 'normal' (default; "
+        "required for strong/pathwise convergence), 'irwin4' (sum of 4 "
+        "uniforms, exact first three moments — weak order 1 preserved, "
+        "~2x cheaper generation on TPU), 'rademacher' (two-point law, the "
+        "minimal weak-order-1 increment)",
+    ),
+    Parameter(
+        "sde.kernel_noise",
+        "auto",
+        str,
+        "Where fused SDE windows generate increments: 'auto' (default; "
+        "in-kernel TPU hardware PRNG when increment_dist is a cheap weak "
+        "law, XLA threefry staging otherwise), 'on' (always in-kernel — "
+        "stream not bit-reproducible vs the XLA path), 'off' (always "
+        "staged through HBM with the XLA stream)",
+    ),
+    Parameter(
         "numba.multithreading_threshold",  # accepted for API compat; unused on TPU
         256**2,
         int,

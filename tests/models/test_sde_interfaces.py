@@ -122,3 +122,120 @@ def test_callable_expression_bc():
     )
     full2 = np.asarray(field.get_full_data(bcs2))
     assert full2[-1] == pytest.approx(4.0)
+
+
+class TestIncrementDraw:
+    """`sde.increment_dist` selects the Euler-Maruyama increment law
+    (weak order 1 needs only the Gaussian's first three moments)."""
+
+    @pytest.mark.parametrize("dist", ["normal", "irwin4", "rademacher"])
+    def test_moments(self, dist):
+        from pde_tpu.models.base import make_increment_draw
+
+        with pde.config({"sde.increment_dist": dist}):
+            draw = make_increment_draw()
+        x = np.asarray(draw(jax.random.key(0), (200, 500), jnp.float32))
+        assert x.dtype == np.float32
+        assert abs(x.mean()) < 0.02
+        assert abs(x.var() - 1.0) < 0.02
+        # third moment matches the Gaussian's (all three laws are symmetric)
+        assert abs((x**3).mean()) < 0.05
+
+    @pytest.mark.parametrize("dist", ["irwin4", "rademacher"])
+    def test_complex_dtype(self, dist):
+        from pde_tpu.models.base import make_increment_draw
+
+        with pde.config({"sde.increment_dist": dist}):
+            draw = make_increment_draw()
+        z = np.asarray(draw(jax.random.key(1), (100, 100), jnp.complex64))
+        assert z.dtype == np.complex64
+        # jax convention: complex normal has total variance 1
+        assert abs(np.var(z) - 1.0) < 0.03
+        assert abs(np.var(z.real) - 0.5) < 0.03
+
+    def test_unknown_dist(self):
+        from pde_tpu.models.base import make_increment_draw
+
+        with pde.config({"sde.increment_dist": "cauchy"}):
+            with pytest.raises(ValueError, match="cauchy"):
+                make_increment_draw()
+
+    @pytest.mark.parametrize("dist", ["irwin4", "rademacher"])
+    def test_solve_statistics_match_normal(self, dist, rng):
+        """Additive-noise diffusion: same variance growth under any law."""
+        grid = pde.UnitGrid([32, 32], periodic=True)
+        state = pde.ScalarField(grid, 0.0)
+        eq = pde.DiffusionPDE(diffusivity=0.1, noise=1.0, rng=rng)
+        ref = eq.solve(state, t_range=0.5, dt=1e-3, tracker=None)
+        with pde.config({"sde.increment_dist": dist}):
+            res = eq.solve(state, t_range=0.5, dt=1e-3, tracker=None)
+        assert abs(
+            float(res.fluctuations) / float(ref.fluctuations) - 1.0
+        ) < 0.15
+
+
+class TestKernelNoiseSpec:
+    """Gating of the in-kernel hardware-PRNG noise path."""
+
+    def _spec(self, **cfg):
+        grid = pde.UnitGrid([256, 256], periodic=True)
+        eq = pde.PDE({"c": "laplace(c)"}, noise=0.5)
+        with pde.config(cfg):
+            return eq._sde_kernel_noise_spec(grid, 1e-4, False), grid
+
+    def test_auto_normal_stays_external(self):
+        spec, _ = self._spec()
+        assert spec is None  # auto + normal -> bit-reproducible XLA stream
+
+    def test_auto_cheap_law_activates(self):
+        spec, grid = self._spec(**{"sde.increment_dist": "irwin4"})
+        assert spec == {
+            "dist": "irwin4",
+            "scale": float(
+                np.sqrt(1e-4 * 0.5 / np.prod(grid.discretization))
+            ),
+        }
+
+    def test_on_activates_box_muller(self):
+        spec, _ = self._spec(**{"sde.kernel_noise": "on"})
+        assert spec is not None and spec["dist"] == "normal"
+
+    def test_off_forces_external(self):
+        spec, _ = self._spec(**{
+            "sde.kernel_noise": "off", "sde.increment_dist": "irwin4",
+        })
+        assert spec is None
+
+    def test_interpret_forces_external(self):
+        grid = pde.UnitGrid([256, 256], periodic=True)
+        eq = pde.PDE({"c": "laplace(c)"}, noise=0.5)
+        with pde.config({"sde.increment_dist": "irwin4"}):
+            assert eq._sde_kernel_noise_spec(grid, 1e-4, True) is None
+
+    def test_fused_sde_interpret_matches_unfused_any_dist(
+        self, rng, monkeypatch
+    ):
+        """Interpret mode stages increments externally with the unfused
+        stepper's key folding — trajectories stay bit-comparable under ANY
+        increment law (the law applies to both streams)."""
+        monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+        from pde_tpu.solvers.euler import EulerSolver
+
+        grid = pde.UnitGrid([16, 16], periodic=True)
+        state = pde.ScalarField(grid, 0.0)
+        with pde.config({"sde.increment_dist": "irwin4"}):
+            eq = pde.DiffusionPDE(
+                diffusivity=0.1, noise=1.0, rng=np.random.default_rng(3)
+            )
+            solver = EulerSolver(eq)
+            solver._key = jax.random.key(42)
+            out, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.05)
+            assert solver.info.get("fused_step") is True
+
+            monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+            solver2 = EulerSolver(eq)
+            solver2._key = jax.random.key(42)
+            ref, _ = solver2.make_stepper(state, dt=1e-3)(state, 0.0, 0.05)
+        np.testing.assert_allclose(
+            np.asarray(out.data), np.asarray(ref.data), rtol=1e-6, atol=1e-9
+        )

@@ -790,3 +790,33 @@ def test_fused_window_unsupported_bc_values_fall_back(rng, monkeypatch):
         out, _ = stepper(state, 0.0, 0.01)
         assert solver.info.get("fused_step") is None
         assert np.all(np.isfinite(np.asarray(out.data)))
+
+
+def test_fused_window_corner_weight_falls_back(rng, monkeypatch):
+    """The 9-point corner-weight stencil is not lowered: fused paths must
+    refuse so the XLA lowering (which honors the config) integrates it —
+    previously the kernel silently ran the 5-point stencil."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE()
+    solver = EulerSolver(eq)
+    stepper = solver.make_stepper(state, dt=1e-2)
+    five_pt, _ = stepper(state, 0.0, 0.1)
+    assert solver.info.get("fused_step") is True
+
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):
+        solver9 = EulerSolver(eq)
+        stepper9 = solver9.make_stepper(state, dt=1e-2)
+        nine_pt, _ = stepper9(state, 0.0, 0.1)
+        assert solver9.info.get("fused_step") is None  # fell back
+    assert not np.allclose(np.asarray(five_pt.data), np.asarray(nine_pt.data))
+
+    # gradient-only rhs trees are unaffected by the laplace config
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):
+        eq_g = pde.PDE({"c": "gradient_squared(c)"})
+        solver_g = EulerSolver(eq_g)
+        solver_g.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
+        assert solver_g.info.get("fused_step") is True

@@ -174,3 +174,28 @@ def test_adjust_dt_boundaries():
     # non-finite errors (NaN/inf state) shrink dt by 4x
     assert float(adjust_dt(1.0, np.nan)) == pytest.approx(0.25)
     assert float(adjust_dt(1.0, np.inf)) == pytest.approx(0.25)
+
+
+@pytest.mark.parametrize("impl", ["rbg", "unsafe_rbg"])
+def test_stochastic_rng_impl_config(impl, rng):
+    """`sde.rng_impl` routes SDE noise through the XLA RngBitGenerator
+    (hardware PRNG on TPU) — statistics must match the threefry default."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField(grid, 0.0)
+    eq = pde.DiffusionPDE(diffusivity=0.1, noise=0.5, rng=rng)
+    with pde.config({"sde.rng_impl": impl}):
+        from pde_tpu.solvers.euler import EulerSolver
+
+        solver = pde.solvers.Controller(
+            EulerSolver(eq), t_range=1, tracker=None
+        )
+        res = solver.run(state, dt=0.01)
+        assert solver.solver.info["rng_impl"] == impl
+    assert 0.1 < float(res.fluctuations) < 10
+    # default stays reproducible threefry
+    eq2 = pde.DiffusionPDE(noise=1.0, rng=np.random.default_rng(7))
+    solver2 = pde.solvers.Controller(
+        pde.solvers.EulerSolver(eq2), t_range=0.05, tracker=None
+    )
+    solver2.run(state, dt=0.01)
+    assert solver2.solver.info["rng_impl"] == "threefry2x32"

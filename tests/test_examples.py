@@ -25,7 +25,13 @@ def test_example(path, monkeypatch):
     import matplotlib.pyplot as plt
 
     monkeypatch.setattr(plt, "show", lambda *a, **k: None)
+    # examples run in-process: restore any os.environ mutations they make
+    # (e.g. backend_selection.py sets PDE_TPU_PALLAS_INTERPRET for its demo),
+    # which would otherwise flip later tests onto different code paths
+    env_snapshot = dict(os.environ)
     try:
         runpy.run_path(str(path), run_name="__main__")
     finally:
         plt.close("all")
+        os.environ.clear()
+        os.environ.update(env_snapshot)

@@ -7,6 +7,7 @@ fixups); every fused-path feature must also compile and match XLA on the
 chip. CPU CI skips these via the conftest marker hook.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -235,3 +236,40 @@ def test_bf16_mxu_lane_path(rng, monkeypatch):
         np.asarray(res32.data),
         rtol=0.3, atol=0.05,
     )
+
+
+def test_sde_kernel_noise_window(rng, monkeypatch):
+    """In-kernel hardware-PRNG SDE window: deterministic per key, correct
+    variance statistics vs the XLA path, and faster-path engagement."""
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.UnitGrid([512, 512], periodic=True)
+    state = pde.ScalarField(grid, np.zeros((512, 512), np.float32))
+    with pde.config({"sde.increment_dist": "irwin4"}):
+        eq = pde.DiffusionPDE(
+            diffusivity=0.1, noise=1.0, rng=np.random.default_rng(5)
+        )
+        # determinism: the stream is a pure function of (key, step, row)
+        solver = EulerSolver(eq)
+        solver._key = jax.random.key(7)
+        out1, _ = solver.make_stepper(state, dt=1e-4)(state, 0.0, 0.1)
+        assert solver.info.get("fused_step") is True
+        solver2 = EulerSolver(eq)
+        solver2._key = jax.random.key(7)
+        out2, _ = solver2.make_stepper(state, dt=1e-4)(state, 0.0, 0.1)
+        np.testing.assert_array_equal(
+            np.asarray(out1.data), np.asarray(out2.data)
+        )
+    # statistics match the XLA Gaussian path (weak order 1: additive-noise
+    # diffusion variance is distribution-independent)
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    eqr = pde.DiffusionPDE(
+        diffusivity=0.1, noise=1.0, rng=np.random.default_rng(6)
+    )
+    ref = eqr.solve(state, t_range=0.1, dt=1e-4, tracker=None)
+    assert abs(
+        float(np.var(np.asarray(out1.data)))
+        / float(np.var(np.asarray(ref.data))) - 1.0
+    ) < 0.05

@@ -1047,7 +1047,7 @@ class PDE(SDEBase):
             ax for ax, kind in enumerate(axis_kinds) if kind == "periodic"
         ]
         half_axis = periodic_axes[-1] if periodic_axes else None
-        lam = None
+        lam_axes = []
         for ax, (n, dx, kind) in enumerate(
             zip(grid.shape, grid.discretization, axis_kinds, strict=True)
         ):
@@ -1061,8 +1061,41 @@ class PDE(SDEBase):
                 lam_ax = dirichlet_laplace_eigenvalues_1d(n, float(dx))
             shape = [1] * grid.num_axes
             shape[ax] = len(lam_ax)
-            lam_ax = lam_ax.reshape(shape)
-            lam = lam_ax if lam is None else lam + lam_ax
+            lam_axes.append(lam_ax.reshape(shape))
+
+        # honor the configured 9-point corner-weight Laplacian: the stencil
+        # is A⊗I + I⊗B + c·A⊗B over the per-axis second differences, so its
+        # exact eigenvalues are a·λx + b·λy + c·λx·λy in the same tensor
+        # basis; silently using the 5-point chain would make ETDRK4 integrate
+        # a different semi-discretization than every other solver
+        from ..utils.config import config
+
+        corner_weight = 0.0
+        if grid.num_axes == 2:
+            corner_weight = float(
+                config["operators.cartesian.laplacian_2d_corner_weight"]
+            )
+        uses_laplace = any(sym.has(q) for row in lin_matrix for sym in row)
+        if corner_weight != 0.0 and uses_laplace:
+            if any(kind != "periodic" for kind in axis_kinds):
+                raise NotImplementedError(
+                    "The spectral split supports the corner-weight Laplacian "
+                    "(laplacian_2d_corner_weight != 0) only on fully periodic "
+                    "grids — the corner-ghost extrapolation on physical "
+                    "boundaries is not an exact tensor-product operator"
+                )
+            w = corner_weight
+            sx, sy = (float(d) ** -2 for d in grid.discretization)
+            dm2 = sx + sy
+            lam = (
+                ((1 - w) + dm2 * w / (2 * sx)) * lam_axes[0]
+                + ((1 - w) + dm2 * w / (2 * sy)) * lam_axes[1]
+                + dm2 * w / (4 * sx * sy) * lam_axes[0] * lam_axes[1]
+            )
+        else:
+            lam = lam_axes[0]
+            for lam_ax in lam_axes[1:]:
+                lam = lam + lam_ax
 
         def eval_symbol(sym):
             if sym == 0:

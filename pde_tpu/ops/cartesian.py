@@ -54,9 +54,15 @@ def _set_corner_points_2d(grid: CartesianGrid):
             full = full.at[0, -1].set(full[-2, -1])
             full = full.at[-1, -1].set(full[1, -1])
         elif periodic_y:
+            # NOTE: diverges from the reference on purpose — its periodic_y
+            # branch wraps two corners the wrong way (`arr[-1, 0] = arr[-1, 1]`
+            # / `arr[0, -1] = arr[0, -2]`, `numba/operators/cartesian.py:64`),
+            # breaking the x/y transpose symmetry of the 9-point stencil.
+            # Ghost column 0 wraps to the last interior column (-2) and ghost
+            # column -1 wraps to the first interior column (1) for ALL rows.
             full = full.at[0, 0].set(full[0, -2])
-            full = full.at[-1, 0].set(full[-1, 1])
-            full = full.at[0, -1].set(full[0, -2])
+            full = full.at[-1, 0].set(full[-1, -2])
+            full = full.at[0, -1].set(full[0, 1])
             full = full.at[-1, -1].set(full[-1, 1])
         else:
             full = full.at[0, 0].set(0.5 * (full[0, 1] + full[1, 0]))

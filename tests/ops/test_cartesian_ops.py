@@ -106,6 +106,28 @@ def test_laplace_corner_weight():
     )
 
 
+def test_laplace_corner_weight_transpose_symmetry():
+    """9-pt corner ghosts must wrap identically for x- and y-periodic grids.
+
+    Regression test: the reference's corner setter wraps two corners the
+    wrong way in its periodic_y branch (`numba/operators/cartesian.py:64`),
+    breaking the transpose symmetry; pde_tpu fixes this on purpose.
+    """
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(6, 6))
+    grid_x = pde.CartesianGrid([[0, 6], [0, 6]], (6, 6), periodic=[True, False])
+    grid_y = pde.CartesianGrid([[0, 6], [0, 6]], (6, 6), periodic=[False, True])
+    lap_x = pde.ScalarField(grid_x, data).laplace(
+        "auto_periodic_neumann", corner_weight=0.5
+    )
+    lap_y = pde.ScalarField(grid_y, data.T.copy()).laplace(
+        "auto_periodic_neumann", corner_weight=0.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(lap_x.data), np.asarray(lap_y.data).T, atol=1e-12
+    )
+
+
 def test_operators_neumann_dirichlet_consistency():
     # laplace of a linear profile with matching BCs vanishes
     grid = pde.CartesianGrid([(0, 1)], 32)

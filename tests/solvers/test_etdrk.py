@@ -29,6 +29,46 @@ def test_linear_diffusion_exact():
     np.testing.assert_allclose(np.asarray(res.data), exact, atol=1e-12)
 
 
+def test_corner_weight_diffusion_exact():
+    """ETDRK4 honors the configured 9-point corner-weight Laplacian.
+
+    The 9-pt stencil is A⊗I + I⊗B + c·A⊗B over the per-axis second
+    differences, so each Fourier mode decays with the exact eigenvalue
+    a·λx + b·λy + c·λx·λy; the formula is cross-checked against the
+    real-space stencil before the decay assertion.
+    """
+    grid = pde.CartesianGrid([(0, 2 * np.pi)] * 2, (32, 32), periodic=True)
+    field = pde.ScalarField.from_expression(grid, "sin(x) * cos(2*y)")
+    eq = pde.PDE({"u": "0.3 * laplace(u)"})
+    w = 0.5
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": w}):
+        res = eq.solve(field, t_range=1.0, dt=0.5, solver="etdrk4", tracker=None)
+        lap = field.laplace("periodic")
+    dx = 2 * np.pi / 32
+    lx = -(4 / dx**2) * np.sin(1 * dx / 2) ** 2
+    ly = -(4 / dx**2) * np.sin(2 * dx / 2) ** 2
+    s = dx**-2
+    a = (1 - w) + 2 * s * w / (2 * s)  # isotropic grid: a = b = 1
+    c = 2 * s * w / (4 * s * s)
+    lam9 = a * lx + a * ly + c * lx * ly
+    np.testing.assert_allclose(
+        np.asarray(lap.data), lam9 * np.asarray(field.data), atol=1e-10
+    )
+    exact = np.asarray(field.data) * np.exp(0.3 * lam9 * 1.0)
+    np.testing.assert_allclose(np.asarray(res.data), exact, atol=1e-12)
+
+
+def test_corner_weight_nonperiodic_raises(rng):
+    """Corner-ghost extrapolation on physical boundaries is not an exact
+    tensor-product operator -> clean NotImplementedError, no silent 5-pt."""
+    grid = pde.UnitGrid([16, 16])
+    field = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+    eq = pde.PDE({"u": "laplace(u)"})
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 0.5}):
+        with pytest.raises(NotImplementedError, match="corner-weight"):
+            eq.solve(field, t_range=0.1, dt=0.05, solver="etdrk4", tracker=None)
+
+
 def test_cahn_hilliard_matches_euler(rng):
     """Same FD semi-discretization as the explicit solvers: the trajectory
     matches a fine-dt Euler reference at 100x the step size."""

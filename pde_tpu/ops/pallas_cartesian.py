@@ -2980,7 +2980,7 @@ def _pick_band_ext(n_rows: int, n_cols_ext: int, itemsize: int, halo: int) -> in
 def make_affine_laplace_ext_2d(
     local_shape, *, a: float = 0.0, b: float = 1.0, k: int = 1,
     discretization, ext_cols: bool = True, dtype=np.float32,
-    bc_params=None, interpret: bool = False, radial=None,
+    bc_params=None, bc_specs=None, interpret: bool = False, radial=None,
 ) -> Callable:
     """Return ``(ext, edge_flags) -> (a*I + b*lap)^k`` on a halo-extended block.
 
@@ -2999,6 +2999,19 @@ def make_affine_laplace_ext_2d(
     ghost row/column each step instead of trusting the (garbage) halo — the
     decomposed analogue of the single-device BC fixups. A ``(4,)`` array is
     accepted too (row_offset 0).
+
+    ``bc_specs`` generalizes ``bc_params`` to :class:`_BCSideSpec` pairs
+    (the output of :func:`affine_bc_specs`): inhomogeneous per-boundary-point
+    const arrays and time-dependent expression values lower as runtime side
+    inputs, mirroring :func:`make_affine_laplace_2d`. For array-valued slots
+    the spec's values are ignored — the caller supplies LOCAL slices at call
+    time (sharded callers slice host-precomputed GLOBAL arrays by
+    ``lax.axis_index``, per the bit-identity rule). The returned callable
+    then has signature ``step(ext, edge_flags, *arrays)`` with one extra
+    operand per entry of ``step.array_slots`` (slot order 0=row_lo, 1=row_hi,
+    2=col_lo, 3=col_hi; row-side arrays shaped ``(1, cols_ext)``, column-side
+    arrays ``(n + 2*halo,)``), plus a trailing ``(k, 4)`` t-table when
+    ``step.has_t``.
 
     ``radial=(r_lo, dr_r)`` adds the cylindrical ``(1/r) d/dr`` row term as
     in :func:`make_affine_laplace_2d`; the GLOBAL row index is
@@ -3025,19 +3038,95 @@ def make_affine_laplace_ext_2d(
     n_programs = n_rows // band
     sx, sy = (1.0 / np.asarray(discretization) ** 2).tolist()
     isotropic = sx == sy
-    bc_rows = None if bc_params is None else bc_params[0]
-    bc_cols = None if bc_params is None else bc_params[1]
+    if bc_specs is None and bc_params is not None:
+        bc_specs = tuple(
+            None
+            if axis is None
+            else tuple(_BCSideSpec(f1, f2, c) for (c, f1, f2) in axis)
+            for axis in bc_params
+        )
+    bc_rows = None if bc_specs is None else bc_specs[0]
+    bc_cols = None if bc_specs is None else bc_specs[1]
 
-    def kernel(flags_ref, f_hbm, out_ref, work_ref, sem):
+    # runtime side inputs for inhomogeneous / time-dependent consts
+    # (slots: 0 = row low, 1 = row high, 2 = col low, 3 = col high)
+    array_slots: list[int] = []
+    t_slots: list = [None, None, None, None]
+    for slot, spec in enumerate(
+        (list(bc_rows) if bc_rows else [None, None])
+        + (list(bc_cols) if bc_cols else [None, None])
+    ):
+        if spec is None:
+            continue
+        if np.ndim(spec.const_static) != 0:
+            array_slots.append(slot)
+        if spec.const_t is not None:
+            t_slots[slot] = spec.const_t
+    has_t = any(f is not None for f in t_slots)
+    row_slots = [s for s in array_slots if s < 2]
+    col_slots = [s for s in array_slots if s >= 2]
+    n_row_in = len(row_slots)
+    n_col_in = len(col_slots)
+    row_slot_pos = {s: j for j, s in enumerate(row_slots)}
+    col_slot_pos = {s: j for j, s in enumerate(col_slots)}
+
+    def kernel(*refs):
+        flags_ref = refs[0]
+        pos = 1
+        if has_t:
+            t_tab = refs[pos]
+            pos += 1
+        row_refs = refs[pos : pos + n_row_in]
+        pos += n_row_in
+        col_hbm = refs[pos : pos + n_col_in]
+        pos += n_col_in
+        f_hbm = refs[pos]
+        out_ref = refs[pos + 1]
+        work_ref = refs[pos + 2]
+        col_vmem = refs[pos + 3 : pos + 3 + n_col_in]
+        sem = refs[pos + 3 + n_col_in]
+
         i = pl.program_id(0)
         row0 = i * band  # input rows [row0, row0 + band + 2*halo)
         cp = pltpu.make_async_copy(
             f_hbm.at[pl.ds(pl.multiple_of(row0, band), band + 2 * halo), :],
             work_ref,
-            sem,
+            sem.at[0] if n_col_in else sem,
         )
         cp.start()
-        cp.wait()
+        copies = [cp]
+        for j in range(n_col_in):
+            # column-BC value-vector rows matching this program's block
+            ccp = pltpu.make_async_copy(
+                col_hbm[j].at[
+                    pl.ds(pl.multiple_of(row0, band), band + 2 * halo), :
+                ],
+                col_vmem[j],
+                sem.at[1 + j],
+            )
+            ccp.start()
+            copies.append(ccp)
+        for ccp in copies:
+            ccp.wait()
+
+        def const_for(slot, s, col_rows=None):
+            """Additive ghost const for `slot` at step `s` (scalar or array)."""
+            spec = (bc_rows if slot < 2 else bc_cols)[slot % 2]
+            if np.ndim(spec.const_static) == 0:
+                c = spec.const_static
+            elif slot < 2:
+                # row-side array: columns matching the current work width
+                if ext_cols:
+                    c = row_refs[row_slot_pos[slot]][
+                        0:1, halo - k + s : halo + k + n_cols - s
+                    ]
+                else:
+                    c = row_refs[row_slot_pos[slot]][0:1, :n_cols]
+            else:
+                c = col_vmem[col_slot_pos[slot]][col_rows][:, 0:1]
+            if t_slots[slot] is not None:
+                c = c + t_tab[s, slot]
+            return c
 
         if radial is not None:
             # per-row cylindrical coefficients over the work-region rows
@@ -3067,16 +3156,16 @@ def make_affine_laplace_ext_2d(
         def fix_rows(work, s):
             if bc_rows is None:
                 return work
-            (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_rows
+            lo, hi = bc_rows
             e_lo = k - s  # first globally valid row on the low-edge shard
-            ghost_lo = c_lo + f1_lo * work[e_lo : e_lo + 1, :]
-            if f2_lo:
-                ghost_lo = ghost_lo + f2_lo * work[e_lo + 1 : e_lo + 2, :]
+            ghost_lo = const_for(0, s) + lo.f1 * work[e_lo : e_lo + 1, :]
+            if lo.f2:
+                ghost_lo = ghost_lo + lo.f2 * work[e_lo + 1 : e_lo + 2, :]
             h = work.shape[0]
             e_hi = h - 1 - (k - s)
-            ghost_hi = c_hi + f1_hi * work[e_hi : e_hi + 1, :]
-            if f2_hi:
-                ghost_hi = ghost_hi + f2_hi * work[e_hi - 1 : e_hi, :]
+            ghost_hi = const_for(1, s) + hi.f1 * work[e_hi : e_hi + 1, :]
+            if hi.f2:
+                ghost_hi = ghost_hi + hi.f2 * work[e_hi - 1 : e_hi, :]
             rows = jax.lax.broadcasted_iota(jnp.int32, work.shape, 0)
             lo_edge = (flags_ref[0] != 0) & (i == 0)
             hi_edge = (flags_ref[1] != 0) & (i == n_programs - 1)
@@ -3091,16 +3180,22 @@ def make_affine_laplace_ext_2d(
             for s in range(k):
                 work = fix_rows(work, s)
                 if bc_cols is not None:
-                    (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
+                    lo, hi = bc_cols
+                    # work rows span block rows [halo-k+s, halo+k+band-s)
+                    col_rows = slice(halo - k + s, halo + k + band - s)
                     e_lo = k - s
-                    g_lo = c_lo + f1_lo * work[:, e_lo : e_lo + 1]
-                    if f2_lo:
-                        g_lo = g_lo + f2_lo * work[:, e_lo + 1 : e_lo + 2]
+                    g_lo = const_for(2, s, col_rows) + lo.f1 * work[
+                        :, e_lo : e_lo + 1
+                    ]
+                    if lo.f2:
+                        g_lo = g_lo + lo.f2 * work[:, e_lo + 1 : e_lo + 2]
                     w = work.shape[1]
                     e_hi = w - 1 - (k - s)
-                    g_hi = c_hi + f1_hi * work[:, e_hi : e_hi + 1]
-                    if f2_hi:
-                        g_hi = g_hi + f2_hi * work[:, e_hi - 1 : e_hi]
+                    g_hi = const_for(3, s, col_rows) + hi.f1 * work[
+                        :, e_hi : e_hi + 1
+                    ]
+                    if hi.f2:
+                        g_hi = g_hi + hi.f2 * work[:, e_hi - 1 : e_hi]
                     cols = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
                     work = jnp.where(
                         (cols == e_lo - 1) & (flags_ref[2] != 0), g_lo, work
@@ -3124,13 +3219,15 @@ def make_affine_laplace_ext_2d(
                 left = pltpu.roll(center, 1, 1)
                 right = pltpu.roll(center, n_cols - 1, 1)
                 if bc_cols is not None:
-                    (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
-                    g_lo = c_lo + f1_lo * center
-                    if f2_lo:
-                        g_lo = g_lo + f2_lo * right
-                    g_hi = c_hi + f1_hi * center
-                    if f2_hi:
-                        g_hi = g_hi + f2_hi * left
+                    lo, hi = bc_cols
+                    # center rows span block rows [halo-k+s+1, halo+k+band-s-1)
+                    col_rows = slice(halo - k + s + 1, halo + k + band - s - 1)
+                    g_lo = const_for(2, s, col_rows) + lo.f1 * center
+                    if lo.f2:
+                        g_lo = g_lo + lo.f2 * right
+                    g_hi = const_for(3, s, col_rows) + hi.f1 * center
+                    if hi.f2:
+                        g_hi = g_hi + hi.f2 * left
                     lanes_i = jax.lax.broadcasted_iota(
                         jnp.int32, center.shape, 1
                     )
@@ -3145,20 +3242,33 @@ def make_affine_laplace_ext_2d(
                 work = update(up, down, left, right, center, s)
         out_ref[:, :] = work
 
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+        + [
+            pl.BlockSpec(
+                (1, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        ] * n_row_in
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_col_in
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+    )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         grid=(n_rows // band,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((band + 2 * halo, lanes), dtype),
-            pltpu.SemaphoreType.DMA,
+        ]
+        + [pltpu.VMEM((band + 2 * halo, 128), dtype)] * n_col_in
+        + [
+            pltpu.SemaphoreType.DMA((1 + n_col_in,))
+            if n_col_in
+            else pltpu.SemaphoreType.DMA
         ],
         interpret=interpret,
     )
@@ -3166,7 +3276,10 @@ def make_affine_laplace_ext_2d(
     pad_lanes = lanes - cols_ext
     no_edges = jnp.zeros((5,), jnp.int32)
 
-    def affine_laplace_ext(ext, edge_flags=None):
+    def affine_laplace_ext(ext, edge_flags=None, *extra):
+        """``extra``: one LOCAL array per entry of ``array_slots`` (row-side
+        ``(1, cols_ext)``, column-side ``(n + 2*halo,)``), then the ``(k, 4)``
+        t-table when ``has_t``."""
         ext = jnp.asarray(ext, dtype=dtype)
         if pad_lanes:
             ext = jnp.pad(ext, ((0, 0), (0, pad_lanes)))
@@ -3176,6 +3289,29 @@ def make_affine_laplace_ext_2d(
             flags = jnp.asarray(edge_flags, jnp.int32)
             if flags.shape[0] == 4:  # no row offset supplied
                 flags = jnp.concatenate([flags, jnp.zeros((1,), jnp.int32)])
-        return call(flags, ext)
+        n_arr = len(array_slots)
+        arrays = list(extra[:n_arr])
+        t_args = []
+        if has_t:
+            t_args = [jnp.asarray(extra[n_arr], dtype=dtype)]
+        row_ops, col_ops = [], []
+        for slot, arr in zip(array_slots, arrays, strict=True):
+            arr = jnp.asarray(arr, dtype=dtype)
+            if slot < 2:
+                arr = arr.reshape(1, -1)
+                if arr.shape[1] < lanes:
+                    arr = jnp.pad(arr, ((0, 0), (0, lanes - arr.shape[1])))
+                row_ops.append(arr)
+            else:
+                # broadcast across one 128-lane tile: Mosaic rejects width-1
+                # memref slices, the kernel value-slices lane 0
+                col_ops.append(
+                    jnp.broadcast_to(arr.reshape(-1, 1), (arr.shape[0], 128))
+                )
+        return call(flags, *t_args, *row_ops, *col_ops, ext)
 
+    affine_laplace_ext.array_slots = tuple(array_slots)
+    affine_laplace_ext.has_t = has_t
+    affine_laplace_ext.t_slots = tuple(t_slots) if has_t else None
+    affine_laplace_ext.halo = halo
     return affine_laplace_ext

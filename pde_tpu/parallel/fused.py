@@ -96,8 +96,9 @@ def make_fused_euler_window_sharded(
     """
     from ..ops.pallas_cartesian import (
         PallasUnsupportedError,
+        _binary_kernel_ladder,
         _make_binary_chunked_window,
-        affine_bc_params,
+        affine_bc_specs,
         ext_halo_width,
         make_affine_laplace_ext_2d,
         supports_affine_laplace_ext,
@@ -125,13 +126,13 @@ def make_fused_euler_window_sharded(
         raise PallasUnsupportedError(
             "Sharded fused window requires a 2D Cartesian/cylindrical grid"
         )
-    bc_params = None
+    bc_specs = None
     if not all(grid.periodic):
         if bcs is None:
             raise PallasUnsupportedError(
                 "Non-periodic grids require explicit boundary conditions"
             )
-        bc_params = affine_bc_params(grid, bcs)
+        bc_specs = affine_bc_specs(grid, bcs)
     local_shape = tuple(mesh.subgrid.shape)
     # columns stay locally periodic (lane rolls) unless the column axis is
     # cut or carries physical BCs (which need the extended representation
@@ -168,17 +169,101 @@ def make_fused_euler_window_sharded(
         flags.append(row_off.astype(jnp.int32))
         return jnp.stack(flags)
 
+    local_rows, local_cols = local_shape
+
     def build(kk):
         step = make_affine_laplace_ext_2d(
             local_shape, a=1.0, b=dt * diffusivity, k=kk, discretization=disc,
-            ext_cols=ext_cols, dtype=dtype, bc_params=bc_params,
+            ext_cols=ext_cols, dtype=dtype, bc_specs=bc_specs,
             interpret=interpret, radial=radial,
         )
         h = ext_halo_width(kk, interpret=interpret)
         pad = make_halo_pad(mesh, (h, h if ext_cols else 0), periodic)
-        return lambda d: step(pad(d), edge_flags())
+        # host-precompute padded GLOBAL boundary-value arrays per array slot;
+        # the traced closure slices them by lax.axis_index (bit-identity rule:
+        # never bake shard-varying data from the template at factory time)
+        side_global = {}
+        for slot in step.array_slots:
+            spec = (bc_specs[0] if slot < 2 else bc_specs[1])[slot % 2]
+            arr = np.asarray(spec.const_static, dtype=float).reshape(-1)
+            if slot < 2 and not ext_cols:
+                side_global[slot] = arr  # column axis not cut: whole row
+            else:
+                # wrap-pad by the halo width; at non-periodic global edges
+                # the wrapped entries feed only halo cells the kernel's BC
+                # fixups mask before use
+                side_global[slot] = np.concatenate([arr[-h:], arr, arr[:h]])
 
-    return _make_binary_chunked_window(build, k)
+        def step_fn(d, t_tab=None):
+            extra = []
+            for slot in step.array_slots:
+                g = jnp.asarray(side_global[slot], dtype=dtype)
+                if slot < 2:
+                    if ext_cols:
+                        off = jax.lax.axis_index(axis_names[1]) * np.int32(
+                            local_cols
+                        )
+                        loc = jax.lax.dynamic_slice(
+                            g, (off,), (local_cols + 2 * h,)
+                        )
+                    else:
+                        loc = g
+                    extra.append(loc.reshape(1, -1))
+                else:
+                    off = jax.lax.axis_index(axis_names[0]) * np.int32(
+                        local_rows
+                    )
+                    loc = jax.lax.dynamic_slice(
+                        g, (off,), (local_rows + 2 * h,)
+                    )
+                    extra.append(loc)
+            if step.has_t:
+                extra.append(t_tab)
+            return step(pad(d), edge_flags(), *extra)
+
+        return step_fn
+
+    # time-dependent BC values need a per-chunk (k, 4) const table rebuilt
+    # from t0, mirroring make_fused_euler_window_2d's t-branch
+    t_funcs = [None, None, None, None]
+    if bc_specs is not None:
+        for base, axis_specs in zip((0, 2), bc_specs):
+            if axis_specs is None:
+                continue
+            for side, spec in enumerate(axis_specs):
+                if spec.const_t is not None:
+                    t_funcs[base + side] = spec.const_t
+    if not any(f is not None for f in t_funcs):
+        return _make_binary_chunked_window(build, k)
+
+    kernels = _binary_kernel_ladder(build, k)
+
+    def make_t_tab(ts):
+        cols = []
+        for fn in t_funcs:
+            if fn is None:
+                cols.append(jnp.zeros_like(ts))
+            else:
+                cols.append(jax.vmap(fn)(ts))
+        return jnp.stack(cols, axis=1)
+
+    def window(data, t0, steps):
+        index = jnp.asarray(0, jnp.int32)
+        remaining = steps
+        for kk, step_fn in kernels:
+            chunks = remaining // kk
+
+            def body(c, carry, _kk=kk, _step=step_fn):
+                d, idx = carry
+                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                return (_step(d, make_t_tab(ts)), idx + _kk)
+
+            data, index = jax.lax.fori_loop(0, chunks, body, (data, index))
+            remaining = remaining - chunks * kk
+        return data
+
+    window.needs_t = True
+    return window
 
 
 def _make_fused_euler_window_sharded_3d(

@@ -94,6 +94,9 @@ class EulerSolver(AdaptiveSolverBase):
 
         mesh = self._get_mesh(state)
         n_leaves = len(state_leaves(state))
+        multi = getattr(window, "multi_field", False)
+        needs_key = getattr(window, "needs_key", False)
+        needs_t = getattr(window, "needs_t", False)
         if mesh is None:
             self._logger.info("Using fused Pallas Euler window")
             run = jax.jit(window)
@@ -105,24 +108,24 @@ class EulerSolver(AdaptiveSolverBase):
             from jax.sharding import PartitionSpec as P
 
             self._logger.info("Using sharded fused Pallas Euler window")
-            if getattr(window, "multi_field", False):
+            if multi:
                 data_spec = [mesh.partition_spec(0)] * n_leaves
             else:
                 data_spec = mesh.partition_spec(0)
+            # needs_key/needs_t windows take one replicated extra arg
+            # (key / t0) before the step count
+            n_extra = 1 + (1 if (needs_key or needs_t) else 0)
             run = jax.jit(
                 jax.shard_map(
                     window,
                     mesh=mesh.jax_mesh,
-                    in_specs=(data_spec, P()),
+                    in_specs=(data_spec,) + (P(),) * n_extra,
                     out_specs=data_spec,
                     check_vma=False,
                 )
             )
             sharding = mesh.sharding(0)
         self.info["fused_step"] = True
-        multi = getattr(window, "multi_field", False)
-        needs_key = getattr(window, "needs_key", False)
-        needs_t = getattr(window, "needs_t", False)
 
         def fused_stepper(state_obj, t_start, t_end):
             steps = max(1, round((t_end - t_start) / dt))

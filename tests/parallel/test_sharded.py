@@ -693,3 +693,122 @@ def test_sharded_fused_expression_3d_gradient_composition(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
     )
+
+
+# -- inhomogeneous / time-dependent BC values on decomposed grids --------------------
+
+
+@pytest.mark.parametrize("decomposition", [[2, 1], [1, 2], [2, 2], [4, 1]])
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": "periodic", "y-": {"value": np.linspace(0.0, 2.0, 16)},
+         "y+": {"derivative": 0}},
+        {"x-": {"value": np.linspace(-1.0, 1.0, 16)}, "x+": {"derivative": 0},
+         "y": {"derivative": 0}},
+        {"x": {"derivative": 0}, "y-": {"value_expression": "sin(3 * x)"},
+         "y+": {"value_expression": "cos(x)"}},
+        {"x-": {"value_expression": "y**2"}, "x+": {"derivative": 0.5},
+         "y": {"derivative": 0}},
+        {"x-": {"value": np.linspace(-1.0, 1.0, 16)},
+         "x+": {"derivative": 0},
+         "y-": {"value": np.linspace(1.0, 3.0, 16)}, "y+": {"value": 0.0}},
+    ],
+    ids=["array-col", "array-row", "expr-col", "expr-row", "array-both-axes"],
+)
+def test_sharded_fused_inhomogeneous_bc_parity(decomposition, bc, rng, monkeypatch):
+    """Per-boundary-point BC value arrays reach the sharded ext kernel:
+    host-precomputed GLOBAL value vectors sliced per shard by lax.axis_index
+    (reference virtual-point arrays, `local.py:1541-2104`, under MPI)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    periodic = [bc.get(ax) == "periodic" for ax in "xy"]
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.05, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    # must match the single-device FUSED path bit-for-bit...
+    solver1 = EulerSolver(eq)
+    res1 = Controller(solver1, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver1.info.get("fused_step") is True
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(res1.data))
+
+    # ...and the XLA lowering to fp tolerance
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+@pytest.mark.parametrize("decomposition", [[2, 1], [2, 2]])
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": {"derivative": 0}, "y-": {"value_expression": "sin(3 * t)"},
+         "y+": {"derivative": 0}},
+        {"x-": {"value_expression": "t"}, "x+": {"derivative": 0},
+         "y": "periodic"},
+        {"x": {"derivative": 0},
+         "y-": {"derivative_expression": "0.5 * cos(t)"},
+         "y+": {"value_expression": "sin(t)"}},
+    ],
+    ids=["t-col", "t-row", "t-both-sides"],
+)
+def test_sharded_fused_time_dependent_bc_parity(decomposition, bc, rng, monkeypatch):
+    """Time-dependent expression BC values rebuild the per-step SMEM const
+    table per chunk on decomposed runs too (window signature grows t0)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    periodic = [bc.get(ax) == "periodic" for ax in "xy"]
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.05, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_sharded_fused_time_bc_tracker_windows(rng, monkeypatch):
+    """Sharded t-dependent BC windows restart the const table at each
+    tracker-window t_start."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=[True, False])
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"x": "periodic", "y-": {"value_expression": "sin(5 * t)"},
+          "y+": {"derivative": 0}}
+    eq = pde.DiffusionPDE(diffusivity=0.2, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+    from pde_tpu.storage.memory import MemoryStorage
+
+    storage = MemoryStorage()
+    solver = EulerSolver(eq, decomposition=[2, 2])
+    Controller(solver, t_range=0.06, tracker=storage.tracker(0.02)).run(
+        state, dt=1e-3
+    )
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    storage_ref = MemoryStorage()
+    eq.solve(state, t_range=0.06, dt=1e-3, tracker=storage_ref.tracker(0.02))
+    for a, b in zip(storage, storage_ref):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )

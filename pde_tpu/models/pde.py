@@ -582,7 +582,8 @@ class PDE(SDEBase):
         from ..ops.pallas_cartesian import (
             _HALO,
             PallasUnsupportedError,
-            affine_bc_params,
+            affine_bc_specs,
+            collect_bc_side_inputs,
             interpret_requested,
             make_chunked_multi_window_2d,
             make_chunked_sde_window_2d,
@@ -689,10 +690,22 @@ class PDE(SDEBase):
                 if not isinstance(bcs, BoundariesList):
                     raise NotImplementedError("Fused window requires per-axis BCs")
                 try:
-                    bc_table[(var, func)] = affine_bc_params(grid, bcs)
+                    bc_table[(var, func)] = affine_bc_specs(grid, bcs)
                 except PallasUnsupportedError as err:
                     raise NotImplementedError(str(err)) from err
             exprs.append(expr)
+
+        # inhomogeneous per-boundary-point arrays and t-dependent expression
+        # consts become kernel side inputs (2D single-device paths); the 3D,
+        # sharded, and SDE kernels take scalar consts only for now
+        bc_inputs = collect_bc_side_inputs(bc_table)
+        if bc_inputs is not None and (
+            mesh is not None or grid.num_axes == 3 or self.is_sde
+        ):
+            raise NotImplementedError(
+                "Inhomogeneous/time-dependent BC values are not supported "
+                "by the sharded/3D/SDE fused windows"
+            )
 
         def make_get_bc(var):
             return lambda op_name: bc_table.get((var, op_name))
@@ -816,7 +829,7 @@ class PDE(SDEBase):
             try:
                 return make_chunked_window_2d(
                     grid, make_step, depth, dtype=fields[0].dtype,
-                    interpret=interpret,
+                    interpret=interpret, bc_inputs=bc_inputs, dt=dt,
                 )
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err
@@ -825,6 +838,7 @@ class PDE(SDEBase):
             window = make_chunked_multi_window_2d(
                 grid, make_multi_step, depth, len(fields),
                 dtype=fields[0].dtype, interpret=interpret,
+                bc_inputs=bc_inputs, dt=dt,
             )
         except PallasUnsupportedError as err:
             raise NotImplementedError(str(err)) from err

@@ -272,6 +272,19 @@ class _BCSideSpec:
         return float(self.const_static), self.f1, self.f2
 
 
+def _as_triplets(pair):
+    """Normalize a BC side pair to scalar ``(c, f1, f2)`` triplets.
+
+    The 3D helpers take scalar consts only (the expression compiler gates
+    array/t-dependent values to the 2D kernels); :class:`_BCSideSpec`
+    entries are collapsed via :meth:`_BCSideSpec.scalar_triplet`.
+    """
+    return tuple(
+        side.scalar_triplet() if isinstance(side, _BCSideSpec) else side
+        for side in pair
+    )
+
+
 def _uniform_scalar(value):
     """Collapse a uniform array to a float; None when truly inhomogeneous."""
     arr = np.asarray(value)
@@ -414,6 +427,39 @@ def affine_bc_specs(grid, bcs):
     if all(p is None for p in params):
         return None
     return tuple(params)
+
+
+def collect_bc_side_inputs(bc_table):
+    """Gather array-valued / t-dependent sides from a table of per-axis
+    :func:`affine_bc_specs` tuples (2D: axis 0 = rows, axis 1 = columns).
+
+    Returns ``None`` when every const is a plain scalar (the kernels then
+    need no side inputs), else ``{"arrays": [('row'|'col', spec), ...],
+    "t": [spec, ...]}`` with each distinct :class:`_BCSideSpec` appearing
+    once (the expression compiler resolves BCs per ``(var, operator)``, so
+    the same side may carry several independent spec objects — each gets
+    its own staged slot).
+    """
+    arrays: list = []
+    t_specs: list = []
+    seen: set = set()
+    for specs in bc_table.values():
+        if specs is None:
+            continue
+        for ax, pair in enumerate(specs):
+            if pair is None:
+                continue
+            for spec in pair:
+                if id(spec) in seen:
+                    continue
+                seen.add(id(spec))
+                if np.ndim(spec.const_static) != 0:
+                    arrays.append(("row" if ax == 0 else "col", spec))
+                if spec.const_t is not None:
+                    t_specs.append(spec)
+    if not arrays and not t_specs:
+        return None
+    return {"arrays": arrays, "t": t_specs}
 
 
 def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
@@ -1049,6 +1095,21 @@ def _make_stencil_helpers(
     col_lo, col_hi, row_offset]``; when present, edge fixups additionally
     gate on the shard sitting at the corresponding GLOBAL domain edge.
     ``n_cols`` overrides the per-shard column count (defaults to the grid's).
+
+    BC sides may be scalar triplets ``(c, f1, f2)`` or :class:`_BCSideSpec`
+    objects; for specs with array-valued or time-dependent consts the
+    embedding kernel must stage the values and set, before tracing ``step``:
+
+    - ``helpers.bc_arrays[id(spec)]`` — row-side specs: a ``(1, W)`` value
+      block (W = the staged full width); column-side specs: a ``(R, 128)``
+      value block whose row ``helpers.stage_row_halo + g`` holds the value
+      for the program's local row ``g`` (value in lane 0, the reference's
+      per-boundary-point virtual-point arrays as VMEM vectors,
+      `local.py:1541-2104`);
+    - ``helpers.t_consts[id(spec)]`` — the additive scalar for the CURRENT
+      step (re-assigned by the kernel before each of the k step calls);
+    - ``helpers.stage_col_halo`` — the column halo the row-side block was
+      staged with (ext mode; 0 when the work width never shrinks).
     """
     from ..grids.cylindrical import CylindricalSymGrid
 
@@ -1088,20 +1149,50 @@ def _make_stencil_helpers(
             col_hi = flags[3] != 0
         return row_lo, row_hi, col_lo, col_hi
 
+    def as_spec(side):
+        if isinstance(side, _BCSideSpec):
+            return side
+        c, f1, f2 = side
+        return _BCSideSpec(f1, f2, c)
+
+    def const_of(spec, shape, axis_side):
+        """Additive ghost const for one side, matched to the work geometry.
+
+        ``axis_side='row'``: per-column values, returned as a scalar or a
+        ``(1, shape[1])`` slice of the staged block (the work width only
+        shrinks in ext mode — ``stage_col_halo`` halo columns were staged).
+        ``axis_side='col'``: per-row values, returned as a scalar or a
+        ``(shape[0], 1)`` slice — staged-block row of local row ``g`` is
+        ``stage_row_halo + g`` and the array's first row is local row
+        ``-(shape[0] - band) // 2``.
+        """
+        c = spec.const_static
+        if np.ndim(c) != 0:
+            arr = helpers.bc_arrays[id(spec)]
+            if axis_side == "row":
+                off = helpers.stage_col_halo - (shape[1] - n_cols) // 2
+                c = arr[0:1, off : off + shape[1]]
+            else:
+                off = helpers.stage_row_halo - (shape[0] - band) // 2
+                c = arr[off : off + shape[0]][:, 0:1]
+        if spec.const_t is not None:
+            c = c + helpers.t_consts[id(spec)]
+        return c
+
     def fix_ghost_rows(w, bc_rows):
         if bc_rows is None:
             return w
-        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_rows
+        lo, hi = as_spec(bc_rows[0]), as_spec(bc_rows[1])
         hr = (w.shape[0] - band) // 2  # remaining halo rows on each side
         gate_lo, gate_hi, _, _ = edge_gates()
         e_lo = hr  # first globally valid row on program 0
-        ghost_lo = c_lo + f1_lo * w[e_lo : e_lo + 1, :]
-        if f2_lo:
-            ghost_lo = ghost_lo + f2_lo * w[e_lo + 1 : e_lo + 2, :]
+        ghost_lo = const_of(lo, w.shape, "row") + lo.f1 * w[e_lo : e_lo + 1, :]
+        if lo.f2:
+            ghost_lo = ghost_lo + lo.f2 * w[e_lo + 1 : e_lo + 2, :]
         e_hi = w.shape[0] - 1 - hr  # last globally valid row on the last program
-        ghost_hi = c_hi + f1_hi * w[e_hi : e_hi + 1, :]
-        if f2_hi:
-            ghost_hi = ghost_hi + f2_hi * w[e_hi - 1 : e_hi, :]
+        ghost_hi = const_of(hi, w.shape, "row") + hi.f1 * w[e_hi : e_hi + 1, :]
+        if hi.f2:
+            ghost_hi = ghost_hi + hi.f2 * w[e_hi - 1 : e_hi, :]
         rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
         w = jnp.where((rows == e_lo - 1) & gate_lo, ghost_lo, w)
         w = jnp.where((rows == e_hi + 1) & gate_hi, ghost_hi, w)
@@ -1111,17 +1202,17 @@ def _make_stencil_helpers(
         """Rewrite the ghost COLUMN outside the valid region (ext mode)."""
         if bc_cols is None:
             return w
-        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
+        lo, hi = as_spec(bc_cols[0]), as_spec(bc_cols[1])
         hc = (w.shape[1] - n_cols) // 2  # remaining halo cols on each side
         _, _, gate_lo, gate_hi = edge_gates()
         e_lo = hc
-        ghost_lo = c_lo + f1_lo * w[:, e_lo : e_lo + 1]
-        if f2_lo:
-            ghost_lo = ghost_lo + f2_lo * w[:, e_lo + 1 : e_lo + 2]
+        ghost_lo = const_of(lo, w.shape, "col") + lo.f1 * w[:, e_lo : e_lo + 1]
+        if lo.f2:
+            ghost_lo = ghost_lo + lo.f2 * w[:, e_lo + 1 : e_lo + 2]
         e_hi = w.shape[1] - 1 - hc
-        ghost_hi = c_hi + f1_hi * w[:, e_hi : e_hi + 1]
-        if f2_hi:
-            ghost_hi = ghost_hi + f2_hi * w[:, e_hi - 1 : e_hi]
+        ghost_hi = const_of(hi, w.shape, "col") + hi.f1 * w[:, e_hi : e_hi + 1]
+        if hi.f2:
+            ghost_hi = ghost_hi + hi.f2 * w[:, e_hi - 1 : e_hi]
         cols = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
         w = jnp.where((cols == e_lo - 1) & gate_lo, ghost_lo, w)
         w = jnp.where((cols == e_hi + 1) & gate_hi, ghost_hi, w)
@@ -1132,14 +1223,14 @@ def _make_stencil_helpers(
         left = pltpu.roll(center, 1, 1)
         right = pltpu.roll(center, n_cols - 1, 1)
         if bc_cols is not None:
-            (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_cols
+            lo, hi = as_spec(bc_cols[0]), as_spec(bc_cols[1])
             _, _, gate_lo, gate_hi = edge_gates()
-            ghost_lo = c_lo + f1_lo * center
-            if f2_lo:
-                ghost_lo = ghost_lo + f2_lo * right
-            ghost_hi = c_hi + f1_hi * center
-            if f2_hi:
-                ghost_hi = ghost_hi + f2_hi * left
+            ghost_lo = const_of(lo, center.shape, "col") + lo.f1 * center
+            if lo.f2:
+                ghost_lo = ghost_lo + lo.f2 * right
+            ghost_hi = const_of(hi, center.shape, "col") + hi.f1 * center
+            if hi.f2:
+                ghost_hi = ghost_hi + hi.f2 * left
             lanes = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
             left = jnp.where((lanes == 0) & gate_lo, ghost_lo, left)
             right = jnp.where((lanes == n_cols - 1) & gate_hi, ghost_hi, right)
@@ -1151,6 +1242,10 @@ def _make_stencil_helpers(
         class helpers:
             cols = n_cols
             flags = None
+            bc_arrays: dict = {}
+            t_consts: dict = {}
+            stage_row_halo = 0
+            stage_col_halo = 0
 
             @staticmethod
             def trim(value, amount):
@@ -1211,6 +1306,10 @@ def _make_stencil_helpers(
     class helpers:
         cols = n_cols
         flags = None
+        bc_arrays: dict = {}
+        t_consts: dict = {}
+        stage_row_halo = 0
+        stage_col_halo = 0
 
         @staticmethod
         def trim(value, amount):
@@ -1306,7 +1405,7 @@ def _make_stencil_helpers_3d(
     def fix_ghost_x(w, bc_x):
         if bc_x is None:
             return w
-        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_x
+        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = _as_triplets(bc_x)
         hr = (w.shape[0] - band) // 2  # remaining halo planes per side
         i = pl.program_id(0)
         e_lo = hr
@@ -1328,7 +1427,7 @@ def _make_stencil_helpers_3d(
         """Rewrite the ghost layer outside the valid region (ext mode)."""
         if bc_side is None:
             return w
-        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_side
+        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = _as_triplets(bc_side)
 
         def sl(idx):
             return tuple(
@@ -1355,7 +1454,7 @@ def _make_stencil_helpers_3d(
         low = pltpu.roll(center, 1, axis)
         high = pltpu.roll(center, n - 1, axis)
         if bc_side is not None:
-            (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = bc_side
+            (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = _as_triplets(bc_side)
             ghost_lo = c_lo + f1_lo * center
             if f2_lo:
                 ghost_lo = ghost_lo + f2_lo * high
@@ -1761,6 +1860,7 @@ def make_fused_multi_ext_window_3d(
 def make_fused_multi_stencil_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, k: int | None = None, interpret: bool = False,
+    bc_inputs=None,
 ) -> tuple[Callable, int]:
     """Temporal-blocking kernel over ``n_fields`` coupled field planes.
 
@@ -1773,6 +1873,14 @@ def make_fused_multi_stencil_window_2d(
     systems (reaction-diffusion, wave; reference 2-field states,
     `/root/reference/pde/pdes/wave.py:25`). Returns (window_k(datas) -> list,
     k).
+
+    ``bc_inputs`` (:func:`collect_bc_side_inputs` output) stages
+    inhomogeneous per-boundary-point const arrays and time-dependent consts
+    as kernel side inputs — row-side arrays as (1, n_cols) VMEM blocks,
+    column-side arrays as per-program DMA slices of a halo-extended value
+    vector broadcast across one 128-lane tile, t-consts via an SMEM
+    ``(k, n_t)`` table (column order = ``bc_inputs["t"]``). With t entries
+    the returned callable is ``window_k(datas, t_tab)``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1816,13 +1924,43 @@ def make_fused_multi_stencil_window_2d(
     halo = -(-halo_total // _HALO) * _HALO  # rounded to the DMA granule
     F = n_fields
 
+    # staged side inputs for inhomogeneous / t-dependent BC consts
+    arr_entries = [] if bc_inputs is None else bc_inputs["arrays"]
+    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    has_t = bool(t_specs)
+    row_entries = []  # (spec, (1, n_cols) block)
+    col_entries = []  # (spec, (n_rows + 2*halo, 128) extended block)
+    for kind, spec in arr_entries:
+        arr = np.asarray(spec.const_static, dtype=dtype).reshape(-1)
+        if kind == "row":
+            row_entries.append((spec, arr.reshape(1, n_cols)))
+        else:
+            # wrap-pad by the staging halo; Mosaic rejects width-1 memref
+            # slices, so broadcast across one 128-lane tile (kernel value-
+            # slices lane 0) — same staging as make_affine_laplace_2d
+            ext = np.concatenate([arr[-halo:], arr, arr[:halo]])
+            col_entries.append(
+                (spec, np.broadcast_to(ext.reshape(-1, 1), (ext.size, 128)).copy())
+            )
+    n_row_in, n_col_in = len(row_entries), len(col_entries)
+
     def kernel(*refs):
-        ins = refs[:F]
-        outs = refs[F : 2 * F]
-        band_refs = refs[2 * F : 3 * F]
-        tops = refs[3 * F : 4 * F]
-        bots = refs[4 * F : 5 * F]
-        sem = refs[5 * F]
+        pos = 0
+        if has_t:
+            t_tab = refs[pos]
+            pos += 1
+        row_refs = refs[pos : pos + n_row_in]
+        pos += n_row_in
+        col_hbm = refs[pos : pos + n_col_in]
+        pos += n_col_in
+        ins = refs[pos : pos + F]
+        outs = refs[pos + F : pos + 2 * F]
+        pos += 2 * F
+        band_refs = refs[pos : pos + F]
+        tops = refs[pos + F : pos + 2 * F]
+        bots = refs[pos + 2 * F : pos + 3 * F]
+        col_vmem = refs[pos + 3 * F : pos + 3 * F + n_col_in]
+        sem = refs[pos + 3 * F + n_col_in]
         i = pl.program_id(0)
         row0 = i * band
         top_row = pl.multiple_of(
@@ -1841,8 +1979,26 @@ def make_fused_multi_stencil_window_2d(
                 cp = pltpu.make_async_copy(src, dst, sem.at[3 * f + j])
                 cp.start()
                 copies.append(cp)
+        for j in range(n_col_in):
+            # value-vector rows matching this program's work region
+            # [row0 - halo, row0 + band + halo) — extended-block offset +halo
+            cp = pltpu.make_async_copy(
+                col_hbm[j].at[pl.ds(pl.multiple_of(row0, 8), band + 2 * halo), :],
+                col_vmem[j],
+                sem.at[3 * F + j],
+            )
+            cp.start()
+            copies.append(cp)
         for cp in copies:
             cp.wait()
+
+        helpers.stage_row_halo = halo
+        bc_arrays = {}
+        for j, (spec, _) in enumerate(row_entries):
+            bc_arrays[id(spec)] = row_refs[j]
+        for j, (spec, _) in enumerate(col_entries):
+            bc_arrays[id(spec)] = col_vmem[j]
+        helpers.bc_arrays = bc_arrays
 
         works = [
             jnp.concatenate(
@@ -1855,31 +2011,63 @@ def make_fused_multi_stencil_window_2d(
             )
             for f in range(F)
         ]
-        for _ in range(k):
+        for s in range(k):
+            if has_t:
+                helpers.t_consts = {
+                    id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
+                }
             works = step(works)
         for f in range(F):
             outs[f][:, :] = works[f]
 
+    in_specs = (
+        ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+        + [
+            pl.BlockSpec((1, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ] * n_row_in
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_col_in
+        + [pl.BlockSpec(memory_space=pl.ANY)] * F
+    )
     call = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((n_rows, n_cols), dtype)] * F,
         grid=(n_rows // band,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * F,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] * F,
         scratch_shapes=(
             [pltpu.VMEM((band, n_cols), dtype)] * F
             + [pltpu.VMEM((halo, n_cols), dtype)] * (2 * F)
-            + [pltpu.SemaphoreType.DMA((3 * F,))]
+            + [pltpu.VMEM((band + 2 * halo, 128), dtype)] * n_col_in
+            + [pltpu.SemaphoreType.DMA((3 * F + n_col_in,))]
         ),
         interpret=interpret,
     )
 
+    row_consts = [jnp.asarray(a, dtype=dtype) for _, a in row_entries]
+    col_consts = [jnp.asarray(a, dtype=dtype) for _, a in col_entries]
+
+    if has_t:
+
+        def window_k_t(datas, t_tab):
+            out = call(
+                jnp.asarray(t_tab, dtype=dtype), *row_consts, *col_consts,
+                *[jnp.asarray(d, dtype=dtype) for d in datas],
+            )
+            return list(out)
+
+        window_k_t.t_specs = tuple(t_specs)
+        return window_k_t, k
+
     def window_k(datas):
-        out = call(*[jnp.asarray(d, dtype=dtype) for d in datas])
+        out = call(
+            *row_consts, *col_consts,
+            *[jnp.asarray(d, dtype=dtype) for d in datas],
+        )
         return list(out)
 
+    window_k.t_specs = None
     return window_k, k
 
 
@@ -2475,28 +2663,66 @@ def _make_binary_chunked_window(build_step, k: int):
 
 def make_chunked_multi_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
-    dtype=np.float32, interpret: bool = False,
+    dtype=np.float32, interpret: bool = False, bc_inputs=None, dt=None,
 ) -> Callable:
-    """Return ``window(datas, steps)`` chunking steps into k-step kernel calls."""
+    """Return ``window(datas, steps)`` chunking steps into k-step kernel calls.
+
+    With time-dependent BC consts in ``bc_inputs`` the window instead has
+    signature ``window(datas, t0, steps)`` (attribute ``needs_t``) and
+    rebuilds the per-step SMEM const table from ``t0`` per chunk — ``dt`` is
+    then required (ghost values at inner step s use ``t0 + s*dt``, matching
+    the unfused stepper's t).
+    """
     # probe the largest supported k, then build one kernel per power of two
     _, k = make_fused_multi_stencil_window_2d(
         grid, make_step, halo_per_step, n_fields, dtype=dtype,
-        interpret=interpret,
+        interpret=interpret, bc_inputs=bc_inputs,
     )
 
     def build(kk):
         step, _ = make_fused_multi_stencil_window_2d(
             grid, make_step, halo_per_step, n_fields, dtype=dtype, k=kk,
-            interpret=interpret,
+            interpret=interpret, bc_inputs=bc_inputs,
         )
-        return lambda d: tuple(step(list(d)))
+        if step.t_specs is None:
+            return lambda d: tuple(step(list(d)))
+        return lambda d, t_tab: tuple(step(list(d), t_tab))
 
-    window_t = _make_binary_chunked_window(build, k)
+    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    if not t_specs:
+        window_t = _make_binary_chunked_window(build, k)
 
-    def window(datas, steps):
-        return list(window_t(tuple(datas), steps))
+        def window(datas, steps):
+            return list(window_t(tuple(datas), steps))
 
-    return window
+        return window
+
+    if dt is None:
+        raise ValueError("dt is required for time-dependent BC windows")
+    kernels = _binary_kernel_ladder(build, k)
+    t_funcs = [spec.const_t for spec in t_specs]
+
+    def make_t_tab(ts):
+        return jnp.stack([jax.vmap(fn)(ts) for fn in t_funcs], axis=1)
+
+    def window_td(datas, t0, steps):
+        state = tuple(datas)
+        index = jnp.asarray(0, jnp.int32)
+        remaining = steps
+        for kk, step_fn in kernels:
+            chunks = remaining // kk
+
+            def body(c, carry, _kk=kk, _step=step_fn):
+                d, idx = carry
+                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                return (_step(d, make_t_tab(ts)), idx + _kk)
+
+            state, index = jax.lax.fori_loop(0, chunks, body, (state, index))
+            remaining = remaining - chunks * kk
+        return list(state)
+
+    window_td.needs_t = True
+    return window_td
 
 
 def make_fused_stencil_window_2d(
@@ -2526,9 +2752,14 @@ def make_fused_stencil_window_2d(
 
 def make_chunked_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
-    interpret: bool = False,
+    interpret: bool = False, bc_inputs=None, dt=None,
 ) -> Callable:
-    """Return ``window(data, steps)`` chunking steps into k-step kernel calls."""
+    """Return ``window(data, steps)`` chunking steps into k-step kernel calls.
+
+    With t-dependent BC consts in ``bc_inputs`` the window has signature
+    ``window(data, t0, steps)`` (attribute ``needs_t``) — see
+    :func:`make_chunked_multi_window_2d`.
+    """
 
     def multi_make_step(helpers):
         step = make_step(helpers)
@@ -2536,8 +2767,16 @@ def make_chunked_window_2d(
 
     window_multi = make_chunked_multi_window_2d(
         grid, multi_make_step, halo_per_step, 1, dtype=dtype,
-        interpret=interpret,
+        interpret=interpret, bc_inputs=bc_inputs, dt=dt,
     )
+
+    if getattr(window_multi, "needs_t", False):
+
+        def window_td(data, t0, steps):
+            return window_multi([data], t0, steps)[0]
+
+        window_td.needs_t = True
+        return window_td
 
     def window(data, steps):
         return window_multi([data], steps)[0]

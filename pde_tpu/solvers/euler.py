@@ -141,8 +141,15 @@ class EulerSolver(AdaptiveSolverBase):
             elif needs_t:
                 # time-dependent BC values: the window rebuilds its per-step
                 # const table from t_start
-                (data,) = leaves
-                leaves = [run(data, jnp.asarray(t_start), jnp.asarray(steps))]
+                if multi:
+                    leaves = list(
+                        run(leaves, jnp.asarray(t_start), jnp.asarray(steps))
+                    )
+                else:
+                    (data,) = leaves
+                    leaves = [
+                        run(data, jnp.asarray(t_start), jnp.asarray(steps))
+                    ]
             elif multi:
                 leaves = list(run(leaves, jnp.asarray(steps)))
             else:

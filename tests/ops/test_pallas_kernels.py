@@ -820,3 +820,187 @@ def test_fused_window_corner_weight_falls_back(rng, monkeypatch):
         solver_g = EulerSolver(eq_g)
         solver_g.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
         assert solver_g.info.get("fused_step") is True
+
+
+# -- inhomogeneous / t-dependent BC values through the EXPRESSION compiler ----------
+# (the stencil-helper kernels: staged VMEM side inputs + per-step SMEM consts,
+# generalizing what make_affine_laplace_2d does for the specialized diffusion
+# window; reference virtual-point arrays `local.py:1541-2104`)
+
+
+@pytest.mark.parametrize(
+    "rhs, bc, dt, t_range",
+    [
+        # depth-1 single field, array values on both axes
+        ("0.1 * laplace(c) - c**3",
+         {"x-": {"value": np.linspace(-1.0, 1.0, 16)}, "x+": {"derivative": 0},
+          "y-": {"value": np.cos(np.linspace(0.0, 3.0, 16))},
+          "y+": {"derivative": 0.2}}, 1e-3, 0.02),
+        # spatial expression BCs
+        ("0.1 * laplace(c) + 0.2 * gradient_squared(c)",
+         {"x-": {"value_expression": "y**2"}, "x+": {"derivative": 0},
+          "y-": {"value_expression": "sin(3 * x)"}, "y+": {"value": 0.0}},
+         1e-3, 0.02),
+        # t-dependent values (per-step SMEM consts through the step ladder)
+        ("0.1 * laplace(c) - 0.5 * c",
+         {"x": {"derivative": 0}, "y-": {"value_expression": "sin(3 * t)"},
+          "y+": {"derivative_expression": "0.5 * cos(t)"}}, 1e-3, 0.02),
+        # depth-2 (nested laplace): shrinking work geometry exercises the
+        # staged-block offset arithmetic at every halo level
+        ("laplace(c**3 - c - 0.01 * laplace(c))",
+         {"x-": {"value": np.linspace(-1.0, 1.0, 16)}, "x+": {"derivative": 0},
+          "y-": {"value": np.linspace(1.0, 3.0, 16)}, "y+": {"value": 0.0}},
+         1e-5, 2e-4),
+        # mixed array + t on the same run
+        ("0.1 * laplace(c)",
+         {"x-": {"value": np.linspace(0.0, 2.0, 16)}, "x+": {"derivative": 0},
+          "y-": {"value_expression": "cos(2 * t)"}, "y+": {"derivative": 0}},
+         1e-3, 0.02),
+    ],
+    ids=["array-both-axes", "expr-spatial", "t-dependent", "depth2-array",
+         "array-plus-t"],
+)
+def test_expression_fused_inhomogeneous_bc_parity(rhs, bc, dt, t_range, rng,
+                                                  monkeypatch):
+    """Array/t-dependent BC values reach the expression-compiled kernels."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=False)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.PDE({"c": rhs}, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=t_range, tracker=None).run(state, dt=dt)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=t_range, dt=dt, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_expression_fused_coupled_inhomogeneous_bc_routing(rng, monkeypatch):
+    """Coupled systems route per-(var, op) array/t BC values into the shared
+    kernel pass (`bc_ops`, mirroring the reference's bc routing), and the
+    routing demonstrably reaches the kernel (swapping it changes results)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=False)
+    u = pde.ScalarField.random_uniform(grid, rng=rng)
+    v = pde.ScalarField.random_uniform(grid, rng=rng)
+    state = pde.FieldCollection([u, v], labels=["u", "v"])
+    bc_u = {"x-": {"value": np.linspace(0.0, 2.0, 16)},
+            "x+": {"derivative": 0.5}, "y": {"derivative": 0}}
+    bc_v = {"x": {"derivative": 0}, "y-": {"value_expression": "cos(2 * t)"},
+            "y+": {"value": 1.0}}
+    rhs = {"u": "1.0 + u**2 * v - 4.4 * u + 0.05 * laplace(u)",
+           "v": "3.4 * u - u**2 * v + 0.1 * laplace(v)"}
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    eq = pde.PDE(rhs, bc_ops={"u:laplace": bc_u, "v:laplace": bc_v})
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+    for a, b in zip(res, ref, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
+
+    # swapped routing must change the trajectory
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    eq_swap = pde.PDE(rhs, bc_ops={"u:laplace": bc_v, "v:laplace": bc_u})
+    solver2 = EulerSolver(eq_swap)
+    res2 = Controller(solver2, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver2.info.get("fused_step") is True
+    assert not np.allclose(np.asarray(res2[0].data), np.asarray(res[0].data))
+
+
+def test_expression_fused_time_bc_tracker_windows(rng, monkeypatch):
+    """Expression-path t-dependent BCs restart the per-chunk const table at
+    each tracker-window t_start."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=[True, False])
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"x": "periodic", "y-": {"value_expression": "sin(5 * t)"},
+          "y+": {"derivative": 0}}
+    eq = pde.PDE({"c": "0.2 * laplace(c) - c**3"}, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+    from pde_tpu.storage.memory import MemoryStorage
+
+    storage = MemoryStorage()
+    solver = EulerSolver(eq)
+    Controller(solver, t_range=0.06, tracker=storage.tracker(0.02)).run(
+        state, dt=1e-3
+    )
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    storage_ref = MemoryStorage()
+    eq.solve(state, t_range=0.06, dt=1e-3, tracker=storage_ref.tracker(0.02))
+    for a, b in zip(storage, storage_ref, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_expression_fused_cylindrical_inhomogeneous_bc(rng, monkeypatch):
+    """Array/t BC values compose with the cylindrical radial row term."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CylindricalSymGrid(radius=2.0, bounds_z=(0, 1), shape=(16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"r": {"derivative": 0},
+          "z-": {"value": np.linspace(0.0, 1.0, 16)},
+          "z+": {"value_expression": "sin(2 * t)"}}
+    eq = pde.PDE({"c": "0.1 * laplace(c) - 0.2 * c"}, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_expression_fused_inhomogeneous_bc_gates(rng, monkeypatch):
+    """3D/SDE/sharded expression windows refuse array/t BC values and fall
+    back to the XLA lowering (documented residual)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.euler import EulerSolver
+
+    # 3D
+    g3 = pde.CartesianGrid([(0, 1)] * 3, (8, 8, 8),
+                           periodic=[False, True, True])
+    st3 = pde.ScalarField.random_uniform(g3, rng=rng)
+    bc3 = {"x-": {"value": np.linspace(0, 1, 64).reshape(8, 8)},
+           "x+": {"derivative": 0}, "y": "periodic", "z": "periodic"}
+    eq3 = pde.PDE({"c": "0.1 * laplace(c)"}, bc=bc3)
+    s3 = EulerSolver(eq3)
+    out3, _ = s3.make_stepper(st3, dt=1e-3)(st3, 0.0, 0.01)
+    assert s3.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out3.data)))
+
+    # SDE
+    g2 = pde.UnitGrid([16, 16], periodic=[True, False])
+    st2 = pde.ScalarField.random_uniform(g2, rng=rng)
+    bc2 = {"x": "periodic", "y-": {"value_expression": "sin(t)"},
+           "y+": {"derivative": 0}}
+    eq_sde = pde.PDE({"c": "0.1 * laplace(c)"}, bc=bc2, noise=0.01)
+    s_sde = EulerSolver(eq_sde)
+    out_sde, _ = s_sde.make_stepper(st2, dt=1e-3)(st2, 0.0, 0.01)
+    assert s_sde.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out_sde.data)))

@@ -696,15 +696,13 @@ class PDE(SDEBase):
             exprs.append(expr)
 
         # inhomogeneous per-boundary-point arrays and t-dependent expression
-        # consts become kernel side inputs (2D single-device paths); the 3D,
-        # sharded, and SDE kernels take scalar consts only for now
+        # consts become kernel side inputs (2D paths, single-device and
+        # sharded); the 3D and SDE kernels take scalar consts only for now
         bc_inputs = collect_bc_side_inputs(bc_table)
-        if bc_inputs is not None and (
-            mesh is not None or grid.num_axes == 3 or self.is_sde
-        ):
+        if bc_inputs is not None and (grid.num_axes == 3 or self.is_sde):
             raise NotImplementedError(
                 "Inhomogeneous/time-dependent BC values are not supported "
-                "by the sharded/3D/SDE fused windows"
+                "by the 3D/SDE fused windows"
             )
 
         def make_get_bc(var):
@@ -759,6 +757,7 @@ class PDE(SDEBase):
                 window = make_fused_multi_window_sharded(
                     mesh, make_multi_step, depth, len(fields),
                     dtype=fields[0].dtype, interpret=interpret,
+                    bc_inputs=bc_inputs, dt=dt,
                 )
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err

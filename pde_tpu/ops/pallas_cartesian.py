@@ -2075,6 +2075,7 @@ def make_fused_multi_ext_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     local_rows: int, local_cols: int | None = None, ext_cols: bool = False,
     dtype=np.float32, k: int | None = None, interpret: bool = False,
+    bc_inputs=None,
 ) -> tuple[Callable, int]:
     """Multi-field temporal-blocking kernel on halo-extended local blocks.
 
@@ -2090,6 +2091,14 @@ def make_fused_multi_ext_window_2d(
     ``(5,)`` array ``[row_lo, row_hi, col_lo, col_hi, row_offset]`` marking
     GLOBAL domain edges — the returned ``window_k(datas, edge_flags)``
     mirrors the single-field ext kernel's contract.
+
+    ``bc_inputs`` (:func:`collect_bc_side_inputs` output) declares
+    inhomogeneous per-boundary-point and t-dependent BC consts; their
+    values are shard-varying and therefore arrive as RUNTIME operands:
+    ``window_k(datas, edge_flags, *extra)`` takes one LOCAL value array per
+    ``window_k.array_entries`` entry (row-side ``(cols_ext,)``, column-side
+    ``(local_rows + 2*halo,)``; see the attribute docs), then a ``(k, n_t)``
+    t-table when ``window_k.t_specs`` is set.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -2132,11 +2141,32 @@ def make_fused_multi_ext_window_2d(
     step = make_step(helpers)
     F = n_fields
 
+    # runtime side inputs for inhomogeneous / t-dependent BC consts: values
+    # are shard-varying, so the caller supplies LOCAL (halo-extended) slices
+    # at call time (sliced from host-precomputed GLOBAL arrays by
+    # lax.axis_index, per the bit-identity rule)
+    arr_entries = [] if bc_inputs is None else list(bc_inputs["arrays"])
+    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    has_t = bool(t_specs)
+    row_specs = [spec for kind, spec in arr_entries if kind == "row"]
+    col_specs = [spec for kind, spec in arr_entries if kind == "col"]
+    n_row_in, n_col_in = len(row_specs), len(col_specs)
+
     def kernel(flags_ref, *refs):
-        ins = refs[:F]
-        outs = refs[F : 2 * F]
-        work_refs = refs[2 * F : 3 * F]
-        sem = refs[3 * F]
+        pos = 0
+        if has_t:
+            t_tab = refs[pos]
+            pos += 1
+        row_refs = refs[pos : pos + n_row_in]
+        pos += n_row_in
+        col_hbm = refs[pos : pos + n_col_in]
+        pos += n_col_in
+        ins = refs[pos : pos + F]
+        outs = refs[pos + F : pos + 2 * F]
+        pos += 2 * F
+        work_refs = refs[pos : pos + F]
+        col_vmem = refs[pos + F : pos + F + n_col_in]
+        sem = refs[pos + F + n_col_in]
         helpers.flags = flags_ref
         i = pl.program_id(0)
         row0 = i * band  # input rows [row0, row0 + band + 2*halo)
@@ -2149,8 +2179,28 @@ def make_fused_multi_ext_window_2d(
             )
             cp.start()
             copies.append(cp)
+        for j in range(n_col_in):
+            # value-vector rows matching this program's input rows
+            cp = pltpu.make_async_copy(
+                col_hbm[j].at[
+                    pl.ds(pl.multiple_of(row0, band), band + 2 * halo), :
+                ],
+                col_vmem[j],
+                sem.at[F + j],
+            )
+            cp.start()
+            copies.append(cp)
         for cp in copies:
             cp.wait()
+
+        helpers.stage_row_halo = halo
+        helpers.stage_col_halo = halo if ext_cols else 0
+        bc_arrays = {}
+        for j, spec in enumerate(row_specs):
+            bc_arrays[id(spec)] = row_refs[j]
+        for j, spec in enumerate(col_specs):
+            bc_arrays[id(spec)] = col_vmem[j]
+        helpers.bc_arrays = bc_arrays
 
         col_sl = (
             slice(halo - halo_total, halo + halo_total + n_cols)
@@ -2161,23 +2211,36 @@ def make_fused_multi_ext_window_2d(
             work_refs[f][halo - halo_total : halo + halo_total + band, col_sl]
             for f in range(F)
         ]
-        for _ in range(k):
+        for s in range(k):
+            if has_t:
+                helpers.t_consts = {
+                    id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
+                }
             works = step(works)
         for f in range(F):
             outs[f][:, :] = works[f]
 
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+        + [
+            pl.BlockSpec((1, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ] * n_row_in
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_col_in
+        + [pl.BlockSpec(memory_space=pl.ANY)] * F
+    )
     call = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((local_rows, n_cols), dtype)] * F,
         grid=(local_rows // band,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * F,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] * F,
         scratch_shapes=(
             [pltpu.VMEM((band + 2 * halo, lanes), dtype)] * F
-            + [pltpu.SemaphoreType.DMA((F,))]
+            + [pltpu.VMEM((band + 2 * halo, 128), dtype)] * n_col_in
+            + [pltpu.SemaphoreType.DMA((F + n_col_in,))]
         ),
         interpret=interpret,
     )
@@ -2185,15 +2248,41 @@ def make_fused_multi_ext_window_2d(
     pad_lanes = lanes - cols_ext
     no_edges = jnp.zeros((5,), jnp.int32)
 
-    def window_k(datas, edge_flags=None):
+    def window_k(datas, edge_flags=None, *extra):
+        """``extra``: one LOCAL value array per ``window_k.array_entries``
+        entry (row-side ``(cols_ext,)``, column-side
+        ``(local_rows + 2*halo,)``), then the ``(k, n_t)`` t-table when
+        ``window_k.t_specs``."""
         arrs = [jnp.asarray(d, dtype=dtype) for d in datas]
         if pad_lanes:
             arrs = [jnp.pad(d, ((0, 0), (0, pad_lanes))) for d in arrs]
         flags = no_edges if edge_flags is None else jnp.asarray(
             edge_flags, jnp.int32
         )
-        return list(call(flags, *arrs))
+        n_arr = n_row_in + n_col_in
+        supplied = list(extra[:n_arr])
+        t_args = []
+        if has_t:
+            t_args = [jnp.asarray(extra[n_arr], dtype=dtype)]
+        row_ops, col_ops = [], []
+        for (kind, _), arr in zip(arr_entries, supplied, strict=True):
+            arr = jnp.asarray(arr, dtype=dtype)
+            if kind == "row":
+                arr = arr.reshape(1, -1)
+                if arr.shape[1] < lanes:
+                    arr = jnp.pad(arr, ((0, 0), (0, lanes - arr.shape[1])))
+                row_ops.append(arr)
+            else:
+                # broadcast across one 128-lane tile: Mosaic rejects width-1
+                # memref slices; the kernel value-slices lane 0
+                col_ops.append(
+                    jnp.broadcast_to(arr.reshape(-1, 1), (arr.shape[0], 128))
+                )
+        return list(call(flags, *t_args, *row_ops, *col_ops, *arrs))
 
+    window_k.array_entries = tuple((kind, spec) for kind, spec in arr_entries)
+    window_k.t_specs = tuple(t_specs) if has_t else None
+    window_k.halo = halo
     return window_k, k
 
 

@@ -344,7 +344,7 @@ def _make_fused_euler_window_sharded_3d(
 
 def make_fused_multi_window_sharded(
     mesh, make_step, halo_per_step: int, n_fields: int, *, dtype=np.float32,
-    interpret: bool = False,
+    interpret: bool = False, bc_inputs=None, dt=None,
 ) -> Callable:
     """Sharded multi-field window: all fields share one HBM pass per k steps.
 
@@ -356,9 +356,21 @@ def make_fused_multi_window_sharded(
     per-shard global-edge flags — the reference's coupled systems run
     decomposed with full BC support
     (`/root/reference/pde/solvers/explicit_mpi.py:24`).
+
+    ``bc_inputs`` (:func:`collect_bc_side_inputs` output) lowers
+    inhomogeneous per-boundary-point arrays and t-dependent expression
+    consts: host-precomputed GLOBAL value vectors are wrap-padded by the
+    halo width and sliced per shard by ``lax.axis_index`` INSIDE the traced
+    closure (bit-identity rule), feeding the ext kernel's runtime side
+    inputs; t-dependent consts rebuild a per-chunk ``(k, n_t)`` SMEM table
+    from the window's ``t0`` — the window then has signature
+    ``window(local_datas, t0, steps)`` (attribute ``needs_t``, ``dt``
+    required).
     """
     from ..ops.pallas_cartesian import (
         PallasUnsupportedError,
+        _binary_kernel_ladder,
+        _make_binary_chunked_window,
         ext_halo_width,
         make_fused_multi_ext_window_2d,
     )
@@ -367,6 +379,10 @@ def make_fused_multi_window_sharded(
 
     grid = mesh.basegrid
     if isinstance(grid, CartesianGrid) and grid.num_axes == 3:
+        if bc_inputs is not None:
+            raise PallasUnsupportedError(
+                "Sharded 3D fused windows take scalar BC consts only"
+            )
         return _make_fused_multi_window_sharded_3d(
             mesh, make_step, halo_per_step, n_fields, dtype=dtype,
             interpret=interpret,
@@ -380,6 +396,7 @@ def make_fused_multi_window_sharded(
     periodic = [bool(p) for p in grid.periodic]
     axis_names = mesh.axis_names
     decomposition = mesh.decomposition
+    n_rows_g, n_cols_g = grid.shape
 
     def edge_flags():
         flags = []
@@ -400,13 +417,49 @@ def make_fused_multi_window_sharded(
         step, _ = make_fused_multi_ext_window_2d(
             grid, make_step, halo_per_step, n_fields, local_rows=local_rows,
             local_cols=local_cols, ext_cols=ext_cols, dtype=dtype, k=kk,
-            interpret=interpret,
+            interpret=interpret, bc_inputs=bc_inputs,
         )
         h = ext_halo_width(kk * halo_per_step, interpret=interpret)
         pad = make_halo_pad(mesh, (h, h if ext_cols else 0), periodic)
-        return lambda datas: tuple(
-            step([pad(d) for d in datas], edge_flags())
-        )
+        # host-precompute padded GLOBAL boundary-value arrays per runtime
+        # slot; the traced closure slices them by lax.axis_index (at
+        # non-periodic global edges the wrapped entries feed only halo
+        # cells the kernel's edge fixups mask before use)
+        side_global = []
+        for kind, spec in step.array_entries:
+            arr = np.asarray(spec.const_static, dtype=float).reshape(-1)
+            if kind == "row" and not ext_cols:
+                side_global.append((kind, arr))  # column axis not cut
+            else:
+                side_global.append(
+                    (kind, np.concatenate([arr[-h:], arr, arr[:h]]))
+                )
+
+        def step_fn(datas, t_tab=None):
+            extra = []
+            for kind, g_np in side_global:
+                g = jnp.asarray(g_np, dtype=dtype)
+                if kind == "row":
+                    if ext_cols:
+                        off = jax.lax.axis_index(axis_names[1]) * np.int32(
+                            local_cols
+                        )
+                        g = jax.lax.dynamic_slice(
+                            g, (off,), (local_cols + 2 * h,)
+                        )
+                else:
+                    off = jax.lax.axis_index(axis_names[0]) * np.int32(
+                        local_rows
+                    )
+                    g = jax.lax.dynamic_slice(g, (off,), (local_rows + 2 * h,))
+                extra.append(g)
+            if step.t_specs is not None:
+                extra.append(t_tab)
+            return tuple(
+                step([pad(d) for d in datas], edge_flags(), *extra)
+            )
+
+        return step_fn
 
     # probe the largest supported k (small shards need smaller halos)
     k = None
@@ -417,7 +470,7 @@ def make_fused_multi_window_sharded(
                 grid, make_step, halo_per_step, n_fields,
                 local_rows=local_rows, local_cols=local_cols,
                 ext_cols=ext_cols, dtype=dtype, k=probe_k,
-                interpret=interpret,
+                interpret=interpret, bc_inputs=bc_inputs,
             )
             break
         except PallasUnsupportedError:
@@ -426,15 +479,44 @@ def make_fused_multi_window_sharded(
         raise PallasUnsupportedError(
             "Shard too small for any temporal-blocking factor"
         )
-    from ..ops.pallas_cartesian import _make_binary_chunked_window
 
-    window_t = _make_binary_chunked_window(build, k)
+    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    if not t_specs:
+        window_t = _make_binary_chunked_window(build, k)
 
-    def window(datas, steps):
-        return list(window_t(tuple(datas), steps))
+        def window(datas, steps):
+            return list(window_t(tuple(datas), steps))
 
-    window.multi_field = True
-    return window
+        window.multi_field = True
+        return window
+
+    if dt is None:
+        raise ValueError("dt is required for time-dependent BC windows")
+    kernels = _binary_kernel_ladder(build, k)
+    t_funcs = [spec.const_t for spec in t_specs]
+
+    def make_t_tab(ts):
+        return jnp.stack([jax.vmap(fn)(ts) for fn in t_funcs], axis=1)
+
+    def window_td(datas, t0, steps):
+        state = tuple(datas)
+        index = jnp.asarray(0, jnp.int32)
+        remaining = steps
+        for kk, step_fn in kernels:
+            chunks = remaining // kk
+
+            def body(c, carry, _kk=kk, _step=step_fn):
+                d, idx = carry
+                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                return (_step(d, make_t_tab(ts)), idx + _kk)
+
+            state, index = jax.lax.fori_loop(0, chunks, body, (state, index))
+            remaining = remaining - chunks * kk
+        return list(state)
+
+    window_td.multi_field = True
+    window_td.needs_t = True
+    return window_td
 
 
 def _make_fused_multi_window_sharded_3d(

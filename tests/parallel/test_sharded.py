@@ -812,3 +812,107 @@ def test_sharded_fused_time_bc_tracker_windows(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
         )
+
+
+# -- expression-compiled sharded windows with inhomogeneous / t-dependent BCs --------
+
+
+@pytest.mark.parametrize("decomposition", [[2, 1], [4, 1], [1, 2], [2, 2]])
+def test_sharded_expression_inhomogeneous_bc_parity(decomposition, rng,
+                                                    monkeypatch):
+    """Array/t-dependent BC values reach the sharded multi-field ext kernel:
+    GLOBAL value vectors sliced per shard by lax.axis_index feed the runtime
+    side inputs (reference virtual-point arrays under MPI,
+    `local.py:1541-2104`)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=False)
+    u = pde.ScalarField.random_uniform(grid, rng=rng)
+    v = pde.ScalarField.random_uniform(grid, rng=rng)
+    state = pde.FieldCollection([u, v], labels=["u", "v"])
+    bc_u = {"x-": {"value": np.linspace(0.0, 2.0, 16)},
+            "x+": {"derivative": 0.5}, "y": {"derivative": 0}}
+    bc_v = {"x": {"derivative": 0}, "y-": {"value_expression": "cos(2 * t)"},
+            "y+": {"value": 1.0}}
+    eq = pde.PDE(
+        {"u": "1.0 + u**2 * v - 4.4 * u + 0.05 * laplace(u)",
+         "v": "3.4 * u - u**2 * v + 0.1 * laplace(v)"},
+        bc_ops={"u:laplace": bc_u, "v:laplace": bc_v},
+    )
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+    for a, b in zip(res, ref, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
+
+
+@pytest.mark.parametrize("decomposition", [[2, 2], [1, 2]])
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x-": {"value": np.linspace(-1.0, 1.0, 16)}, "x+": {"derivative": 0},
+         "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}},
+        {"x-": {"value_expression": "y**2"}, "x+": {"derivative": 0},
+         "y-": {"value": np.linspace(1.0, 3.0, 16)}, "y+": {"value": 0.0}},
+    ],
+    ids=["array-plus-t", "expr-spatial-both"],
+)
+def test_sharded_expression_single_field_bc_parity(decomposition, bc, rng,
+                                                   monkeypatch):
+    """Single-field expression PDEs keep array/t BC values on decomposed
+    grids (the F=1 route through the multi-field ext kernel)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=False)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.PDE({"c": "0.1 * laplace(c) - c**3"}, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_sharded_expression_time_bc_tracker_windows(rng, monkeypatch):
+    """Sharded expression windows with t-dependent BCs restart the per-chunk
+    const table at each tracker-window t_start."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=[True, False])
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"x": "periodic", "y-": {"value_expression": "sin(5 * t)"},
+          "y+": {"derivative": 0}}
+    eq = pde.PDE({"c": "0.2 * laplace(c) - c**3"}, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+    from pde_tpu.storage.memory import MemoryStorage
+
+    storage = MemoryStorage()
+    solver = EulerSolver(eq, decomposition=[2, 2])
+    Controller(solver, t_range=0.06, tracker=storage.tracker(0.02)).run(
+        state, dt=1e-3
+    )
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    storage_ref = MemoryStorage()
+    eq.solve(state, t_range=0.06, dt=1e-3, tracker=storage_ref.tracker(0.02))
+    for a, b in zip(storage, storage_ref, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )

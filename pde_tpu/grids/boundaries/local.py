@@ -761,8 +761,13 @@ class ExpressionBC(BCBase):
             edge = self.grid.shape[self.axis] - 1 if self.upper else 0
             read_offset = abs(self.value_cell - edge)
         bc_coords = self.grid._boundary_coordinates(self.axis, self.upper)
+        # keep the coordinates as NumPy: the setter may be constructed inside
+        # someone else's jit trace (operators build lazily on first call), and
+        # jax arrays created under trace A and closed over by a cached closure
+        # can leak into trace B as stale tracers (observed flakily, id-reuse
+        # dependent); np constants convert freshly per trace instead
         coord_arrays = tuple(
-            jnp.asarray(bc_coords[..., i]) for i in range(self.grid.num_axes)
+            np.asarray(bc_coords[..., i]) for i in range(self.grid.num_axes)
         )
         func = self._func
 

@@ -86,7 +86,30 @@ class DiffusionPDE(SDEBase):
                 interpret=interpret_requested(),
             )
         except PallasUnsupportedError as err:
+            if state.grid.num_axes == 2 and self._bcs_have_xt(state.grid, bcs):
+                # sin(x - t)-style BC values: only the expression-compiled
+                # stencil kernels lower per-chunk (k, n) value tables
+                from .base import make_fused_window_via_expression
+
+                return make_fused_window_via_expression(
+                    self, state, dt, f"{self.diffusivity!r} * laplace(c)",
+                    self.bc, mesh=mesh,
+                )
             raise NotImplementedError(str(err)) from err
+
+    @staticmethod
+    def _bcs_have_xt(grid, bcs) -> bool:
+        """True when any side carries a space-AND-time-dependent value."""
+        from ..ops.pallas_cartesian import (
+            PallasUnsupportedError,
+            _specs_have_xt,
+            affine_bc_specs,
+        )
+
+        try:
+            return _specs_have_xt(affine_bc_specs(grid, bcs))
+        except PallasUnsupportedError:
+            return False
 
     def make_etdrk_parts(self, state):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""

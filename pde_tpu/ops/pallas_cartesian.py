@@ -241,27 +241,37 @@ def affine_bc_params(grid, bcs):
 
 class _BCSideSpec:
     """Affine ghost-point data for one axis side, in the general form
-    ``ghost = const_static + const_t(t) + f1*edge + f2*next_inward``.
+    ``ghost = const_static + const_t(t) + f1*edge + f2*next_inward``
+    (or ``ghost = const_xt(t) + f1*edge + f2*next_inward`` for expressions
+    varying in both space and time).
 
     ``const_static`` is a scalar or a per-boundary-point array (the
     reference's virtual-point data is per-point arrays,
     `/root/reference/pde/grids/boundaries/local.py:1541-2104`);
     ``const_t`` is an optional traceable ``t -> scalar`` for time-dependent
-    expression BCs. Factors are always scalars in the fused path (array
-    factors — e.g. Robin with spatially varying gamma — fall back to XLA).
+    expression BCs; ``const_xt`` is an optional traceable ``t -> (n,)
+    array`` for space-AND-time-dependent expression BCs (lowered as
+    per-chunk ``(k, n)`` value tables by the stencil-helper kernels).
+    Factors are always scalars in the fused path (array factors — e.g.
+    Robin with spatially varying gamma — fall back to XLA).
     """
 
-    __slots__ = ("f1", "f2", "const_static", "const_t")
+    __slots__ = ("f1", "f2", "const_static", "const_t", "const_xt")
 
-    def __init__(self, f1, f2, const_static, const_t=None):
+    def __init__(self, f1, f2, const_static, const_t=None, const_xt=None):
         self.f1 = float(f1)
         self.f2 = float(f2)
         self.const_static = const_static
         self.const_t = const_t
+        self.const_xt = const_xt
 
     @property
     def is_scalar(self) -> bool:
-        return np.ndim(self.const_static) == 0 and self.const_t is None
+        return (
+            np.ndim(self.const_static) == 0
+            and self.const_t is None
+            and self.const_xt is None
+        )
 
     def scalar_triplet(self):
         """(const, f1, f2) floats; raises for array/time-dependent consts."""
@@ -344,10 +354,17 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
     )
     func = bc._func
     if has_t and has_coords:
-        raise PallasUnsupportedError(
-            "Expression BCs varying in both space and time are not "
-            "supported in fused kernels"
-        )
+        # space-AND-time dependence: the const is a per-point array rebuilt
+        # per step — lowered as per-chunk (k, n) value tables by the
+        # stencil-helper kernels (the specialized affine kernels reject it)
+        n_pts = int(np.prod(coord_arrays[0].shape))
+        jc = tuple(jnp.asarray(c) for c in coord_arrays)
+
+        def const_xt(t, _f=func, _dx=dx, _c=jc, _n=n_pts):
+            val = _f(jnp.zeros(()), _dx, *_c, t)
+            return jnp.broadcast_to(jnp.asarray(val), (_n,))
+
+        return _BCSideSpec(f1, 0.0, 0.0, const_xt=const_xt)
     if has_t:
         zeros = tuple(np.zeros(()) for _ in coord_arrays)
 
@@ -435,13 +452,16 @@ def collect_bc_side_inputs(bc_table):
 
     Returns ``None`` when every const is a plain scalar (the kernels then
     need no side inputs), else ``{"arrays": [('row'|'col', spec), ...],
-    "t": [spec, ...]}`` with each distinct :class:`_BCSideSpec` appearing
-    once (the expression compiler resolves BCs per ``(var, operator)``, so
-    the same side may carry several independent spec objects — each gets
-    its own staged slot).
+    "t": [spec, ...], "xt": [('row'|'col', spec), ...]}`` with each
+    distinct :class:`_BCSideSpec` appearing once (the expression compiler
+    resolves BCs per ``(var, operator)``, so the same side may carry
+    several independent spec objects — each gets its own staged slot).
+    ``xt`` entries are space-AND-time-dependent consts, lowered as
+    per-chunk ``(k, n)`` value tables.
     """
     arrays: list = []
     t_specs: list = []
+    xt: list = []
     seen: set = set()
     for specs in bc_table.values():
         if specs is None:
@@ -453,13 +473,31 @@ def collect_bc_side_inputs(bc_table):
                 if id(spec) in seen:
                     continue
                 seen.add(id(spec))
+                kind = "row" if ax == 0 else "col"
+                if spec.const_xt is not None:
+                    xt.append((kind, spec))
+                    continue
                 if np.ndim(spec.const_static) != 0:
-                    arrays.append(("row" if ax == 0 else "col", spec))
+                    arrays.append((kind, spec))
                 if spec.const_t is not None:
                     t_specs.append(spec)
-    if not arrays and not t_specs:
+    if not arrays and not t_specs and not xt:
         return None
-    return {"arrays": arrays, "t": t_specs}
+    return {"arrays": arrays, "t": t_specs, "xt": xt}
+
+
+def _specs_have_xt(specs) -> bool:
+    """True when any side carries a space-AND-time-dependent const (only
+    the stencil-helper kernels lower those; the specialized affine kernels
+    reject them)."""
+    if specs is None:
+        return False
+    return any(
+        side.const_xt is not None
+        for pair in specs
+        if pair is not None
+        for side in pair
+    )
 
 
 def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
@@ -468,6 +506,8 @@ def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
     try:
         specs = affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
+        return False
+    if _specs_have_xt(specs):
         return False
     # bf16 needs the MXU lane path, which requires periodic columns
     cols_periodic = specs is None or (len(specs) > 1 and specs[1] is None)
@@ -512,6 +552,11 @@ def make_affine_laplace_2d(
     from jax.experimental.pallas import tpu as pltpu
 
     bc_specs = None if bcs is None else affine_bc_specs(grid, bcs)
+    if _specs_have_xt(bc_specs):
+        raise PallasUnsupportedError(
+            "Space-and-time-dependent BC values are not supported by the "
+            "affine kernel (the expression-compiled windows lower them)"
+        )
     if bcs is None and not all(grid.periodic):
         raise PallasUnsupportedError(
             "Non-periodic grids require explicit boundary conditions"
@@ -1165,7 +1210,21 @@ def _make_stencil_helpers(
         ``(shape[0], 1)`` slice — staged-block row of local row ``g`` is
         ``stage_row_halo + g`` and the array's first row is local row
         ``-(shape[0] - band) // 2``.
+
+        Space-and-time-dependent consts (``spec.const_xt``) read the
+        CURRENT step's slice of a per-chunk table: row-side blocks are
+        ``(k, W)`` (step-indexed rows), column-side blocks ``(k, R, 128)``
+        (step-indexed leading dim); the kernel sets ``helpers.step_idx``
+        before each step call.
         """
+        if spec.const_xt is not None:
+            arr = helpers.bc_arrays[id(spec)]
+            s = helpers.step_idx
+            if axis_side == "row":
+                off = helpers.stage_col_halo - (shape[1] - n_cols) // 2
+                return arr[s : s + 1, off : off + shape[1]]
+            off = helpers.stage_row_halo - (shape[0] - band) // 2
+            return arr[s][off : off + shape[0]][:, 0:1]
         c = spec.const_static
         if np.ndim(c) != 0:
             arr = helpers.bc_arrays[id(spec)]
@@ -1246,6 +1305,7 @@ def _make_stencil_helpers(
             t_consts: dict = {}
             stage_row_halo = 0
             stage_col_halo = 0
+            step_idx = 0
 
             @staticmethod
             def trim(value, amount):
@@ -1310,6 +1370,7 @@ def _make_stencil_helpers(
         t_consts: dict = {}
         stage_row_halo = 0
         stage_col_halo = 0
+        step_idx = 0
 
         @staticmethod
         def trim(value, amount):
@@ -1927,6 +1988,7 @@ def make_fused_multi_stencil_window_2d(
     # staged side inputs for inhomogeneous / t-dependent BC consts
     arr_entries = [] if bc_inputs is None else bc_inputs["arrays"]
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
     has_t = bool(t_specs)
     row_entries = []  # (spec, (1, n_cols) block)
     col_entries = []  # (spec, (n_rows + 2*halo, 128) extended block)
@@ -1943,6 +2005,12 @@ def make_fused_multi_stencil_window_2d(
                 (spec, np.broadcast_to(ext.reshape(-1, 1), (ext.size, 128)).copy())
             )
     n_row_in, n_col_in = len(row_entries), len(col_entries)
+    # space-AND-time consts: per-chunk tables as RUNTIME operands, one row
+    # per temporal-block step (row-side (k, n_cols) VMEM blocks; column-side
+    # (k, n_rows + 2*halo, 128) HBM blocks DMA-sliced per program)
+    xt_row_specs = [spec for kind, spec in xt_entries if kind == "row"]
+    xt_col_specs = [spec for kind, spec in xt_entries if kind == "col"]
+    n_xtr, n_xtc = len(xt_row_specs), len(xt_col_specs)
 
     def kernel(*refs):
         pos = 0
@@ -1951,16 +2019,22 @@ def make_fused_multi_stencil_window_2d(
             pos += 1
         row_refs = refs[pos : pos + n_row_in]
         pos += n_row_in
+        xtr_refs = refs[pos : pos + n_xtr]
+        pos += n_xtr
         col_hbm = refs[pos : pos + n_col_in]
         pos += n_col_in
+        xtc_hbm = refs[pos : pos + n_xtc]
+        pos += n_xtc
         ins = refs[pos : pos + F]
         outs = refs[pos + F : pos + 2 * F]
         pos += 2 * F
         band_refs = refs[pos : pos + F]
         tops = refs[pos + F : pos + 2 * F]
         bots = refs[pos + 2 * F : pos + 3 * F]
-        col_vmem = refs[pos + 3 * F : pos + 3 * F + n_col_in]
-        sem = refs[pos + 3 * F + n_col_in]
+        pos += 3 * F
+        col_vmem = refs[pos : pos + n_col_in]
+        xtc_vmem = refs[pos + n_col_in : pos + n_col_in + n_xtc]
+        sem = refs[pos + n_col_in + n_xtc]
         i = pl.program_id(0)
         row0 = i * band
         top_row = pl.multiple_of(
@@ -1989,6 +2063,16 @@ def make_fused_multi_stencil_window_2d(
             )
             cp.start()
             copies.append(cp)
+        for j in range(n_xtc):
+            cp = pltpu.make_async_copy(
+                xtc_hbm[j].at[
+                    :, pl.ds(pl.multiple_of(row0, 8), band + 2 * halo), :
+                ],
+                xtc_vmem[j],
+                sem.at[3 * F + n_col_in + j],
+            )
+            cp.start()
+            copies.append(cp)
         for cp in copies:
             cp.wait()
 
@@ -1998,6 +2082,10 @@ def make_fused_multi_stencil_window_2d(
             bc_arrays[id(spec)] = row_refs[j]
         for j, (spec, _) in enumerate(col_entries):
             bc_arrays[id(spec)] = col_vmem[j]
+        for j, spec in enumerate(xt_row_specs):
+            bc_arrays[id(spec)] = xtr_refs[j]
+        for j, spec in enumerate(xt_col_specs):
+            bc_arrays[id(spec)] = xtc_vmem[j]
         helpers.bc_arrays = bc_arrays
 
         works = [
@@ -2012,6 +2100,7 @@ def make_fused_multi_stencil_window_2d(
             for f in range(F)
         ]
         for s in range(k):
+            helpers.step_idx = s
             if has_t:
                 helpers.t_consts = {
                     id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
@@ -2025,7 +2114,10 @@ def make_fused_multi_stencil_window_2d(
         + [
             pl.BlockSpec((1, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ] * n_row_in
-        + [pl.BlockSpec(memory_space=pl.ANY)] * n_col_in
+        + [
+            pl.BlockSpec((k, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ] * n_xtr
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_col_in + n_xtc)
         + [pl.BlockSpec(memory_space=pl.ANY)] * F
     )
     call = pl.pallas_call(
@@ -2040,7 +2132,8 @@ def make_fused_multi_stencil_window_2d(
             [pltpu.VMEM((band, n_cols), dtype)] * F
             + [pltpu.VMEM((halo, n_cols), dtype)] * (2 * F)
             + [pltpu.VMEM((band + 2 * halo, 128), dtype)] * n_col_in
-            + [pltpu.SemaphoreType.DMA((3 * F + n_col_in,))]
+            + [pltpu.VMEM((k, band + 2 * halo, 128), dtype)] * n_xtc
+            + [pltpu.SemaphoreType.DMA((3 * F + n_col_in + n_xtc,))]
         ),
         interpret=interpret,
     )
@@ -2048,16 +2141,37 @@ def make_fused_multi_stencil_window_2d(
     row_consts = [jnp.asarray(a, dtype=dtype) for _, a in row_entries]
     col_consts = [jnp.asarray(a, dtype=dtype) for _, a in col_entries]
 
-    if has_t:
+    if has_t or xt_entries:
 
-        def window_k_t(datas, t_tab):
+        def window_k_t(datas, xt_ops, t_tab=None):
+            """``xt_ops``: per-chunk (k, n) value tables, one per
+            ``window_k_t.xt_entries`` entry (row-side (k, n_cols);
+            column-side (k, n_rows), wrap-padded + lane-broadcast here)."""
+            xtr, xtc = [], []
+            for (kind, _), arr in zip(xt_entries, xt_ops, strict=True):
+                arr = jnp.asarray(arr, dtype=dtype)
+                if kind == "row":
+                    xtr.append(arr)
+                else:
+                    ext = jnp.concatenate(
+                        [arr[:, -halo:], arr, arr[:, :halo]], axis=1
+                    )
+                    xtc.append(
+                        jnp.broadcast_to(
+                            ext[:, :, None], (*ext.shape, 128)
+                        )
+                    )
+            t_args = (
+                [jnp.asarray(t_tab, dtype=dtype)] if has_t else []
+            )
             out = call(
-                jnp.asarray(t_tab, dtype=dtype), *row_consts, *col_consts,
+                *t_args, *row_consts, *xtr, *col_consts, *xtc,
                 *[jnp.asarray(d, dtype=dtype) for d in datas],
             )
             return list(out)
 
-        window_k_t.t_specs = tuple(t_specs)
+        window_k_t.t_specs = tuple(t_specs) if has_t else None
+        window_k_t.xt_entries = tuple(xt_entries)
         return window_k_t, k
 
     def window_k(datas):
@@ -2068,6 +2182,7 @@ def make_fused_multi_stencil_window_2d(
         return list(out)
 
     window_k.t_specs = None
+    window_k.xt_entries = ()
     return window_k, k
 
 
@@ -2147,10 +2262,14 @@ def make_fused_multi_ext_window_2d(
     # lax.axis_index, per the bit-identity rule)
     arr_entries = [] if bc_inputs is None else list(bc_inputs["arrays"])
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
     has_t = bool(t_specs)
     row_specs = [spec for kind, spec in arr_entries if kind == "row"]
     col_specs = [spec for kind, spec in arr_entries if kind == "col"]
     n_row_in, n_col_in = len(row_specs), len(col_specs)
+    xt_row_specs = [spec for kind, spec in xt_entries if kind == "row"]
+    xt_col_specs = [spec for kind, spec in xt_entries if kind == "col"]
+    n_xtr, n_xtc = len(xt_row_specs), len(xt_col_specs)
 
     def kernel(flags_ref, *refs):
         pos = 0
@@ -2159,14 +2278,20 @@ def make_fused_multi_ext_window_2d(
             pos += 1
         row_refs = refs[pos : pos + n_row_in]
         pos += n_row_in
+        xtr_refs = refs[pos : pos + n_xtr]
+        pos += n_xtr
         col_hbm = refs[pos : pos + n_col_in]
         pos += n_col_in
+        xtc_hbm = refs[pos : pos + n_xtc]
+        pos += n_xtc
         ins = refs[pos : pos + F]
         outs = refs[pos + F : pos + 2 * F]
         pos += 2 * F
         work_refs = refs[pos : pos + F]
-        col_vmem = refs[pos + F : pos + F + n_col_in]
-        sem = refs[pos + F + n_col_in]
+        pos += F
+        col_vmem = refs[pos : pos + n_col_in]
+        xtc_vmem = refs[pos + n_col_in : pos + n_col_in + n_xtc]
+        sem = refs[pos + n_col_in + n_xtc]
         helpers.flags = flags_ref
         i = pl.program_id(0)
         row0 = i * band  # input rows [row0, row0 + band + 2*halo)
@@ -2190,6 +2315,16 @@ def make_fused_multi_ext_window_2d(
             )
             cp.start()
             copies.append(cp)
+        for j in range(n_xtc):
+            cp = pltpu.make_async_copy(
+                xtc_hbm[j].at[
+                    :, pl.ds(pl.multiple_of(row0, band), band + 2 * halo), :
+                ],
+                xtc_vmem[j],
+                sem.at[F + n_col_in + j],
+            )
+            cp.start()
+            copies.append(cp)
         for cp in copies:
             cp.wait()
 
@@ -2200,6 +2335,10 @@ def make_fused_multi_ext_window_2d(
             bc_arrays[id(spec)] = row_refs[j]
         for j, spec in enumerate(col_specs):
             bc_arrays[id(spec)] = col_vmem[j]
+        for j, spec in enumerate(xt_row_specs):
+            bc_arrays[id(spec)] = xtr_refs[j]
+        for j, spec in enumerate(xt_col_specs):
+            bc_arrays[id(spec)] = xtc_vmem[j]
         helpers.bc_arrays = bc_arrays
 
         col_sl = (
@@ -2212,6 +2351,7 @@ def make_fused_multi_ext_window_2d(
             for f in range(F)
         ]
         for s in range(k):
+            helpers.step_idx = s
             if has_t:
                 helpers.t_consts = {
                     id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
@@ -2226,7 +2366,10 @@ def make_fused_multi_ext_window_2d(
         + [
             pl.BlockSpec((1, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ] * n_row_in
-        + [pl.BlockSpec(memory_space=pl.ANY)] * n_col_in
+        + [
+            pl.BlockSpec((k, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ] * n_xtr
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_col_in + n_xtc)
         + [pl.BlockSpec(memory_space=pl.ANY)] * F
     )
     call = pl.pallas_call(
@@ -2240,7 +2383,8 @@ def make_fused_multi_ext_window_2d(
         scratch_shapes=(
             [pltpu.VMEM((band + 2 * halo, lanes), dtype)] * F
             + [pltpu.VMEM((band + 2 * halo, 128), dtype)] * n_col_in
-            + [pltpu.SemaphoreType.DMA((F + n_col_in,))]
+            + [pltpu.VMEM((k, band + 2 * halo, 128), dtype)] * n_xtc
+            + [pltpu.SemaphoreType.DMA((F + n_col_in + n_xtc,))]
         ),
         interpret=interpret,
     )
@@ -2260,10 +2404,12 @@ def make_fused_multi_ext_window_2d(
             edge_flags, jnp.int32
         )
         n_arr = n_row_in + n_col_in
+        n_xt = n_xtr + n_xtc
         supplied = list(extra[:n_arr])
+        xt_supplied = list(extra[n_arr : n_arr + n_xt])
         t_args = []
         if has_t:
-            t_args = [jnp.asarray(extra[n_arr], dtype=dtype)]
+            t_args = [jnp.asarray(extra[n_arr + n_xt], dtype=dtype)]
         row_ops, col_ops = [], []
         for (kind, _), arr in zip(arr_entries, supplied, strict=True):
             arr = jnp.asarray(arr, dtype=dtype)
@@ -2278,9 +2424,23 @@ def make_fused_multi_ext_window_2d(
                 col_ops.append(
                     jnp.broadcast_to(arr.reshape(-1, 1), (arr.shape[0], 128))
                 )
-        return list(call(flags, *t_args, *row_ops, *col_ops, *arrs))
+        xtr_ops, xtc_ops = [], []
+        for (kind, _), arr in zip(xt_entries, xt_supplied, strict=True):
+            arr = jnp.asarray(arr, dtype=dtype)
+            if kind == "row":
+                if arr.shape[1] < lanes:
+                    arr = jnp.pad(arr, ((0, 0), (0, lanes - arr.shape[1])))
+                xtr_ops.append(arr)
+            else:
+                xtc_ops.append(
+                    jnp.broadcast_to(arr[:, :, None], (*arr.shape, 128))
+                )
+        return list(
+            call(flags, *t_args, *row_ops, *xtr_ops, *col_ops, *xtc_ops, *arrs)
+        )
 
     window_k.array_entries = tuple((kind, spec) for kind, spec in arr_entries)
+    window_k.xt_entries = tuple(xt_entries)
     window_k.t_specs = tuple(t_specs) if has_t else None
     window_k.halo = halo
     return window_k, k
@@ -2773,12 +2933,13 @@ def make_chunked_multi_window_2d(
             grid, make_step, halo_per_step, n_fields, dtype=dtype, k=kk,
             interpret=interpret, bc_inputs=bc_inputs,
         )
-        if step.t_specs is None:
+        if step.t_specs is None and not step.xt_entries:
             return lambda d: tuple(step(list(d)))
-        return lambda d, t_tab: tuple(step(list(d), t_tab))
+        return lambda d, xt_ops, t_tab: tuple(step(list(d), xt_ops, t_tab))
 
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
-    if not t_specs:
+    xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
+    if not t_specs and not xt_entries:
         window_t = _make_binary_chunked_window(build, k)
 
         def window(datas, steps):
@@ -2790,8 +2951,11 @@ def make_chunked_multi_window_2d(
         raise ValueError("dt is required for time-dependent BC windows")
     kernels = _binary_kernel_ladder(build, k)
     t_funcs = [spec.const_t for spec in t_specs]
+    xt_funcs = [spec.const_xt for _, spec in xt_entries]
 
     def make_t_tab(ts):
+        if not t_funcs:
+            return None
         return jnp.stack([jax.vmap(fn)(ts) for fn in t_funcs], axis=1)
 
     def window_td(datas, t0, steps):
@@ -2804,7 +2968,8 @@ def make_chunked_multi_window_2d(
             def body(c, carry, _kk=kk, _step=step_fn):
                 d, idx = carry
                 ts = t0 + (idx + jnp.arange(_kk)) * dt
-                return (_step(d, make_t_tab(ts)), idx + _kk)
+                xt_ops = [jax.vmap(fn)(ts) for fn in xt_funcs]
+                return (_step(d, xt_ops, make_t_tab(ts)), idx + _kk)
 
             state, index = jax.lax.fori_loop(0, chunks, body, (state, index))
             remaining = remaining - chunks * kk
@@ -2910,7 +3075,8 @@ def make_fused_euler_window_2d(
                 return False
             if bcs is not None:
                 try:
-                    affine_bc_specs(grid, bcs)
+                    if _specs_have_xt(affine_bc_specs(grid, bcs)):
+                        return False
                 except PallasUnsupportedError:
                     return False
             return True
@@ -2981,6 +3147,8 @@ def supports_affine_laplace_cyl(grid, bcs, dtype, k: int = 1) -> bool:
     try:
         specs = affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
+        return False
+    if _specs_have_xt(specs):
         return False
     cols_periodic = specs is None or (len(specs) > 1 and specs[1] is None)
     return _supports_fused_shape_2d(
@@ -3372,6 +3540,11 @@ def make_affine_laplace_ext_2d(
             if axis is None
             else tuple(_BCSideSpec(f1, f2, c) for (c, f1, f2) in axis)
             for axis in bc_params
+        )
+    if _specs_have_xt(bc_specs):
+        raise PallasUnsupportedError(
+            "Space-and-time-dependent BC values are not supported by the "
+            "affine ext kernel (the expression-compiled windows lower them)"
         )
     bc_rows = None if bc_specs is None else bc_specs[0]
     bc_cols = None if bc_specs is None else bc_specs[1]

@@ -435,7 +435,7 @@ def make_fused_multi_window_sharded(
                     (kind, np.concatenate([arr[-h:], arr, arr[:h]]))
                 )
 
-        def step_fn(datas, t_tab=None):
+        def step_fn(datas, ts=None):
             extra = []
             for kind, g_np in side_global:
                 g = jnp.asarray(g_np, dtype=dtype)
@@ -453,8 +453,28 @@ def make_fused_multi_window_sharded(
                     )
                     g = jax.lax.dynamic_slice(g, (off,), (local_rows + 2 * h,))
                 extra.append(g)
+            # space-AND-time consts: evaluate the GLOBAL per-step table for
+            # this chunk, wrap-pad along the point axis, slice per shard
+            for kind, spec in step.xt_entries:
+                tab = jax.vmap(spec.const_xt)(ts).astype(dtype)
+                kk = tab.shape[0]
+                if kind == "row" and not ext_cols:
+                    pass  # column axis not cut: the whole row applies
+                else:
+                    tab = jnp.concatenate(
+                        [tab[:, -h:], tab, tab[:, :h]], axis=1
+                    )
+                    ax = 1 if kind == "row" else 0
+                    n_loc = local_cols if kind == "row" else local_rows
+                    off = jax.lax.axis_index(axis_names[ax]) * np.int32(n_loc)
+                    tab = jax.lax.dynamic_slice(
+                        tab, (np.int32(0), off), (kk, n_loc + 2 * h)
+                    )
+                extra.append(tab)
             if step.t_specs is not None:
-                extra.append(t_tab)
+                cols = [jax.vmap(fn)(ts) for fn in
+                        [sp.const_t for sp in step.t_specs]]
+                extra.append(jnp.stack(cols, axis=1))
             return tuple(
                 step([pad(d) for d in datas], edge_flags(), *extra)
             )
@@ -480,8 +500,10 @@ def make_fused_multi_window_sharded(
             "Shard too small for any temporal-blocking factor"
         )
 
-    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
-    if not t_specs:
+    needs_time = bc_inputs is not None and (
+        bc_inputs["t"] or bc_inputs.get("xt")
+    )
+    if not needs_time:
         window_t = _make_binary_chunked_window(build, k)
 
         def window(datas, steps):
@@ -493,10 +515,6 @@ def make_fused_multi_window_sharded(
     if dt is None:
         raise ValueError("dt is required for time-dependent BC windows")
     kernels = _binary_kernel_ladder(build, k)
-    t_funcs = [spec.const_t for spec in t_specs]
-
-    def make_t_tab(ts):
-        return jnp.stack([jax.vmap(fn)(ts) for fn in t_funcs], axis=1)
 
     def window_td(datas, t0, steps):
         state = tuple(datas)
@@ -508,7 +526,7 @@ def make_fused_multi_window_sharded(
             def body(c, carry, _kk=kk, _step=step_fn):
                 d, idx = carry
                 ts = t0 + (idx + jnp.arange(_kk)) * dt
-                return (_step(d, make_t_tab(ts)), idx + _kk)
+                return (_step(d, ts), idx + _kk)
 
             state, index = jax.lax.fori_loop(0, chunks, body, (state, index))
             remaining = remaining - chunks * kk

@@ -773,12 +773,13 @@ def test_fused_window_time_bc_tracker_windows(rng, monkeypatch):
 
 
 def test_fused_window_unsupported_bc_values_fall_back(rng, monkeypatch):
-    """Space-AND-time-dependent and adjacent-value expressions fall back."""
+    """Adjacent-value expressions (virtual_point/mixed) fall back; space-AND-
+    time-dependent values now reroute through the expression-compiled
+    kernels instead (see test_fused_window_space_time_bc_parity)."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
     for bc in (
-        {"x": "periodic", "y": {"value_expression": "sin(x * t)"}},
         {"x": "periodic", "y": {"virtual_point": "2 * value"}},
         {"x": "periodic", "y": {"mixed_expression": "x"}},
     ):
@@ -790,6 +791,79 @@ def test_fused_window_unsupported_bc_values_fall_back(rng, monkeypatch):
         out, _ = stepper(state, 0.0, 0.01)
         assert solver.info.get("fused_step") is None
         assert np.all(np.isfinite(np.asarray(out.data)))
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": "periodic", "y-": {"value_expression": "sin(x * t)"},
+         "y+": {"derivative": 0}},
+        {"x-": {"value_expression": "sin(3 * y - 2 * t)"},
+         "x+": {"derivative": 0}, "y": {"derivative": 0}},
+        {"x-": {"value_expression": "sin(y - t)"}, "x+": {"derivative": 0},
+         "y-": {"value_expression": "cos(x) * sin(t)"},
+         "y+": {"derivative_expression": "0.1 * x * cos(t)"}},
+    ],
+    ids=["xt-col", "xt-row", "xt-both-axes"],
+)
+def test_fused_window_space_time_bc_parity(bc, rng, monkeypatch):
+    """Space-AND-time-dependent expression BCs lower as per-chunk (k, n)
+    value tables (row-side (k, n_cols) VMEM blocks, column-side
+    (k, rows, 128) DMA slices); DiffusionPDE reroutes through the
+    expression-compiled kernels since the affine kernel rejects them."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    periodic = [bc.get(ax) == "periodic" for ax in "xy"]
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    for eq in (
+        pde.DiffusionPDE(diffusivity=0.1, bc=bc),
+        pde.PDE({"c": "0.1 * laplace(c) - c**3"}, bc=bc),
+    ):
+        solver = EulerSolver(eq)
+        res = Controller(solver, t_range=0.02, tracker=None).run(
+            state, dt=1e-3
+        )
+        assert solver.info.get("fused_step") is True, type(eq).__name__
+
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+        ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+        np.testing.assert_allclose(
+            np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_fused_window_space_time_bc_tracker_windows(rng, monkeypatch):
+    """Space-time BC value tables restart from each window's t_start."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.UnitGrid([16, 16], periodic=[True, False])
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"x": "periodic", "y-": {"value_expression": "sin(x - 5 * t)"},
+          "y+": {"derivative": 0}}
+    eq = pde.PDE({"c": "0.2 * laplace(c)"}, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+    from pde_tpu.storage.memory import MemoryStorage
+
+    storage = MemoryStorage()
+    solver = EulerSolver(eq)
+    Controller(solver, t_range=0.06, tracker=storage.tracker(0.02)).run(
+        state, dt=1e-3
+    )
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    storage_ref = MemoryStorage()
+    eq.solve(state, t_range=0.06, dt=1e-3, tracker=storage_ref.tracker(0.02))
+    for a, b in zip(storage, storage_ref, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
 
 
 def test_fused_window_corner_weight_falls_back(rng, monkeypatch):

@@ -916,3 +916,32 @@ def test_sharded_expression_time_bc_tracker_windows(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
         )
+
+
+@pytest.mark.parametrize("decomposition", [[2, 1], [1, 2], [2, 2]])
+def test_sharded_expression_space_time_bc_parity(decomposition, rng,
+                                                 monkeypatch):
+    """Space-AND-time-dependent BC values on decomposed grids: the GLOBAL
+    (k, n) per-step value tables evaluate per chunk and slice per shard by
+    lax.axis_index before feeding the ext kernel's step-indexed blocks."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=False)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"x-": {"value_expression": "sin(3 * y - 2 * t)"},
+          "x+": {"derivative": 0},
+          "y-": {"value_expression": "cos(x) * sin(t)"},
+          "y+": {"derivative": 0}}
+    eq = pde.PDE({"c": "0.1 * laplace(c) - c**3"}, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )

@@ -307,20 +307,20 @@ def _uniform_scalar(value):
 
 
 def _expression_bc_spec(bc) -> _BCSideSpec:
-    """Lower an ExpressionValueBC/ExpressionDerivativeBC side.
+    """Lower an ExpressionBC side (any target: value/derivative/mixed/
+    virtual_point).
 
-    The target makes the ghost affine in the adjacent value with a KNOWN
-    factor (value: ghost = 2v - adj; derivative: ghost = dx·v + adj), so the
-    const is just ``func(adjacent=0)``. Expressions combining both spatial
-    and time dependence fall back (would need per-step per-point arrays).
+    Every target builds a ghost formula ``ghost = func(adjacent, dx, coords,
+    t)``; the fused kernels need the AFFINE form ``ghost = const + f1*adj``.
+    ``f1`` is extracted by differentiating the sympy expression w.r.t. the
+    adjacent value (with ``dx`` substituted so e.g. the mixed target's
+    ``(2 - gamma*dx)/(gamma*dx + 2)`` coefficient evaluates to a number);
+    any expression whose adjacent-value coefficient is non-constant (e.g.
+    nonlinear in ``value``, or a mixed BC with space-dependent gamma) falls
+    back to XLA. The const is then just ``func(adjacent=0)``.
     """
     import sympy
 
-    target = bc._input["target"]
-    if target not in ("value", "derivative"):
-        raise PallasUnsupportedError(
-            f"Expression BC target `{target}` is not supported in fused kernels"
-        )
     if bc.value_cell is not None or getattr(bc, "normal", False):
         raise PallasUnsupportedError(
             "value_cell/normal expression BCs are not supported in fused kernels"
@@ -330,20 +330,25 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
         raise PallasUnsupportedError(
             "Callable expression BCs are not supported in fused kernels"
         )
-    # the target wraps the user value v as `2v - value` / `dx*v + value`, so
-    # the adjacent-cell coefficient is the `value` derivative; it must be the
-    # known constant (a user expression referencing `value` itself breaks the
-    # affine structure and falls back)
     value_sym = sympy.Symbol("value")
-    sexpr = expr._sympy_expr
+    dx_val = float(bc.grid.discretization[bc.axis])
+    sexpr = expr._sympy_expr.subs(sympy.Symbol("dx"), sympy.Float(dx_val))
     dcoeff = sympy.diff(sexpr, value_sym)
-    expected_f1 = -1.0 if target == "value" else 1.0
-    if dcoeff.free_symbols or float(dcoeff) != expected_f1:
+    if dcoeff.free_symbols:
+        dcoeff = sympy.simplify(dcoeff)
+    if dcoeff.free_symbols or not sympy.im(dcoeff).is_zero:
         raise PallasUnsupportedError(
-            "Expression BCs reading the adjacent value are not supported"
+            "Expression BCs whose adjacent-value coefficient varies (or is "
+            "complex) are not supported in fused kernels"
         )
-    f1 = expected_f1
+    f1 = float(dcoeff)
     const_expr = sympy.expand(sexpr - dcoeff * value_sym)
+    if value_sym in const_expr.free_symbols:
+        const_expr = sympy.simplify(const_expr)
+    if value_sym in const_expr.free_symbols:
+        raise PallasUnsupportedError(
+            "Expression BCs nonlinear in the adjacent value are not supported"
+        )
     free = {str(s) for s in const_expr.free_symbols}
     has_t = "t" in free
     has_coords = bool(free & set(bc.grid.axes))
@@ -382,8 +387,9 @@ def affine_bc_specs(grid, bcs):
 
     Like :func:`affine_bc_params` but returns :class:`_BCSideSpec` pairs,
     additionally accepting inhomogeneous (per-boundary-point array) const
-    values and time-dependent expression BCs of the `value`/`derivative`
-    targets. Returns ``None`` when fully periodic.
+    values and time-dependent expression BCs of any target (value/
+    derivative/mixed/virtual_point) whose adjacent-value coefficient is a
+    constant. Returns ``None`` when fully periodic.
     """
     from ..grids.boundaries.local import (
         ConstBC1stOrderBase,

@@ -773,14 +773,17 @@ def test_fused_window_time_bc_tracker_windows(rng, monkeypatch):
 
 
 def test_fused_window_unsupported_bc_values_fall_back(rng, monkeypatch):
-    """Adjacent-value expressions (virtual_point/mixed) fall back; space-AND-
-    time-dependent values now reroute through the expression-compiled
+    """Expressions nonlinear in the adjacent value and mixed BCs with a
+    space-dependent gamma break the affine ghost structure and fall back;
+    space-AND-time-dependent VALUES reroute through the expression-compiled
     kernels instead (see test_fused_window_space_time_bc_parity)."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
     for bc in (
-        {"x": "periodic", "y": {"virtual_point": "2 * value"}},
+        {"x": "periodic", "y": {"virtual_point": "value**2"}},
+        {"x": "periodic", "y": {"virtual_point": "sin(value)"}},
+        {"x": "periodic", "y": {"virtual_point": "x * value"}},
         {"x": "periodic", "y": {"mixed_expression": "x"}},
     ):
         grid = pde.UnitGrid([16, 16], periodic=[True, False])
@@ -791,6 +794,57 @@ def test_fused_window_unsupported_bc_values_fall_back(rng, monkeypatch):
         out, _ = stepper(state, 0.0, 0.01)
         assert solver.info.get("fused_step") is None
         assert np.all(np.isfinite(np.asarray(out.data)))
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x-": {"virtual_point": 1.5}, "x+": {"derivative": 0},
+         "y": {"value": 0}},
+        {"x": {"derivative": 0}, "y-": {"virtual_point": "sin(3 * x)"},
+         "y+": {"value": 0}},
+        {"x-": {"virtual_point": "cos(t)"}, "x+": {"derivative": 0},
+         "y": {"derivative": 0}},
+        {"x-": {"virtual_point": "sin(y - t)"}, "x+": {"derivative": 0},
+         "y": {"value": 0}},
+        {"x-": {"type": "mixed_expression", "value": 1.0, "const": "sin(y)"},
+         "x+": {"derivative": 0}, "y": {"value": 0}},
+        {"x-": {"type": "mixed_expression", "value": 2.0,
+                "const": "cos(3 * t)"},
+         "x+": {"derivative": 0}, "y": {"derivative": 0}},
+        {"x": {"derivative": 0},
+         "y-": {"type": "mixed_expression", "value": 1.0,
+                "const": "sin(x - t)"},
+         "y+": {"value": 0}},
+        {"x-": {"value_expression": "value + sin(y)"}, "x+": {"derivative": 0},
+         "y": {"value": 0}},
+    ],
+    ids=["vp-static", "vp-x", "vp-t", "vp-xt", "mixed-beta-x",
+         "mixed-beta-t", "mixed-beta-xt", "value-affine-in-value"],
+)
+def test_fused_window_expression_target_bc_parity(bc, rng, monkeypatch):
+    """virtual_point / mixed_expression targets (and value expressions
+    affine in the adjacent value) lower through the generic sympy
+    coefficient extraction: ghost = const + f1*adj with f1 = d(expr)/d(value)
+    whenever that derivative is a constant (reference targets,
+    `/root/reference/pde/grids/boundaries/local.py:766`)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.1, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.05, tracker=None).run(state, dt=5e-4)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.05, dt=5e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
 
 
 @pytest.mark.parametrize(

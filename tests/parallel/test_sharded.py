@@ -784,6 +784,51 @@ def test_sharded_fused_time_dependent_bc_parity(decomposition, bc, rng, monkeypa
     )
 
 
+@pytest.mark.parametrize("decomposition", [[2, 1], [2, 2]])
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x-": {"virtual_point": "sin(y)"}, "x+": {"derivative": 0},
+         "y": {"value": 0}},
+        {"x": {"derivative": 0},
+         "y-": {"type": "mixed_expression", "value": 2.0,
+                "const": "cos(3 * t)"},
+         "y+": {"value": 0}},
+        {"x-": {"virtual_point": "sin(y - t)"}, "x+": {"derivative": 0},
+         "y": {"derivative": 0}},
+    ],
+    ids=["vp-x", "mixed-beta-t", "vp-xt"],
+)
+def test_sharded_fused_expression_target_bc_parity(
+    decomposition, bc, rng, monkeypatch
+):
+    """virtual_point/mixed_expression targets fuse on decomposed grids too
+    (the generic sympy coefficient extraction feeds the same staged-side-
+    input machinery); bit-identical to the single-device fused kernel."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.05, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    solver1 = EulerSolver(eq)
+    res1 = Controller(solver1, t_range=0.02, tracker=None).run(state, dt=1e-3)
+    assert solver1.info.get("fused_step") is True
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(res1.data))
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
 def test_sharded_fused_time_bc_tracker_windows(rng, monkeypatch):
     """Sharded t-dependent BC windows restart the const table at each
     tracker-window t_start."""

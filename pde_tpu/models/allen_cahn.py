@@ -45,7 +45,7 @@ class AllenCahnPDE(PDEBase):
         return make_fused_window_via_expression(self, state, dt, rhs,
                                                 self.bc, mesh=mesh)
 
-    def make_etdrk_parts(self, state):
+    def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
@@ -53,4 +53,4 @@ class AllenCahnPDE(PDEBase):
             f"{self.mobility!r} * ({self.interface_width!r} * laplace(c)"
             " - c**3 + c)"
         )
-        return make_etdrk_parts_via_expression(self, state, rhs, self.bc)
+        return make_etdrk_parts_via_expression(self, state, rhs, self.bc, rhs_state=rhs_state)

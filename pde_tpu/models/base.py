@@ -398,7 +398,8 @@ class EtdrkParts:
         return iter((self.L_vals, self.nonlinear_rhs))
 
 
-def make_etdrk_parts_via_expression(pde_obj, state, rhs_str: str, bc):
+def make_etdrk_parts_via_expression(pde_obj, state, rhs_str: str, bc,
+                                    rhs_state=None):
     """ETDRK spectral split for predefined scalar classes, routed through the
     expression compiler (see `PDE.make_etdrk_parts`)."""
     from .pde import PDE
@@ -406,7 +407,7 @@ def make_etdrk_parts_via_expression(pde_obj, state, rhs_str: str, bc):
     if getattr(pde_obj, "is_sde", False):
         raise NotImplementedError("ETDRK4 is deterministic; disable the noise")
     eq = PDE({"c": rhs_str}, bc=bc)
-    return eq.make_etdrk_parts(state)
+    return eq.make_etdrk_parts(state, rhs_state=rhs_state)
 
 
 def expr_prod(factor: float, expression: str) -> str:

@@ -88,7 +88,7 @@ class CahnHilliardPDE(PDEBase):
         except PallasUnsupportedError as err:
             raise NotImplementedError(str(err)) from err
 
-    def make_etdrk_parts(self, state):
+    def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
@@ -96,4 +96,4 @@ class CahnHilliardPDE(PDEBase):
             raise NotImplementedError("ETDRK split requires bc_c == bc_mu")
         gamma = float(self.interface_width)
         rhs = f"laplace(c**3 - c - {gamma!r} * laplace(c))"
-        return make_etdrk_parts_via_expression(self, state, rhs, self.bc_c)
+        return make_etdrk_parts_via_expression(self, state, rhs, self.bc_c, rhs_state=rhs_state)

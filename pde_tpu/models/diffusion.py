@@ -111,9 +111,9 @@ class DiffusionPDE(SDEBase):
         except PallasUnsupportedError:
             return False
 
-    def make_etdrk_parts(self, state):
+    def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
         rhs = f"{self.diffusivity!r} * laplace(c)"
-        return make_etdrk_parts_via_expression(self, state, rhs, self.bc)
+        return make_etdrk_parts_via_expression(self, state, rhs, self.bc, rhs_state=rhs_state)

@@ -43,9 +43,9 @@ class KPZInterfacePDE(SDEBase):
         return make_fused_window_via_expression(self, state, dt, rhs,
                                                 self.bc, mesh=mesh)
 
-    def make_etdrk_parts(self, state):
+    def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
         rhs = f"{self.nu!r} * laplace(c) + {self.lmbda!r} * gradient_squared(c)"
-        return make_etdrk_parts_via_expression(self, state, rhs, self.bc)
+        return make_etdrk_parts_via_expression(self, state, rhs, self.bc, rhs_state=rhs_state)

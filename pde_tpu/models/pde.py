@@ -951,7 +951,7 @@ class PDE(SDEBase):
             "homogeneous-Dirichlet boundary conditions per axis"
         )
 
-    def make_etdrk_parts(self, state):
+    def make_etdrk_parts(self, state, rhs_state=None):
         """Split the rhs into a spectral linear part and a nonlinear remainder.
 
         Returns an :class:`~pde_tpu.models.base.EtdrkParts` for exponential
@@ -1135,7 +1135,12 @@ class PDE(SDEBase):
             user_funcs=self.user_funcs,
             consts=self.consts,
         )
-        nonlinear_rhs = sub_pde.make_pde_rhs(state)
+        # decomposed runs pass the shard-0 SUBGRID template as `rhs_state`:
+        # the modal data above stays GLOBAL while the remainder evaluates
+        # with ShardedBoundaries halos inside shard_map
+        nonlinear_rhs = sub_pde.make_pde_rhs(
+            state if rhs_state is None else rhs_state
+        )
         return EtdrkParts(L_vals, nonlinear_rhs, axis_kinds, n_fields)
 
     @staticmethod

@@ -61,7 +61,7 @@ class SwiftHohenbergPDE(PDEBase):
         return make_fused_window_via_expression(self, state, dt, rhs,
                                                 self.bc, mesh=mesh)
 
-    def make_etdrk_parts(self, state):
+    def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
@@ -74,4 +74,4 @@ class SwiftHohenbergPDE(PDEBase):
             f" - 2 * {self.kc2!r} * laplace(c) - laplace(laplace(c))"
             f" + {self.delta!r} * c**2 - c**3"
         )
-        return make_etdrk_parts_via_expression(self, state, rhs, self.bc)
+        return make_etdrk_parts_via_expression(self, state, rhs, self.bc, rhs_state=rhs_state)

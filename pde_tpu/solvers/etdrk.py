@@ -177,6 +177,117 @@ def _make_transforms(grid, axis_kinds, real_dtype):
     return forward, inverse, spectral_shape, bool(periodic_axes)
 
 
+def _make_sharded_transforms(mesh, axis_kinds, real_dtype):
+    """Transforms between LOCAL shard blocks and a spectral layout that is
+    FULL along periodic axes and LOCAL along matrix axes (for use INSIDE
+    ``shard_map``).
+
+    ETDRK4 operates in global modal space — a transform couples every point
+    along its axis — so decomposed axes are ``all_gather``-ed (riding ICI)
+    before the transform, exactly what XLA's SPMD partitioner does for FFT
+    ops. Gathering keeps sharded runs BIT-identical to serial (the same
+    ``rfftn``/matmul runs on the same global data); the real-space
+    nonlinear remainder and the state stay sharded throughout the window.
+    ``slice_coeff`` cuts a host-precomputed GLOBAL spectral coefficient
+    array down to this shard's matrix-axis block by ``lax.axis_index`` —
+    the framework's shard-varying-data rule (see ``grids.base`` traced
+    helpers).
+    """
+    from ..ops.common import dct2_matrix, dst2_matrix
+
+    grid = mesh.basegrid
+    sub = mesh.subgrid
+    names = mesh.axis_names
+    counts = tuple(mesh.decomposition)
+    periodic_axes = [
+        ax for ax, kind in enumerate(axis_kinds) if kind == "periodic"
+    ]
+    matrix_axes = [
+        (ax, kind) for ax, kind in enumerate(axis_kinds) if kind != "periodic"
+    ]
+    fft_sizes = [grid.shape[ax] for ax in periodic_axes]
+    mats = {}
+    for ax, kind in matrix_axes:
+        n = grid.shape[ax]
+        m = dct2_matrix(n) if kind == "neumann" else dst2_matrix(n)
+        mats[ax] = jnp.asarray(m, dtype=real_dtype)
+
+    def gather_axis(u, ax):
+        if counts[ax] == 1:
+            return u
+        # NOT all_gather: feeding an all_gather result (through elementwise
+        # ops) into an fft inside the window's fori_loop trips an XLA CPU
+        # miscompile — fft_thunk.cc RET_CHECK IsMonotonicWithDim0Major, the
+        # gathered buffer keeps a non-major layout the fft thunk rejects.
+        # Embedding the local block into zeros and psum-ing is an EXACT
+        # gather (each element has exactly one contributor) on a fresh
+        # default-layout buffer; revisit all_gather for real multi-chip
+        # runs where the collective volume matters.
+        full_shape = list(u.shape)
+        full_shape[ax] = counts[ax] * u.shape[ax]
+        starts = [jnp.int32(0)] * u.ndim
+        starts[ax] = (
+            jax.lax.axis_index(names[ax]).astype(jnp.int32) * u.shape[ax]
+        )
+        full = jax.lax.dynamic_update_slice(
+            jnp.zeros(full_shape, u.dtype), u, starts
+        )
+        return jax.lax.psum(full, names[ax])
+
+    def slice_axis(u, ax, size):
+        if counts[ax] == 1:
+            return u
+        # dynamic_slice requires uniform index dtypes (axis_index is i32)
+        starts = [jnp.int32(0)] * u.ndim
+        starts[ax] = jax.lax.axis_index(names[ax]).astype(jnp.int32) * size
+        sizes = list(u.shape)
+        sizes[ax] = size
+        return jax.lax.dynamic_slice(u, starts, sizes)
+
+    def apply_matrix(m, u, ax):
+        # gather EVERY decomposed axis, not just the transform axis: the
+        # matmul must run at the serial operand shape — XLA's dot reduction
+        # order depends on the batch dims, so a locally-batched matmul is
+        # one ulp off the serial result (measured), breaking bit-identity
+        for gax in range(u.ndim):
+            u = gather_axis(u, gax)
+        moved = jnp.moveaxis(u, ax, -1)
+        out = moved @ m.T if not jnp.iscomplexobj(moved) else (
+            (moved.real @ m.T) + 1j * (moved.imag @ m.T)
+        )
+        out = jnp.moveaxis(out, -1, ax)
+        for gax in range(u.ndim):
+            out = slice_axis(out, gax, sub.shape[gax])
+        return out
+
+    def forward(u):
+        for ax, _ in matrix_axes:
+            u = apply_matrix(mats[ax], u, ax)
+        if periodic_axes:
+            for ax in periodic_axes:
+                u = gather_axis(u, ax)
+            u = jnp.fft.rfftn(u, axes=periodic_axes)
+        return u
+
+    def inverse(v):
+        if periodic_axes:
+            v = jnp.fft.irfftn(v, s=fft_sizes, axes=periodic_axes)
+            for ax in periodic_axes:
+                v = slice_axis(v, ax, sub.shape[ax])
+        for ax, _ in matrix_axes:
+            v = apply_matrix(mats[ax].T, v, ax)
+        return v
+
+    def slice_coeff(c):
+        # c: GLOBAL spectral-shape array (mode dims lead; coupled systems
+        # carry trailing (N, N) dims) — cut the matrix-axis dims local
+        for ax, _ in matrix_axes:
+            c = slice_axis(c, ax, sub.shape[ax])
+        return c
+
+    return forward, inverse, slice_coeff
+
+
 class ETDRK4Solver(SolverBase):
     """Exponential time differencing RK4 for stiff semilinear PDEs.
 
@@ -189,16 +300,40 @@ class ETDRK4Solver(SolverBase):
 
     name = "etdrk4"
     dt_default = 1e-2
+    # Decomposed runs (``decomposition=[...]``) use the same shard_map
+    # window as the explicit solvers: the nonlinear remainder evaluates on
+    # ShardedBoundaries subgrids (ppermute halos), transform axes are
+    # gathered exactly (see _make_sharded_transforms), and spectral
+    # coefficients are host-precomputed GLOBAL arrays cut per shard by
+    # lax.axis_index. Periodic (FFT) axes are bit-identical to serial;
+    # DCT/DST matmul axes agree to ~2 ulp (XLA:CPU selects layout-dependent
+    # gemm lowerings inside the window loop; every component is bitwise in
+    # isolation — pinned by tests/solvers/test_etdrk.py).
 
     def __init__(self, pde, *, backend: str = "auto", decomposition=None):
         super().__init__(pde, backend=backend, decomposition=decomposition)
-        if decomposition is not None:
-            raise NotImplementedError(
-                "ETDRK4 operates in global modal space; decomposed grids "
-                "are not supported"
-            )
         if self.info["stochastic"]:
             raise RuntimeError("ETDRK4 is deterministic; use an SDE solver")
+        self._sharded_global_state = None
+
+    def _make_fixed_stepper_sharded(self, state, dt, mesh):
+        """Decomposed ETDRK4 runs under the SAME shard_map window as every
+        other solver; only the single step is mesh-aware (see
+        :meth:`_make_single_step_fixed_dt`).
+
+        NOTE a GSPMD alternative (jit the GLOBAL step with sharding
+        constraints and let XLA's partitioner place the collectives) was
+        tried first and MISCOMPILES: the BC ghost-setter idiom
+        ``full.at[:, 0].set(full[:, -2])`` produces wrong values at shard
+        boundaries under the SPMD partitioner (observed on the CPU backend,
+        maxdiff ~0.1 on a [1, 2] mesh) — the framework's operators must only
+        decompose through shard_map with explicit collectives.
+        """
+        self._sharded_global_state = state
+        try:
+            return super()._make_fixed_stepper_sharded(state, dt, mesh)
+        finally:
+            self._sharded_global_state = None
 
     def _make_single_step_fixed_dt(self, state: FieldBase, dt: float) -> Callable:
         if not hasattr(self.pde, "make_etdrk_parts"):
@@ -207,16 +342,31 @@ class ETDRK4Solver(SolverBase):
                 "linear/nonlinear split required by ETDRK4 "
                 "(make_etdrk_parts); use an expression PDE"
             )
-        parts = self.pde.make_etdrk_parts(state)
+        grid = state.grid
+        mesh = getattr(grid, "_mesh", None)
+        if mesh is None:
+            parts = self.pde.make_etdrk_parts(state)
+        else:
+            # `state` is the shard-0 SUBGRID template (base sharded
+            # stepper): modal eigenvalues/transforms must come from the
+            # GLOBAL grid while the nonlinear remainder evaluates on the
+            # subgrid (ShardedBoundaries halos inside shard_map)
+            if self._sharded_global_state is None:
+                raise RuntimeError(
+                    "ETDRK4 subgrid steps are only built through the "
+                    "sharded window stepper"
+                )
+            parts = self.pde.make_etdrk_parts(
+                self._sharded_global_state, rhs_state=state
+            )
         L_vals = parts.L_vals if hasattr(parts, "L_vals") else parts[0]
         nonlinear_rhs = (
             parts.nonlinear_rhs if hasattr(parts, "nonlinear_rhs") else parts[1]
         )
-        grid = state.grid
         axis_kinds = getattr(parts, "axis_kinds", None)
+        n_fields = getattr(parts, "n_fields", 1)
         if axis_kinds is None:
             axis_kinds = ("periodic",) * grid.num_axes
-        n_fields = getattr(parts, "n_fields", 1)
         # coefficients are real; match the state's dtype so f32 states stay
         # f32/complex64 throughout (f64 coefficient arrays would promote
         # every product under x64)
@@ -234,9 +384,18 @@ class ETDRK4Solver(SolverBase):
                 "ETDRK4 operates on real fields; complex states "
                 "are not supported"
             )
-        forward, inverse, spec_shape, _has_fft = _make_transforms(
-            grid, axis_kinds, real_dtype
-        )
+        if mesh is None:
+            forward, inverse, _spec_shape, _has_fft = _make_transforms(
+                grid, axis_kinds, real_dtype
+            )
+
+            def slice_coeff(c):
+                return c
+        else:
+            forward, inverse, slice_coeff = _make_sharded_transforms(
+                mesh, axis_kinds, real_dtype
+            )
+            self.info["etdrk_sharding"] = "shard_map+all_gather"
         if n_fields == 1:
             coeffs = _phi_coefficients(L_vals, dt)
         else:
@@ -255,15 +414,21 @@ class ETDRK4Solver(SolverBase):
 
             def single_step(leaves, t, key):
                 (u,) = leaves
+                # on decomposed runs the spectral coefficients are GLOBAL
+                # host arrays cut to this shard's matrix-axis block inside
+                # the trace (identity on single-device runs)
+                E_, E2_, Q_, f1_, f2_, f3_ = (
+                    slice_coeff(c) for c in (E, E2, Q, f1, f2, f3)
+                )
                 v = forward(u)
                 Nv = N_hat(u, t)
-                a = E2 * v + Q * Nv
+                a = E2_ * v + Q_ * Nv
                 Na = N_hat(inverse(a), t + dt / 2)
-                b = E2 * v + Q * Na
+                b = E2_ * v + Q_ * Na
                 Nb = N_hat(inverse(b), t + dt / 2)
-                c = E2 * a + Q * (2 * Nb - Nv)
+                c = E2_ * a + Q_ * (2 * Nb - Nv)
                 Nc = N_hat(inverse(c), t + dt)
-                v = E * v + f1 * Nv + 2 * f2 * (Na + Nb) + f3 * Nc
+                v = E_ * v + f1_ * Nv + 2 * f2_ * (Na + Nb) + f3_ * Nc
                 return [inverse(v)]
 
             return single_step
@@ -284,15 +449,18 @@ class ETDRK4Solver(SolverBase):
             return jnp.stack([forward(r) for r in rates], axis=-1)
 
         def single_step_multi(leaves, t, key):
+            E_, E2_, Q_, f1_, f2_, f3_ = (
+                slice_coeff(c) for c in (E, E2, Q, f1, f2, f3)
+            )
             v = fwd_stack(leaves)
             Nv = N_hat_multi(leaves, t)
-            a = mat(E2, v) + mat(Q, Nv)
+            a = mat(E2_, v) + mat(Q_, Nv)
             Na = N_hat_multi(inv_unstack(a), t + dt / 2)
-            b = mat(E2, v) + mat(Q, Na)
+            b = mat(E2_, v) + mat(Q_, Na)
             Nb = N_hat_multi(inv_unstack(b), t + dt / 2)
-            c = mat(E2, a) + mat(Q, 2 * Nb - Nv)
+            c = mat(E2_, a) + mat(Q_, 2 * Nb - Nv)
             Nc = N_hat_multi(inv_unstack(c), t + dt)
-            v = mat(E, v) + mat(f1, Nv) + 2 * mat(f2, Na + Nb) + mat(f3, Nc)
+            v = mat(E_, v) + mat(f1_, Nv) + 2 * mat(f2_, Na + Nb) + mat(f3_, Nc)
             return inv_unstack(v)
 
         return single_step_multi

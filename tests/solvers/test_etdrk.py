@@ -149,8 +149,6 @@ def test_unsupported_configurations(rng):
 
     with pytest.raises(RuntimeError, match="deterministic"):
         ETDRK4Solver(pde.PDE({"u": "laplace(u)"}, noise=0.1))
-    with pytest.raises(NotImplementedError, match="decomposed|Fourier"):
-        ETDRK4Solver(pde.PDE({"u": "laplace(u)"}), decomposition=[2, 1])
     # BC types without a diagonalizing modal basis fall back cleanly
     npgrid = pde.UnitGrid([16, 16])
     npfield = pde.ScalarField.random_uniform(npgrid, rng=rng)
@@ -527,3 +525,104 @@ def test_ks_neumann_convergence(rng):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), atol=1e-4
     )
+
+
+# -- decomposed (GSPMD) ETDRK4 --------------------------------------------------------
+
+
+@pytest.mark.parametrize("decomposition", [[2, 1], [1, 2], [2, 2], [4, 2]])
+def test_decomposed_matches_serial_periodic(decomposition, rng):
+    """Decomposed ETDRK4 windows (shard_map; transform axes all_gather-ed,
+    nonlinear remainder on ShardedBoundaries subgrids) stay BIT-identical
+    to the serial solver — the framework's sharding invariant."""
+    from pde_tpu.solvers import Controller
+
+    grid = pde.UnitGrid([32, 32], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+    eq = pde.PDE({"c": "laplace(c**3 - c - laplace(c))"})
+    ref = Controller(ETDRK4Solver(eq), t_range=1.0, tracker=None).run(
+        state, dt=0.05
+    )
+    solver = ETDRK4Solver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=1.0, tracker=None).run(state, dt=0.05)
+    assert solver.info.get("etdrk_sharding") == "shard_map+all_gather"
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(ref.data))
+
+
+@pytest.mark.parametrize(
+    "bc, periodic",
+    [
+        ({"derivative": 0}, False),
+        ({"value": 0}, False),
+        ({"x": "periodic", "y": {"derivative": 0}}, [True, False]),
+    ],
+    ids=["dct", "dst", "mixed-fft-dct"],
+)
+def test_decomposed_matches_serial_matrix_bases(bc, periodic, rng):
+    """DCT/DST matmul-basis axes gather every decomposed axis before the
+    matmul (serial operand shapes — the same dot products as serial).
+
+    Forward/inverse/rhs are each BITWISE-identical to serial in isolation
+    (and a single composed step is too), but inside the window's fori_loop
+    XLA:CPU selects ulp-different matmul lowerings for the two programs
+    (layout-dependent gemm packing; optimization_barrier does not pin it),
+    so matrix-basis axes assert a 2-ulp absolute tolerance instead of the
+    bitwise identity the FFT-axis test demands."""
+    from pde_tpu.solvers import Controller
+
+    grid = pde.UnitGrid([32, 32], periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+    eq = pde.PDE({"u": "0.5 * laplace(u) + u - u**3"}, bc=bc)
+    ref = Controller(ETDRK4Solver(eq), t_range=1.0, tracker=None).run(
+        state, dt=0.1
+    )
+    solver = ETDRK4Solver(eq, decomposition=[2, 2])
+    res = Controller(solver, t_range=1.0, tracker=None).run(state, dt=0.1)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=0, atol=5e-16
+    )
+
+
+def test_decomposed_coupled_system(rng):
+    """Coupled FieldCollection systems decompose too (per-mode matrix
+    products shard over the mode grid)."""
+    from pde_tpu.solvers import Controller
+
+    grid = pde.UnitGrid([32, 32], periodic=True)
+    u = pde.ScalarField.random_uniform(grid, 0.3, 0.7, rng=rng, label="u")
+    v = pde.ScalarField.random_uniform(grid, 0.1, 0.3, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "0.08 * laplace(u) - u*v**2 + 0.035 * (1 - u)",
+        "v": "0.04 * laplace(v) + u*v**2 - 0.1 * v",
+    })
+    ref = Controller(ETDRK4Solver(eq), t_range=5.0, tracker=None).run(
+        state, dt=0.5
+    )
+    solver = ETDRK4Solver(eq, decomposition=[2, 2])
+    res = Controller(solver, t_range=5.0, tracker=None).run(state, dt=0.5)
+    for a, b in zip(res, ref, strict=True):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+
+
+def test_decomposed_trackers_and_windows(rng):
+    """Tracker interrupts split the run into several sharded windows; the
+    stored trajectory must match the serial solver's exactly."""
+    from pde_tpu.solvers import Controller
+    from pde_tpu.storage.memory import MemoryStorage
+
+    grid = pde.UnitGrid([32, 32], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, -0.1, 0.1, rng=rng)
+    eq = pde.PDE({"c": "0.1 * laplace(c) - c**3"})
+    st_ref = MemoryStorage()
+    Controller(
+        ETDRK4Solver(eq), t_range=1.0, tracker=st_ref.tracker(0.25)
+    ).run(state, dt=0.05)
+    st = MemoryStorage()
+    Controller(
+        ETDRK4Solver(eq, decomposition=[2, 2]),
+        t_range=1.0,
+        tracker=st.tracker(0.25),
+    ).run(state, dt=0.05)
+    for a, b in zip(st, st_ref, strict=True):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))

@@ -86,9 +86,20 @@ class DiffusionPDE(SDEBase):
                 interpret=interpret_requested(),
             )
         except PallasUnsupportedError as err:
-            if state.grid.num_axes == 2 and self._bcs_have_xt(state.grid, bcs):
+            reroute = (
                 # sin(x - t)-style BC values: only the expression-compiled
                 # stencil kernels lower per-chunk (k, n) value tables
+                state.grid.num_axes == 2
+                and self._bcs_have_xt(state.grid, bcs)
+            ) or (
+                # 3D array/t-dependent BC values: the specialized affine 3D
+                # kernel takes scalar consts; the expression-compiled 3D
+                # window stages per-face planes/blocks + SMEM t tables
+                state.grid.num_axes == 3
+                and mesh is None
+                and self._bcs_have_side_inputs(state.grid, bcs)
+            )
+            if reroute:
                 from .base import make_fused_window_via_expression
 
                 return make_fused_window_via_expression(
@@ -110,6 +121,27 @@ class DiffusionPDE(SDEBase):
             return _specs_have_xt(affine_bc_specs(grid, bcs))
         except PallasUnsupportedError:
             return False
+
+    @staticmethod
+    def _bcs_have_side_inputs(grid, bcs) -> bool:
+        """True when any side carries an array or time-dependent value."""
+        from ..ops.pallas_cartesian import (
+            PallasUnsupportedError,
+            affine_bc_specs,
+        )
+
+        try:
+            specs = affine_bc_specs(grid, bcs)
+        except PallasUnsupportedError:
+            return False
+        if specs is None:
+            return False
+        return any(
+            not side.is_scalar
+            for pair in specs
+            if pair is not None
+            for side in pair
+        )
 
     def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""

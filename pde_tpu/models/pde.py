@@ -696,13 +696,27 @@ class PDE(SDEBase):
             exprs.append(expr)
 
         # inhomogeneous per-boundary-point arrays and t-dependent expression
-        # consts become kernel side inputs (2D paths, single-device and
-        # sharded); the 3D and SDE kernels take scalar consts only for now
-        bc_inputs = collect_bc_side_inputs(bc_table)
-        if bc_inputs is not None and (grid.num_axes == 3 or self.is_sde):
+        # consts become kernel side inputs (2D paths single-device and
+        # sharded; 3D single-device — per-face planes/blocks, no xt); the
+        # SDE and sharded-3D kernels take scalar consts only for now
+        if grid.num_axes == 3:
+            from ..ops.pallas_cartesian import collect_bc_side_inputs_3d
+
+            try:
+                bc_inputs = collect_bc_side_inputs_3d(bc_table)
+            except PallasUnsupportedError as err:
+                raise NotImplementedError(str(err)) from err
+        else:
+            bc_inputs = collect_bc_side_inputs(bc_table)
+        if bc_inputs is not None and self.is_sde:
             raise NotImplementedError(
                 "Inhomogeneous/time-dependent BC values are not supported "
-                "by the 3D/SDE fused windows"
+                "by the SDE fused windows"
+            )
+        if bc_inputs is not None and grid.num_axes == 3 and mesh is not None:
+            raise NotImplementedError(
+                "Inhomogeneous/time-dependent BC values are not supported "
+                "by the sharded 3D fused windows"
             )
 
         def make_get_bc(var):
@@ -777,6 +791,7 @@ class PDE(SDEBase):
                 window = make_chunked_multi_window_3d(
                     grid, make_multi_step, depth, len(fields),
                     dtype=fields[0].dtype, interpret=interpret,
+                    bc_inputs=bc_inputs, dt=dt,
                 )
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err

@@ -492,6 +492,45 @@ def collect_bc_side_inputs(bc_table):
     return {"arrays": arrays, "t": t_specs, "xt": xt}
 
 
+def collect_bc_side_inputs_3d(bc_table):
+    """3D variant of :func:`collect_bc_side_inputs`: kinds are axis indices.
+
+    Returns ``None`` when every const is scalar, else ``{"arrays":
+    [(ax, spec), ...], "t": [spec, ...]}``. Staging layouts (see
+    :func:`make_fused_multi_stencil_window_3d`): x-side arrays are one
+    ``(1, ny, nz)`` VMEM plane; y-side arrays a per-program
+    ``(band + 2*halo, 1, nz)`` DMA slice of an x-wrap-padded block; z-side
+    arrays a ``(band + 2*halo, ny, 128)`` slice of a lane-broadcast block
+    (value in lane 0 — Mosaic rejects width-1 memref slices).
+    Space-AND-time-dependent values raise (fall back to XLA in 3D).
+    """
+    arrays: list = []
+    t_specs: list = []
+    seen: set = set()
+    for specs in bc_table.values():
+        if specs is None:
+            continue
+        for ax, pair in enumerate(specs):
+            if pair is None:
+                continue
+            for spec in pair:
+                if id(spec) in seen:
+                    continue
+                seen.add(id(spec))
+                if spec.const_xt is not None:
+                    raise PallasUnsupportedError(
+                        "Space-and-time-dependent BC values are not "
+                        "supported by the 3D fused windows"
+                    )
+                if np.ndim(spec.const_static) != 0:
+                    arrays.append((ax, spec))
+                if spec.const_t is not None:
+                    t_specs.append(spec)
+    if not arrays and not t_specs:
+        return None
+    return {"arrays": arrays, "t": t_specs}
+
+
 def _specs_have_xt(specs) -> bool:
     """True when any side carries a space-AND-time-dependent const (only
     the stencil-helper kernels lower those; the specialized affine kernels
@@ -1469,20 +1508,55 @@ def _make_stencil_helpers_3d(
             g = g & (flags[slot] != 0)
         return g
 
+    def as_spec(side):
+        if isinstance(side, _BCSideSpec):
+            return side
+        c, f1, f2 = side
+        return _BCSideSpec(f1, f2, c)
+
+    def const_of(spec, shape, ax):
+        """Additive ghost const for one side, matched to geometry ``shape``.
+
+        Array consts read the staged blocks (see
+        :func:`collect_bc_side_inputs_3d` for the layouts): the x offset
+        tracks the shrinking work extent relative to the staged x halo
+        (``helpers.stage_x_halo``); y/z offsets matter only in ext mode
+        (``stage_y_halo``/``stage_z_halo`` staged halo layers).
+        """
+        c = spec.const_static
+        if np.ndim(c) != 0:
+            arr = helpers.bc_arrays[id(spec)]
+            offx = helpers.stage_x_halo - (shape[0] - band) // 2
+            offy = (
+                helpers.stage_y_halo - (shape[1] - ny) // 2 if ext_y else 0
+            )
+            offz = (
+                helpers.stage_z_halo - (shape[2] - nz) // 2 if ext_z else 0
+            )
+            if ax == 0:  # (1, ny_s, nz_s) plane
+                c = arr[0:1, offy : offy + shape[1], offz : offz + shape[2]]
+            elif ax == 1:  # (X_s, 1, nz_s) block
+                c = arr[offx : offx + shape[0], 0:1, offz : offz + shape[2]]
+            else:  # (X_s, ny_s, 128) lane-broadcast block, value in lane 0
+                c = arr[offx : offx + shape[0], offy : offy + shape[1], 0:1]
+        if spec.const_t is not None:
+            c = c + helpers.t_consts[id(spec)]
+        return c
+
     def fix_ghost_x(w, bc_x):
         if bc_x is None:
             return w
-        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = _as_triplets(bc_x)
+        lo, hi = as_spec(bc_x[0]), as_spec(bc_x[1])
         hr = (w.shape[0] - band) // 2  # remaining halo planes per side
         i = pl.program_id(0)
         e_lo = hr
-        ghost_lo = c_lo + f1_lo * w[e_lo : e_lo + 1]
-        if f2_lo:
-            ghost_lo = ghost_lo + f2_lo * w[e_lo + 1 : e_lo + 2]
+        ghost_lo = const_of(lo, w.shape, 0) + lo.f1 * w[e_lo : e_lo + 1]
+        if lo.f2:
+            ghost_lo = ghost_lo + lo.f2 * w[e_lo + 1 : e_lo + 2]
         e_hi = w.shape[0] - 1 - hr
-        ghost_hi = c_hi + f1_hi * w[e_hi : e_hi + 1]
-        if f2_hi:
-            ghost_hi = ghost_hi + f2_hi * w[e_hi - 1 : e_hi]
+        ghost_hi = const_of(hi, w.shape, 0) + hi.f1 * w[e_hi : e_hi + 1]
+        if hi.f2:
+            ghost_hi = ghost_hi + hi.f2 * w[e_hi - 1 : e_hi]
         planes = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
         w = jnp.where((planes == e_lo - 1) & gate(0, i == 0), ghost_lo, w)
         w = jnp.where(
@@ -1494,7 +1568,7 @@ def _make_stencil_helpers_3d(
         """Rewrite the ghost layer outside the valid region (ext mode)."""
         if bc_side is None:
             return w
-        (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = _as_triplets(bc_side)
+        lo, hi = as_spec(bc_side[0]), as_spec(bc_side[1])
 
         def sl(idx):
             return tuple(
@@ -1504,13 +1578,13 @@ def _make_stencil_helpers_3d(
 
         hc = (w.shape[dim] - n_valid) // 2  # remaining halo layers per side
         e_lo = hc
-        ghost_lo = c_lo + f1_lo * w[sl(e_lo)]
-        if f2_lo:
-            ghost_lo = ghost_lo + f2_lo * w[sl(e_lo + 1)]
+        ghost_lo = const_of(lo, w.shape, dim) + lo.f1 * w[sl(e_lo)]
+        if lo.f2:
+            ghost_lo = ghost_lo + lo.f2 * w[sl(e_lo + 1)]
         e_hi = w.shape[dim] - 1 - hc
-        ghost_hi = c_hi + f1_hi * w[sl(e_hi)]
-        if f2_hi:
-            ghost_hi = ghost_hi + f2_hi * w[sl(e_hi - 1)]
+        ghost_hi = const_of(hi, w.shape, dim) + hi.f1 * w[sl(e_hi)]
+        if hi.f2:
+            ghost_hi = ghost_hi + hi.f2 * w[sl(e_hi - 1)]
         idxs = jax.lax.broadcasted_iota(jnp.int32, w.shape, dim)
         w = jnp.where((idxs == e_lo - 1) & gate(2 * dim), ghost_lo, w)
         w = jnp.where((idxs == e_hi + 1) & gate(2 * dim + 1), ghost_hi, w)
@@ -1521,13 +1595,13 @@ def _make_stencil_helpers_3d(
         low = pltpu.roll(center, 1, axis)
         high = pltpu.roll(center, n - 1, axis)
         if bc_side is not None:
-            (c_lo, f1_lo, f2_lo), (c_hi, f1_hi, f2_hi) = _as_triplets(bc_side)
-            ghost_lo = c_lo + f1_lo * center
-            if f2_lo:
-                ghost_lo = ghost_lo + f2_lo * high
-            ghost_hi = c_hi + f1_hi * center
-            if f2_hi:
-                ghost_hi = ghost_hi + f2_hi * low
+            lo, hi = as_spec(bc_side[0]), as_spec(bc_side[1])
+            ghost_lo = const_of(lo, center.shape, axis) + lo.f1 * center
+            if lo.f2:
+                ghost_lo = ghost_lo + lo.f2 * high
+            ghost_hi = const_of(hi, center.shape, axis) + hi.f1 * center
+            if hi.f2:
+                ghost_hi = ghost_hi + hi.f2 * low
             idx = jax.lax.broadcasted_iota(jnp.int32, center.shape, axis)
             low = jnp.where((idx == 0) & gate(2 * axis), ghost_lo, low)
             high = jnp.where(
@@ -1560,6 +1634,11 @@ def _make_stencil_helpers_3d(
     class helpers:
         cols = nz
         flags = None
+        bc_arrays: dict = {}
+        t_consts: dict = {}
+        stage_x_halo = 0
+        stage_y_halo = 0
+        stage_z_halo = 0
 
         @staticmethod
         def trim(value, amount):
@@ -1635,6 +1714,7 @@ def _make_stencil_helpers_3d(
 def make_fused_multi_stencil_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, k: int | None = None, interpret: bool = False,
+    bc_inputs=None,
 ) -> tuple[Callable, int]:
     """3D temporal-blocking kernel over ``n_fields`` coupled field volumes.
 
@@ -1645,6 +1725,16 @@ def make_fused_multi_stencil_window_3d(
     planes. This is what lets the expression compiler fuse 3D rhs trees —
     the reference compiles all its 3D stencils
     (`/root/reference/pde/backends/numba/operators/cartesian.py:109-192`).
+
+    ``bc_inputs`` (:func:`collect_bc_side_inputs_3d` output) stages
+    inhomogeneous per-boundary-FACE const arrays and t-dependent consts as
+    kernel side inputs: x-side planes as one (1, ny, nz) VMEM block, y-side
+    arrays as per-program (band + 2*halo, 1, nz) DMA slices of an
+    x-wrap-padded block, z-side arrays as (band + 2*halo, ny, 128) slices
+    of a lane-broadcast block (value in lane 0, like the 2D column vectors
+    — Mosaic rejects width-1 memref slices), and t consts via an SMEM
+    (k, n_t) table. With t entries the returned callable is
+    ``window_k(datas, t_tab)``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1688,13 +1778,66 @@ def make_fused_multi_stencil_window_3d(
     step = make_step(helpers)
     F = n_fields
 
+    # staged side inputs for inhomogeneous / t-dependent BC consts
+    arr_entries = [] if bc_inputs is None else bc_inputs["arrays"]
+    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    has_t = bool(t_specs)
+    plane_entries = []  # x sides: (spec, (1, ny, nz))
+    y_entries = []  # y sides: (spec, (nx + 2*halo, 1, nz))
+    z_entries = []  # z sides: (spec, (nx + 2*halo, ny, 128))
+    for ax, spec in arr_entries:
+        arr = np.asarray(spec.const_static, dtype=dtype)
+        if ax == 0:
+            plane_entries.append((spec, arr.reshape(1, ny, nz)))
+            continue
+        # wrap-pad x by the staged halo (the top/bot halo DMAs wrap)
+        arr = arr.reshape(nx, -1)
+        ext = np.concatenate([arr[-halo:], arr, arr[:halo]], axis=0)
+        if ax == 1:
+            y_entries.append((spec, ext.reshape(nx + 2 * halo, 1, nz)))
+        else:
+            z_entries.append((
+                spec,
+                np.broadcast_to(
+                    ext.reshape(nx + 2 * halo, ny, 1),
+                    (nx + 2 * halo, ny, 128),
+                ).copy(),
+            ))
+    n_pl, n_y, n_z = len(plane_entries), len(y_entries), len(z_entries)
+    if not interpret and (n_pl or n_y or n_z):
+        # side inputs live outside the _pick_band_k_3d VMEM model; bound
+        # their footprint so a z-heavy config falls back instead of OOMing
+        extra = (
+            n_pl * ny * nz
+            + n_y * (band + 2 * halo) * nz
+            + n_z * (band + 2 * halo) * ny * 128
+        ) * itemsize
+        if extra > 2 * 1024 * 1024:
+            raise PallasUnsupportedError(
+                "3D BC value arrays exceed the side-input VMEM budget"
+            )
+
     def kernel(*refs):
-        ins = refs[:F]
-        outs = refs[F : 2 * F]
-        band_refs = refs[2 * F : 3 * F]
-        tops = refs[3 * F : 4 * F]
-        bots = refs[4 * F : 5 * F]
-        sem = refs[5 * F]
+        pos = 0
+        if has_t:
+            t_tab = refs[pos]
+            pos += 1
+        plane_refs = refs[pos : pos + n_pl]
+        pos += n_pl
+        y_hbm = refs[pos : pos + n_y]
+        pos += n_y
+        z_hbm = refs[pos : pos + n_z]
+        pos += n_z
+        ins = refs[pos : pos + F]
+        outs = refs[pos + F : pos + 2 * F]
+        pos += 2 * F
+        band_refs = refs[pos : pos + F]
+        tops = refs[pos + F : pos + 2 * F]
+        bots = refs[pos + 2 * F : pos + 3 * F]
+        pos += 3 * F
+        y_vmem = refs[pos : pos + n_y]
+        z_vmem = refs[pos + n_y : pos + n_y + n_z]
+        sem = refs[pos + n_y + n_z]
         i = pl.program_id(0)
         row0 = i * band
         top_row = jax.lax.rem(row0 + np.int32(nx - halo), np.int32(nx))
@@ -1709,8 +1852,29 @@ def make_fused_multi_stencil_window_3d(
                 cp = pltpu.make_async_copy(src, dst, sem.at[3 * f + j])
                 cp.start()
                 copies.append(cp)
+        # per-program value slices covering [row0 - halo, row0 + band + halo)
+        # of the x-wrap-padded blocks (staged offset +halo)
+        for j, (src, dst) in enumerate(
+            [(y_hbm[j2], y_vmem[j2]) for j2 in range(n_y)]
+            + [(z_hbm[j2], z_vmem[j2]) for j2 in range(n_z)]
+        ):
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(row0, band + 2 * halo)], dst, sem.at[3 * F + j]
+            )
+            cp.start()
+            copies.append(cp)
         for cp in copies:
             cp.wait()
+
+        helpers.stage_x_halo = halo
+        bc_arrays = {}
+        for j, (spec, _) in enumerate(plane_entries):
+            bc_arrays[id(spec)] = plane_refs[j]
+        for j, (spec, _) in enumerate(y_entries):
+            bc_arrays[id(spec)] = y_vmem[j]
+        for j, (spec, _) in enumerate(z_entries):
+            bc_arrays[id(spec)] = z_vmem[j]
+        helpers.bc_arrays = bc_arrays
 
         works = [
             jnp.concatenate(
@@ -1719,16 +1883,30 @@ def make_fused_multi_stencil_window_3d(
             )
             for f in range(F)
         ]
-        for _ in range(k):
+        for s in range(k):
+            if has_t:
+                helpers.t_consts = {
+                    id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
+                }
             works = step(works)
         for f in range(F):
             outs[f][:, :, :] = works[f]
 
+    in_specs = (
+        ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+        + [
+            pl.BlockSpec(
+                (1, ny, nz), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ] * n_pl
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_z)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * F
+    )
     call = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * F,
         grid=(nx // band,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * F,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (band, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -1737,41 +1915,99 @@ def make_fused_multi_stencil_window_3d(
         scratch_shapes=(
             [pltpu.VMEM((band, ny, nz), dtype)] * F
             + [pltpu.VMEM((halo, ny, nz), dtype)] * (2 * F)
-            + [pltpu.SemaphoreType.DMA((3 * F,))]
+            + [pltpu.VMEM((band + 2 * halo, 1, nz), dtype)] * n_y
+            + [pltpu.VMEM((band + 2 * halo, ny, 128), dtype)] * n_z
+            + [pltpu.SemaphoreType.DMA((3 * F + n_y + n_z,))]
         ),
         interpret=interpret,
     )
 
+    plane_consts = [jnp.asarray(a, dtype=dtype) for _, a in plane_entries]
+    y_consts = [jnp.asarray(a, dtype=dtype) for _, a in y_entries]
+    z_consts = [jnp.asarray(a, dtype=dtype) for _, a in z_entries]
+
+    if has_t:
+
+        def window_k_t(datas, t_tab):
+            out = call(
+                jnp.asarray(t_tab, dtype=dtype), *plane_consts, *y_consts,
+                *z_consts, *[jnp.asarray(d, dtype=dtype) for d in datas],
+            )
+            return list(out)
+
+        window_k_t.t_specs = tuple(t_specs)
+        return window_k_t, k
+
     def window_k(datas):
-        out = call(*[jnp.asarray(d, dtype=dtype) for d in datas])
+        out = call(
+            *plane_consts, *y_consts, *z_consts,
+            *[jnp.asarray(d, dtype=dtype) for d in datas],
+        )
         return list(out)
 
+    window_k.t_specs = None
     return window_k, k
 
 
 def make_chunked_multi_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
-    dtype=np.float32, interpret: bool = False,
+    dtype=np.float32, interpret: bool = False, bc_inputs=None, dt=None,
 ) -> Callable:
-    """Return ``window(datas, steps)`` chunking steps into 3D kernel calls."""
+    """Return ``window(datas, steps)`` chunking steps into 3D kernel calls.
+
+    With time-dependent BC consts in ``bc_inputs`` the window instead has
+    signature ``window(datas, t0, steps)`` (attribute ``needs_t``) and
+    rebuilds the per-step SMEM const table from ``t0`` per chunk (see
+    :func:`make_chunked_multi_window_2d`)."""
     _, k = make_fused_multi_stencil_window_3d(
         grid, make_step, halo_per_step, n_fields, dtype=dtype,
-        interpret=interpret,
+        interpret=interpret, bc_inputs=bc_inputs,
     )
 
     def build(kk):
         step, _ = make_fused_multi_stencil_window_3d(
             grid, make_step, halo_per_step, n_fields, dtype=dtype, k=kk,
-            interpret=interpret,
+            interpret=interpret, bc_inputs=bc_inputs,
         )
-        return lambda d: tuple(step(list(d)))
+        if step.t_specs is None:
+            return lambda d: tuple(step(list(d)))
+        return lambda d, t_tab: tuple(step(list(d), t_tab))
 
-    window_t = _make_binary_chunked_window(build, k)
+    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    if not t_specs:
+        window_t = _make_binary_chunked_window(build, k)
 
-    def window(datas, steps):
-        return list(window_t(tuple(datas), steps))
+        def window(datas, steps):
+            return list(window_t(tuple(datas), steps))
 
-    return window
+        return window
+
+    if dt is None:
+        raise ValueError("dt is required for time-dependent BC windows")
+    kernels = _binary_kernel_ladder(build, k)
+    t_funcs = [spec.const_t for spec in t_specs]
+
+    def window_td(datas, t0, steps):
+        state = tuple(datas)
+        index = jnp.asarray(0, jnp.int32)
+        remaining = steps
+        for kk, step_fn in kernels:
+            chunks = remaining // kk
+
+            def body(c, carry, _kk=kk, _step=step_fn):
+                d, idx = carry
+                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                t_tab = jnp.stack(
+                    [jax.vmap(fn)(ts) for fn in t_funcs], axis=1
+                )
+                return (_step(d, t_tab), idx + _kk)
+
+            state, index = jax.lax.fori_loop(0, chunks, body, (state, index))
+            remaining = remaining - chunks * kk
+        return list(state)
+
+    window_td.needs_t = True
+    return window_td
 
 
 def _pick_band_ext_3d(

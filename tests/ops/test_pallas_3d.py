@@ -466,3 +466,165 @@ def test_3d_integral_conservation_noflux(rng, monkeypatch):
     assert solver.info.get("fused_step") is True
     assert float(res.integral) == pytest.approx(float(state.integral),
                                                 rel=1e-9)
+
+
+# -- inhomogeneous / time-dependent BC values in the 3D fused windows -----------------
+
+
+def _vals_for_side(rng, grid, ax):
+    shape = tuple(n for a, n in enumerate(grid.shape) if a != ax)
+    return rng.uniform(-1.0, 1.0, shape)
+
+
+@pytest.mark.parametrize("ax", [0, 1, 2], ids=["x-side", "y-side", "z-side"])
+def test_3d_inhomogeneous_bc_parity(ax, rng, monkeypatch):
+    """Per-boundary-FACE value arrays lower into the 3D fused window:
+    x-side planes as a (1, ny, nz) VMEM block, y-side as (R, 1, nz) DMA
+    slices, z-side as (R, ny, 128) lane-broadcast slices (reference
+    virtual-point arrays, `local.py:1541-2104`, in 3D)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (8, 8, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    axes = "xyz"
+    bc = {axes[a]: {"derivative": 0} for a in range(3) if a != ax}
+    bc[f"{axes[ax]}-"] = {"value": _vals_for_side(rng, grid, ax)}
+    bc[f"{axes[ax]}+"] = {"derivative": 0}
+    eq = pde.DiffusionPDE(0.1, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=2e-4)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=2e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": {"derivative": 0}, "y-": {"value_expression": "sin(3 * t)"},
+         "y+": {"value": 0}, "z": {"derivative": 0}},
+        {"x-": {"value_expression": "t"}, "x+": {"derivative": 0},
+         "y": {"derivative": 0}, "z": {"value": 0}},
+        {"x-": {"value_expression": "sin(y + z)"}, "x+": {"derivative": 0.5},
+         "y-": {"derivative_expression": "cos(2 * t)"}, "y+": {"value": 0},
+         "z": {"derivative": 0}},
+    ],
+    ids=["t-col", "t-row", "mixed-array-and-t"],
+)
+def test_3d_time_dependent_bc_parity(bc, rng, monkeypatch):
+    """t-dependent expression BC values pass per-step SMEM consts in 3D."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (8, 8, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.1, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=2e-4)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=2e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_3d_time_bc_tracker_windows(rng, monkeypatch):
+    """The 3D per-chunk t table restarts from each window's t_start."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+    from pde_tpu.storage.memory import MemoryStorage
+
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (8, 8, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"x": {"derivative": 0}, "y-": {"value_expression": "sin(5 * t)"},
+          "y+": {"value": 0}, "z": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.2, bc=bc)
+    storage = MemoryStorage()
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.03,
+                     tracker=storage.tracker(0.01)).run(state, dt=2e-4)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.03, dt=2e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_3d_coupled_routed_bc_side_inputs(rng, monkeypatch):
+    """Per-(var, op) bc_ops routing with array + t-dependent values through
+    the coupled 3D volume kernel."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (8, 8, 16))
+    u = pde.ScalarField.random_uniform(grid, rng=rng, label="u")
+    v = pde.ScalarField.random_uniform(grid, rng=rng, label="v")
+    state = pde.FieldCollection([u, v])
+    vals = rng.uniform(0.0, 1.0, (8, 16))
+    eq = pde.PDE(
+        {
+            "u": "1 + u**2*v - 2.2*u + 0.1*laplace(u)",
+            "v": "1.2*u - u**2*v + 0.05*laplace(v)",
+        },
+        bc_ops={
+            "u:laplace": {"x": {"derivative": 0}, "y-": {"value": vals},
+                          "y+": {"derivative": 0}, "z": {"value": 0}},
+            "v:laplace": {"x": {"derivative": 0}, "y": {"derivative": 0},
+                          "z-": {"value_expression": "cos(t)"},
+                          "z+": {"value": 0}},
+        },
+    )
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=2e-4)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=2e-4, tracker=None)
+    for a, b in zip(res, ref, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_3d_bc_side_input_gates(rng, monkeypatch):
+    """3D gating contract: xt values and decomposed runs with non-scalar
+    values fall back to XLA; uniform arrays collapse to scalars and fuse."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (8, 8, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    # space-AND-time values fall back in 3D
+    eq = pde.DiffusionPDE(0.1, bc={
+        "x": {"derivative": 0}, "y-": {"value_expression": "sin(z - t)"},
+        "y+": {"value": 0}, "z": {"derivative": 0}})
+    solver = EulerSolver(eq)
+    stepper = solver.make_stepper(state, dt=2e-4)
+    out, _ = stepper(state, 0.0, 2e-3)
+    assert solver.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out.data)))
+    # decomposed + truly varying arrays fall back (sharded 3D takes scalars)
+    vals = rng.uniform(-1.0, 1.0, (8, 16))
+    eq2 = pde.DiffusionPDE(0.1, bc={
+        "x-": {"value": vals}, "x+": {"derivative": 0},
+        "y": {"derivative": 0}, "z": {"value": 0}})
+    solver2 = EulerSolver(eq2, decomposition=[2, 1, 1])
+    stepper2 = solver2.make_stepper(state, dt=2e-4)
+    out2, _ = stepper2(state, 0.0, 2e-3)
+    assert solver2.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out2.data)))

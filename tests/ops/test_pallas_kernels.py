@@ -1105,12 +1105,14 @@ def test_expression_fused_cylindrical_inhomogeneous_bc(rng, monkeypatch):
 
 
 def test_expression_fused_inhomogeneous_bc_gates(rng, monkeypatch):
-    """3D/SDE/sharded expression windows refuse array/t BC values and fall
-    back to the XLA lowering (documented residual)."""
+    """SDE expression windows refuse array/t BC values and fall back to the
+    XLA lowering (documented residual); 3D windows now LOWER them (see
+    tests/ops/test_pallas_3d.py for the 3D parity suite) — asserted here so
+    the gate list stays in sync with the feature set."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
-    # 3D
+    # 3D array values fuse since round 3 (staged per-face side inputs)
     g3 = pde.CartesianGrid([(0, 1)] * 3, (8, 8, 8),
                            periodic=[False, True, True])
     st3 = pde.ScalarField.random_uniform(g3, rng=rng)
@@ -1119,7 +1121,7 @@ def test_expression_fused_inhomogeneous_bc_gates(rng, monkeypatch):
     eq3 = pde.PDE({"c": "0.1 * laplace(c)"}, bc=bc3)
     s3 = EulerSolver(eq3)
     out3, _ = s3.make_stepper(st3, dt=1e-3)(st3, 0.0, 0.01)
-    assert s3.info.get("fused_step") is None
+    assert s3.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out3.data)))
 
     # SDE

@@ -273,3 +273,39 @@ def test_sde_kernel_noise_window(rng, monkeypatch):
         float(np.var(np.asarray(out1.data)))
         / float(np.var(np.asarray(ref.data))) - 1.0
     ) < 0.05
+
+
+def test_fused_3d_inhomogeneous_bc_parity(rng, monkeypatch):
+    """3D BC value staging must Mosaic-compile: the y-side (R, 1, nz)
+    middle-dim-1 DMA slice and the z-side (R, ny, 128) lane-broadcast
+    block are layouts interpret mode cannot validate (the 2D hardware
+    lane already caught a width-1 memref rejection)."""
+    grid = pde.CartesianGrid([(0, 1)] * 3, (64, 64, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    vals_y = np.linspace(-1.0, 1.0, 64 * 128).reshape(64, 128)
+    vals_z = np.linspace(0.0, 2.0, 64 * 64).reshape(64, 64)
+    bc = {"x": {"derivative": 0},
+          "y-": {"value": vals_y}, "y+": {"derivative": 0},
+          "z-": {"value": vals_z}, "z+": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.05, bc=bc)
+    res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_fused_3d_time_dependent_bc_parity(rng, monkeypatch):
+    """3D per-step SMEM t-table on the chip (x-side plane + t expression)."""
+    grid = pde.CartesianGrid([(0, 1)] * 3, (64, 64, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    vals_x = np.linspace(-0.5, 0.5, 64 * 128).reshape(64, 128)
+    bc = {"x-": {"value": vals_x}, "x+": {"derivative": 0},
+          "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0},
+          "z": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.05, bc=bc)
+    res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )

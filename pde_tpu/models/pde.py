@@ -708,9 +708,9 @@ class PDE(SDEBase):
                 raise NotImplementedError(str(err)) from err
         else:
             bc_inputs = collect_bc_side_inputs(bc_table)
-        if bc_inputs is not None and self.is_sde:
+        if bc_inputs is not None and self.is_sde and bc_inputs.get("xt"):
             raise NotImplementedError(
-                "Inhomogeneous/time-dependent BC values are not supported "
+                "Space-and-time-dependent BC values are not supported "
                 "by the SDE fused windows"
             )
         if bc_inputs is not None and grid.num_axes == 3 and mesh is not None:
@@ -834,6 +834,7 @@ class PDE(SDEBase):
                         kernel_noise=self._sde_kernel_noise_spec(
                             grid, dt, interpret
                         ),
+                        bc_inputs=bc_inputs, dt=dt,
                     )
                 except PallasUnsupportedError as err:
                     raise NotImplementedError(str(err)) from err

@@ -2756,9 +2756,111 @@ def _make_kernel_noise_gen(pltpu, dist: str):
     return gen
 
 
+class _BCSideStager2D:
+    """Staging of inhomogeneous/t-dependent BC consts for the single-field
+    2D SDE kernels (same layouts as :func:`make_fused_multi_stencil_window_2d`
+    — row-side (1, n_cols) VMEM blocks, column-side per-program DMA slices
+    of a halo-extended lane-broadcast vector, t consts via an SMEM (k, n_t)
+    table). Space-AND-time values raise (the SDE windows do not stage
+    per-chunk value tables)."""
+
+    def __init__(self, bc_inputs, n_cols, halo, dtype):
+        self.t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+        xt = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
+        if xt:
+            raise PallasUnsupportedError(
+                "Space-and-time-dependent BC values are not supported by "
+                "the fused SDE windows"
+            )
+        self.has_t = bool(self.t_specs)
+        self.halo = halo
+        self.row_entries: list = []
+        self.col_entries: list = []
+        for kind, spec in [] if bc_inputs is None else bc_inputs["arrays"]:
+            arr = np.asarray(spec.const_static, dtype=dtype).reshape(-1)
+            if kind == "row":
+                self.row_entries.append((spec, arr.reshape(1, n_cols)))
+            else:
+                ext = np.concatenate([arr[-halo:], arr, arr[:halo]])
+                self.col_entries.append((
+                    spec,
+                    np.broadcast_to(
+                        ext.reshape(-1, 1), (ext.size, 128)
+                    ).copy(),
+                ))
+        self.n_row = len(self.row_entries)
+        self.n_col = len(self.col_entries)
+        self.active = bool(self.has_t or self.n_row or self.n_col)
+
+    def in_specs(self, pl, pltpu, n_cols):
+        return (
+            ([pl.BlockSpec(memory_space=pltpu.SMEM)] if self.has_t else [])
+            + [
+                pl.BlockSpec(
+                    (1, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM
+                )
+            ] * self.n_row
+            + [pl.BlockSpec(memory_space=pl.ANY)] * self.n_col
+        )
+
+    def scratch(self, pltpu, band, dtype):
+        return [
+            pltpu.VMEM((band + 2 * self.halo, 128), dtype)
+        ] * self.n_col
+
+    def unpack(self, refs):
+        """(t_tab, row_refs, col_hbm, n_consumed) from the leading refs."""
+        pos = 0
+        t_tab = None
+        if self.has_t:
+            t_tab = refs[0]
+            pos = 1
+        row_refs = refs[pos : pos + self.n_row]
+        pos += self.n_row
+        col_hbm = refs[pos : pos + self.n_col]
+        return t_tab, row_refs, col_hbm, pos + self.n_col
+
+    def start_copies(self, pl, pltpu, row0, band, col_hbm, col_vmem, sem,
+                     base):
+        copies = []
+        for j in range(self.n_col):
+            cp = pltpu.make_async_copy(
+                col_hbm[j].at[
+                    pl.ds(pl.multiple_of(row0, 8), band + 2 * self.halo), :
+                ],
+                col_vmem[j],
+                sem.at[base + j],
+            )
+            cp.start()
+            copies.append(cp)
+        return copies
+
+    def bind(self, helpers, row_refs, col_vmem):
+        helpers.stage_row_halo = self.halo
+        bc_arrays = {}
+        for j, (spec, _) in enumerate(self.row_entries):
+            bc_arrays[id(spec)] = row_refs[j]
+        for j, (spec, _) in enumerate(self.col_entries):
+            bc_arrays[id(spec)] = col_vmem[j]
+        helpers.bc_arrays = bc_arrays
+
+    def set_step(self, helpers, t_tab, s):
+        helpers.step_idx = s
+        if self.has_t:
+            helpers.t_consts = {
+                id(spec): t_tab[s, j] for j, spec in enumerate(self.t_specs)
+            }
+
+    def host_operands(self, dtype):
+        return [
+            jnp.asarray(a, dtype=dtype) for _, a in self.row_entries
+        ] + [jnp.asarray(a, dtype=dtype) for _, a in self.col_entries]
+
+
 def make_fused_sde_kernel_noise_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, *,
     dist: str, scale: float, dtype=np.float32, k: int | None = None,
+    bc_inputs=None,
 ) -> tuple[Callable, int]:
     """Temporal-blocking Euler-Maruyama window with IN-KERNEL noise.
 
@@ -2803,9 +2905,16 @@ def make_fused_sde_kernel_noise_window_2d(
     scale = np.dtype(dtype).type(scale)
     n_ext = band + 2 * halo
     assert n_ext % _HALO == 0
+    stager = _BCSideStager2D(bc_inputs, n_cols, halo, dtype)
 
-    def kernel(ctl_ref, f_hbm, out_ref, band_ref, halo_top, halo_bot,
-               noise_ref, sem):
+    def kernel(*refs):
+        ctl_ref = refs[0]
+        t_tab, row_refs, col_hbm, pos = stager.unpack(refs[1:])
+        pos += 1
+        f_hbm, out_ref = refs[pos : pos + 2]
+        band_ref, halo_top, halo_bot, noise_ref = refs[pos + 2 : pos + 6]
+        col_vmem = refs[pos + 6 : pos + 6 + stager.n_col]
+        sem = refs[pos + 6 + stager.n_col]
         i = pl.program_id(0)
         row0 = i * band
         top_row = pl.multiple_of(
@@ -2823,9 +2932,13 @@ def make_fused_sde_kernel_noise_window_2d(
             cp = pltpu.make_async_copy(src_ref, dst, sem.at[len(copies)])
             cp.start()
             copies.append(cp)
+        copies += stager.start_copies(
+            pl, pltpu, row0, band, col_hbm, col_vmem, sem, 3
+        )
         for cp in copies:
             cp.wait()
 
+        stager.bind(helpers, row_refs, col_vmem)
         work = jnp.concatenate(
             [halo_top[halo - halo_total :, :], band_ref[:, :],
              halo_bot[:halo_total, :]],
@@ -2856,6 +2969,7 @@ def make_fused_sde_kernel_noise_window_2d(
                 return 0
 
             jax.lax.fori_loop(0, n_ext // 8, gen_body, 0)
+            stager.set_step(helpers, t_tab, s)
             work = step(work)
             margin = halo_total - (s + 1) * halo_per_step
             work = work + noise_ref[halo - margin : halo + band + margin, :]
@@ -2865,10 +2979,9 @@ def make_fused_sde_kernel_noise_window_2d(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         grid=(n_rows // band,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + stager.in_specs(pl, pltpu, n_cols)
+        + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -2877,21 +2990,38 @@ def make_fused_sde_kernel_noise_window_2d(
             pltpu.VMEM((halo, n_cols), dtype),
             pltpu.VMEM((halo, n_cols), dtype),
             pltpu.VMEM((n_ext, n_cols), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+        ] + stager.scratch(pltpu, band, dtype) + [
+            pltpu.SemaphoreType.DMA((3 + stager.n_col,)),
         ],
     )
 
+    consts = stager.host_operands(dtype)
+
+    if stager.has_t:
+
+        def window_k_t(data, ctl, t_tab):
+            return call(
+                jnp.asarray(ctl, jnp.int32),
+                jnp.asarray(t_tab, dtype=dtype), *consts,
+                jnp.asarray(data, dtype=dtype),
+            )
+
+        window_k_t.t_specs = tuple(stager.t_specs)
+        return window_k_t, k
+
     def window_k(data, ctl):
         return call(
-            jnp.asarray(ctl, jnp.int32), jnp.asarray(data, dtype=dtype)
+            jnp.asarray(ctl, jnp.int32), *consts,
+            jnp.asarray(data, dtype=dtype),
         )
 
+    window_k.t_specs = None
     return window_k, k
 
 
 def make_fused_sde_stencil_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, *, dtype=np.float32,
-    k: int | None = None, interpret: bool = False,
+    k: int | None = None, interpret: bool = False, bc_inputs=None,
 ) -> tuple[Callable, int]:
     """Temporal-blocking Euler-Maruyama window: deterministic stencil steps
     plus pre-scaled additive noise increments supplied as a kernel input.
@@ -2907,6 +3037,11 @@ def make_fused_sde_stencil_window_2d(
     PRNG primitives have no interpret-mode lowering; traffic is one noise
     read per step against 2/k field passes. Reference equivalent: noise
     inside the compiled MPI stepper (`backends/numba/_solvers.py`).
+
+    ``bc_inputs`` (:func:`collect_bc_side_inputs` output, no xt entries)
+    stages inhomogeneous/t-dependent BC consts like the deterministic
+    multi window; with t entries the callable is
+    ``window_k(data, noise, t_tab)``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -2943,9 +3078,14 @@ def make_fused_sde_stencil_window_2d(
     step = make_step(helpers)
     halo_total = k * halo_per_step
     halo = -(-halo_total // _HALO) * _HALO
+    stager = _BCSideStager2D(bc_inputs, n_cols, halo, dtype)
 
-    def kernel(f_hbm, noise_hbm, out_ref, band_ref, halo_top, halo_bot,
-               noise_ref, sem):
+    def kernel(*refs):
+        t_tab, row_refs, col_hbm, pos = stager.unpack(refs)
+        f_hbm, noise_hbm, out_ref = refs[pos : pos + 3]
+        band_ref, halo_top, halo_bot, noise_ref = refs[pos + 3 : pos + 7]
+        col_vmem = refs[pos + 7 : pos + 7 + stager.n_col]
+        sem = refs[pos + 7 + stager.n_col]
         i = pl.program_id(0)
         row0 = i * band
         top_row = pl.multiple_of(
@@ -2978,15 +3118,20 @@ def make_fused_sde_stencil_window_2d(
             )
             cp.start()
             copies.append(cp)
+        copies += stager.start_copies(
+            pl, pltpu, row0, band, col_hbm, col_vmem, sem, 6
+        )
         for cp in copies:
             cp.wait()
 
+        stager.bind(helpers, row_refs, col_vmem)
         work = jnp.concatenate(
             [halo_top[halo - halo_total :, :], band_ref[:, :],
              halo_bot[:halo_total, :]],
             axis=0,
         )
         for s in range(k):
+            stager.set_step(helpers, t_tab, s)
             work = step(work)
             # after step s the work spans rows
             # [row0 - (halo_total - (s+1)*hps), row0 + band + ...): slice the
@@ -3003,7 +3148,7 @@ def make_fused_sde_stencil_window_2d(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         grid=(n_rows // band,),
-        in_specs=[
+        in_specs=stager.in_specs(pl, pltpu, n_cols) + [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -3015,22 +3160,40 @@ def make_fused_sde_stencil_window_2d(
             pltpu.VMEM((halo, n_cols), dtype),
             pltpu.VMEM((halo, n_cols), dtype),
             pltpu.VMEM((k, band + 2 * halo, n_cols), dtype),
-            pltpu.SemaphoreType.DMA((6,)),
+        ] + stager.scratch(pltpu, band, dtype) + [
+            pltpu.SemaphoreType.DMA((6 + stager.n_col,)),
         ],
         interpret=interpret,
     )
 
+    consts = stager.host_operands(dtype)
+
+    if stager.has_t:
+
+        def window_k_t(data, noise, t_tab):
+            return call(
+                jnp.asarray(t_tab, dtype=dtype), *consts,
+                jnp.asarray(data, dtype=dtype),
+                jnp.asarray(noise, dtype=dtype),
+            )
+
+        window_k_t.t_specs = tuple(stager.t_specs)
+        return window_k_t, k
+
     def window_k(data, noise):
         return call(
-            jnp.asarray(data, dtype=dtype), jnp.asarray(noise, dtype=dtype)
+            *consts, jnp.asarray(data, dtype=dtype),
+            jnp.asarray(noise, dtype=dtype),
         )
 
+    window_k.t_specs = None
     return window_k, k
 
 
 def make_chunked_sde_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, noise_fn, *,
     dtype=np.float32, interpret: bool = False, kernel_noise=None,
+    bc_inputs=None, dt=None,
 ) -> Callable:
     """Return ``window(data, key, steps)`` for Euler-Maruyama stepping.
 
@@ -3044,7 +3207,21 @@ def make_chunked_sde_window_2d(
     :func:`make_fused_sde_kernel_noise_window_2d`): ``noise_fn`` is unused,
     the stream is derived from ``key`` via two raw bit words, and
     trajectories match the XLA path only in distribution.
+
+    ``bc_inputs`` (:func:`collect_bc_side_inputs` output, no xt entries)
+    stages inhomogeneous/t-dependent BC consts; with t entries the window
+    is ``window(data, key, t0, steps)`` (attribute ``needs_t``) and
+    ``dt`` is required.
     """
+    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    has_t = bool(t_specs)
+    if has_t and dt is None:
+        raise ValueError("dt is required for time-dependent BC windows")
+    t_funcs = [spec.const_t for spec in t_specs]
+
+    def make_t_tab(ts):
+        return jnp.stack([jax.vmap(fn)(ts) for fn in t_funcs], axis=1)
+
     if kernel_noise is not None:
         if interpret:
             raise PallasUnsupportedError(
@@ -3055,16 +3232,18 @@ def make_chunked_sde_window_2d(
             step_kk, _ = make_fused_sde_kernel_noise_window_2d(
                 grid, make_step, halo_per_step, dtype=dtype, k=kk,
                 dist=kernel_noise["dist"], scale=kernel_noise["scale"],
+                bc_inputs=bc_inputs,
             )
             return step_kk
 
         _, k = make_fused_sde_kernel_noise_window_2d(
             grid, make_step, halo_per_step, dtype=dtype,
             dist=kernel_noise["dist"], scale=kernel_noise["scale"],
+            bc_inputs=bc_inputs,
         )
         kernels = _binary_kernel_ladder(build_kn, k)
 
-        def window_kn(data, key, steps):
+        def window_kn(data, key, steps, t0=None):
             seed = jax.lax.bitcast_convert_type(
                 jax.random.bits(key, (2,), jnp.uint32), jnp.int32
             )
@@ -3076,6 +3255,9 @@ def make_chunked_sde_window_2d(
                 def body(c, carry, _kk=kk, _step=step_fn):
                     d, idx = carry
                     ctl = jnp.concatenate([seed, idx[None]])
+                    if has_t:
+                        ts = t0 + (idx + jnp.arange(_kk)) * dt
+                        return (_step(d, ctl, make_t_tab(ts)), idx + _kk)
                     return (_step(d, ctl), idx + _kk)
 
                 data, index = jax.lax.fori_loop(
@@ -3084,22 +3266,30 @@ def make_chunked_sde_window_2d(
                 remaining = remaining - chunks * kk
             return data
 
+        if has_t:
+
+            def window_kn_t(data, key, t0, steps):
+                return window_kn(data, key, steps, t0)
+
+            window_kn_t.needs_t = True
+            return window_kn_t
         return window_kn
 
     _, k = make_fused_sde_stencil_window_2d(
-        grid, make_step, halo_per_step, dtype=dtype, interpret=interpret
+        grid, make_step, halo_per_step, dtype=dtype, interpret=interpret,
+        bc_inputs=bc_inputs,
     )
 
     def build(kk):
         step_kk, _ = make_fused_sde_stencil_window_2d(
             grid, make_step, halo_per_step, dtype=dtype, k=kk,
-            interpret=interpret,
+            interpret=interpret, bc_inputs=bc_inputs,
         )
         return step_kk
 
     kernels = _binary_kernel_ladder(build, k)
 
-    def window(data, key, steps):
+    def window(data, key, steps, t0=None):
         index = jnp.asarray(0, jnp.int32)
         remaining = steps
         for kk, step_fn in kernels:
@@ -3108,12 +3298,22 @@ def make_chunked_sde_window_2d(
             def body(c, carry, _kk=kk, _step=step_fn):
                 d, idx = carry
                 noise = noise_fn(key, idx + jnp.arange(_kk))
+                if has_t:
+                    ts = t0 + (idx + jnp.arange(_kk)) * dt
+                    return (_step(d, noise, make_t_tab(ts)), idx + _kk)
                 return (_step(d, noise), idx + _kk)
 
             data, index = jax.lax.fori_loop(0, chunks, body, (data, index))
             remaining = remaining - chunks * kk
         return data
 
+    if has_t:
+
+        def window_t(data, key, t0, steps):
+            return window(data, key, steps, t0)
+
+        window_t.needs_t = True
+        return window_t
     return window
 
 

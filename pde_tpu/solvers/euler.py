@@ -112,9 +112,9 @@ class EulerSolver(AdaptiveSolverBase):
                 data_spec = [mesh.partition_spec(0)] * n_leaves
             else:
                 data_spec = mesh.partition_spec(0)
-            # needs_key/needs_t windows take one replicated extra arg
-            # (key / t0) before the step count
-            n_extra = 1 + (1 if (needs_key or needs_t) else 0)
+            # needs_key/needs_t windows take replicated extra args
+            # (key and/or t0) before the step count
+            n_extra = 1 + int(needs_key) + int(needs_t)
             run = jax.jit(
                 jax.shard_map(
                     window,
@@ -137,7 +137,14 @@ class EulerSolver(AdaptiveSolverBase):
                 self._init_key()
                 self._key, key = jax.random.split(self._key)
                 (data,) = leaves
-                leaves = [run(data, key, jnp.asarray(steps))]
+                if needs_t:
+                    # SDE window with t-dependent BC consts: (key, t0, steps)
+                    leaves = [
+                        run(data, key, jnp.asarray(t_start),
+                            jnp.asarray(steps))
+                    ]
+                else:
+                    leaves = [run(data, key, jnp.asarray(steps))]
             elif needs_t:
                 # time-dependent BC values: the window rebuilds its per-step
                 # const table from t_start

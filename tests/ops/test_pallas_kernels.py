@@ -348,6 +348,59 @@ def test_fused_sde_window_kpz(rng, monkeypatch):
     assert float(res_fused.fluctuations) > 0  # interface roughened
 
 
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": {"derivative": 0}, "y-": {"value": np.linspace(-1, 1, 16)},
+         "y+": {"derivative": 0}},
+        {"x-": {"value": np.linspace(0, 2, 16)}, "x+": {"derivative": 0},
+         "y": {"value": 0}},
+        {"x": {"derivative": 0}, "y-": {"value_expression": "sin(3 * t)"},
+         "y+": {"value": 0}},
+        {"x-": {"value": np.linspace(-1, 1, 16)}, "x+": {"derivative": 0},
+         "y-": {"derivative_expression": "cos(t)"}, "y+": {"value": 0}},
+    ],
+    ids=["array-col", "array-row", "t-dep", "array-and-t"],
+)
+def test_fused_sde_window_bc_side_inputs(bc, rng, monkeypatch):
+    """SDE windows stage inhomogeneous/t-dependent BC consts too (the same
+    _BCSideStager2D layouts as the deterministic windows; per-chunk SMEM
+    t-tables rebuilt from the window's t0) — trajectories stay exact vs
+    the unfused stepper (same noise stream)."""
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng, label="c")
+
+    def eq_factory():
+        return pde.PDE({"c": "0.1 * laplace(c)"}, bc=bc, noise=0.05,
+                       rng=np.random.default_rng(3))
+
+    res_fused, solver = _solve_sde(eq_factory, state, 0.02, 5e-4, True,
+                                   monkeypatch)
+    assert solver.info.get("fused_step") is True
+    res_ref, _ = _solve_sde(eq_factory, state, 0.02, 5e-4, False,
+                            monkeypatch)
+    np.testing.assert_allclose(
+        np.asarray(res_fused.data), np.asarray(res_ref.data),
+        rtol=1e-12, atol=1e-13,
+    )
+
+
+def test_fused_sde_window_xt_bc_falls_back(rng, monkeypatch):
+    """Space-AND-time BC values are not staged by the SDE windows."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng, label="c")
+    bc = {"x": {"derivative": 0}, "y-": {"value_expression": "sin(x - t)"},
+          "y+": {"value": 0}}
+    eq = pde.PDE({"c": "0.1 * laplace(c)"}, bc=bc, noise=0.05)
+    solver = EulerSolver(eq)
+    out, _ = solver.make_stepper(state, dt=5e-4)(state, 0.0, 0.01)
+    assert solver.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out.data)))
+
+
 def test_fused_sde_rejects_multiplicative(monkeypatch):
     """State-dependent noise cannot fuse and falls back cleanly."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
@@ -1105,10 +1158,11 @@ def test_expression_fused_cylindrical_inhomogeneous_bc(rng, monkeypatch):
 
 
 def test_expression_fused_inhomogeneous_bc_gates(rng, monkeypatch):
-    """SDE expression windows refuse array/t BC values and fall back to the
-    XLA lowering (documented residual); 3D windows now LOWER them (see
-    tests/ops/test_pallas_3d.py for the 3D parity suite) — asserted here so
-    the gate list stays in sync with the feature set."""
+    """Gate-list summary kept in sync with the feature set: 3D and SDE
+    windows now LOWER array/t-dependent BC values (parity suites in
+    tests/ops/test_pallas_3d.py and test_fused_sde_window_bc_side_inputs);
+    space-AND-time SDE values still fall back
+    (test_fused_sde_window_xt_bc_falls_back)."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
@@ -1124,7 +1178,7 @@ def test_expression_fused_inhomogeneous_bc_gates(rng, monkeypatch):
     assert s3.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out3.data)))
 
-    # SDE
+    # SDE windows stage t-dependent consts since round 3
     g2 = pde.UnitGrid([16, 16], periodic=[True, False])
     st2 = pde.ScalarField.random_uniform(g2, rng=rng)
     bc2 = {"x": "periodic", "y-": {"value_expression": "sin(t)"},
@@ -1132,5 +1186,5 @@ def test_expression_fused_inhomogeneous_bc_gates(rng, monkeypatch):
     eq_sde = pde.PDE({"c": "0.1 * laplace(c)"}, bc=bc2, noise=0.01)
     s_sde = EulerSolver(eq_sde)
     out_sde, _ = s_sde.make_stepper(st2, dt=1e-3)(st2, 0.0, 0.01)
-    assert s_sde.info.get("fused_step") is None
+    assert s_sde.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out_sde.data)))

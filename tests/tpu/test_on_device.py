@@ -309,3 +309,38 @@ def test_fused_3d_time_dependent_bc_parity(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
+
+
+def test_fused_sde_kernel_noise_bc_side_inputs(rng, monkeypatch):
+    """The in-kernel-PRNG SDE window (hardware-only: pltpu.prng_seed has no
+    interpret lowering) stages array/t-dependent BC consts; statistics and
+    BC means must match the XLA path."""
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (256, 256))
+    state = pde.ScalarField(grid, np.zeros((256, 256), np.float32))
+    vals = np.linspace(-1.0, 1.0, 256)
+    bc = {"x-": {"value": vals}, "x+": {"derivative": 0},
+          "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}}
+    from pde_tpu.solvers.euler import EulerSolver
+
+    with pde.config({"sde.increment_dist": "irwin4"}):
+        eq = pde.DiffusionPDE(diffusivity=0.1, noise=0.5, bc=bc,
+                              rng=np.random.default_rng(5))
+        solver = EulerSolver(eq)
+        out, _ = solver.make_stepper(state, dt=1e-4)(state, 0.0, 0.05)
+        assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    eqr = pde.DiffusionPDE(diffusivity=0.1, noise=0.5, bc=bc,
+                           rng=np.random.default_rng(6))
+    ref = eqr.solve(state, t_range=0.05, dt=1e-4, tracker=None)
+    # same weak law: variances agree; the deterministic BC-driven mean
+    # profile must match tightly (noise averages out in the mean)
+    assert abs(
+        float(np.var(np.asarray(out.data)))
+        / float(np.var(np.asarray(ref.data))) - 1.0
+    ) < 0.1
+    np.testing.assert_allclose(
+        np.asarray(out.data).mean(axis=1),
+        np.asarray(ref.data).mean(axis=1),
+        atol=0.05,
+    )

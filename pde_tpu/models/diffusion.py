@@ -87,10 +87,15 @@ class DiffusionPDE(SDEBase):
             )
         except PallasUnsupportedError as err:
             reroute = (
-                # sin(x - t)-style BC values: only the expression-compiled
-                # stencil kernels lower per-chunk (k, n) value tables
+                # sin(x - t)-style BC values and array-valued factors:
+                # only the expression-compiled stencil kernels stage them
+                # (sharded runs included for xt; the sharded windows gate
+                # factors and fall back from the rerouted path cleanly)
                 state.grid.num_axes == 2
-                and self._bcs_have_xt(state.grid, bcs)
+                and (
+                    self._bcs_have_xt(state.grid, bcs)
+                    or self._bcs_have_array_factors(state.grid, bcs)
+                )
             ) or (
                 # 3D array/t-dependent BC values: the specialized affine 3D
                 # kernel takes scalar consts; the expression-compiled 3D
@@ -119,6 +124,20 @@ class DiffusionPDE(SDEBase):
 
         try:
             return _specs_have_xt(affine_bc_specs(grid, bcs))
+        except PallasUnsupportedError:
+            return False
+
+    @staticmethod
+    def _bcs_have_array_factors(grid, bcs) -> bool:
+        """True when any side carries per-point ghost coefficients."""
+        from ..ops.pallas_cartesian import (
+            PallasUnsupportedError,
+            _specs_have_array_factors,
+            affine_bc_specs,
+        )
+
+        try:
+            return _specs_have_array_factors(affine_bc_specs(grid, bcs))
         except PallasUnsupportedError:
             return False
 

@@ -252,15 +252,20 @@ class _BCSideSpec:
     expression BCs; ``const_xt`` is an optional traceable ``t -> (n,)
     array`` for space-AND-time-dependent expression BCs (lowered as
     per-chunk ``(k, n)`` value tables by the stencil-helper kernels).
-    Factors are always scalars in the fused path (array factors — e.g.
-    Robin with spatially varying gamma — fall back to XLA).
+    ``f1``/``f2`` may be per-boundary-point arrays too (e.g. Robin with
+    spatially varying gamma); the 2D stencil-helper kernels stage them
+    like array consts, every other kernel rejects them (XLA fallback).
     """
 
     __slots__ = ("f1", "f2", "const_static", "const_t", "const_xt")
 
     def __init__(self, f1, f2, const_static, const_t=None, const_xt=None):
-        self.f1 = float(f1)
-        self.f2 = float(f2)
+        self.f1 = (
+            float(f1) if np.ndim(f1) == 0 else np.asarray(f1, dtype=float)
+        )
+        self.f2 = (
+            float(f2) if np.ndim(f2) == 0 else np.asarray(f2, dtype=float)
+        )
         self.const_static = const_static
         self.const_t = const_t
         self.const_xt = const_xt
@@ -269,12 +274,14 @@ class _BCSideSpec:
     def is_scalar(self) -> bool:
         return (
             np.ndim(self.const_static) == 0
+            and np.ndim(self.f1) == 0
+            and np.ndim(self.f2) == 0
             and self.const_t is None
             and self.const_xt is None
         )
 
     def scalar_triplet(self):
-        """(const, f1, f2) floats; raises for array/time-dependent consts."""
+        """(const, f1, f2) floats; raises for array/time-dependent parts."""
         if not self.is_scalar:
             raise PallasUnsupportedError(
                 "Inhomogeneous BC values are not supported by this kernel"
@@ -434,17 +441,15 @@ def affine_bc_specs(grid, bcs):
                     )
             f1s = _uniform_scalar(f1)
             f2s = _uniform_scalar(f2)
-            if f1s is None or f2s is None:
-                raise PallasUnsupportedError(
-                    "Array-valued BC factors are not supported in fused kernels"
-                )
             if idx != edge or idx2 != edge + inward:
                 raise PallasUnsupportedError("Unexpected virtual-point layout")
             cs = _uniform_scalar(const)
             sides.append(
-                _BCSideSpec(f1s, f2s, cs if cs is not None else np.asarray(
-                    const, dtype=float
-                ))
+                _BCSideSpec(
+                    f1s if f1s is not None else np.asarray(f1, dtype=float),
+                    f2s if f2s is not None else np.asarray(f2, dtype=float),
+                    cs if cs is not None else np.asarray(const, dtype=float),
+                )
             )
         params.append(tuple(sides))
     if all(p is None for p in params):
@@ -458,16 +463,20 @@ def collect_bc_side_inputs(bc_table):
 
     Returns ``None`` when every const is a plain scalar (the kernels then
     need no side inputs), else ``{"arrays": [('row'|'col', spec), ...],
-    "t": [spec, ...], "xt": [('row'|'col', spec), ...]}`` with each
-    distinct :class:`_BCSideSpec` appearing once (the expression compiler
+    "t": [spec, ...], "xt": [('row'|'col', spec), ...], "factors":
+    [('row'|'col', spec, 'f1'|'f2'), ...]}`` with each distinct
+    :class:`_BCSideSpec` appearing once (the expression compiler
     resolves BCs per ``(var, operator)``, so the same side may carry
     several independent spec objects — each gets its own staged slot).
     ``xt`` entries are space-AND-time-dependent consts, lowered as
-    per-chunk ``(k, n)`` value tables.
+    per-chunk ``(k, n)`` value tables; ``factors`` are per-point
+    ghost-formula coefficients (Robin with array gamma), staged like
+    array consts.
     """
     arrays: list = []
     t_specs: list = []
     xt: list = []
+    factors: list = []
     seen: set = set()
     for specs in bc_table.values():
         if specs is None:
@@ -480,6 +489,9 @@ def collect_bc_side_inputs(bc_table):
                     continue
                 seen.add(id(spec))
                 kind = "row" if ax == 0 else "col"
+                for attr in ("f1", "f2"):
+                    if np.ndim(getattr(spec, attr)) != 0:
+                        factors.append((kind, spec, attr))
                 if spec.const_xt is not None:
                     xt.append((kind, spec))
                     continue
@@ -487,9 +499,9 @@ def collect_bc_side_inputs(bc_table):
                     arrays.append((kind, spec))
                 if spec.const_t is not None:
                     t_specs.append(spec)
-    if not arrays and not t_specs and not xt:
+    if not arrays and not t_specs and not xt and not factors:
         return None
-    return {"arrays": arrays, "t": t_specs, "xt": xt}
+    return {"arrays": arrays, "t": t_specs, "xt": xt, "factors": factors}
 
 
 def collect_bc_side_inputs_3d(bc_table):
@@ -522,6 +534,11 @@ def collect_bc_side_inputs_3d(bc_table):
                         "Space-and-time-dependent BC values are not "
                         "supported by the 3D fused windows"
                     )
+                if np.ndim(spec.f1) != 0 or np.ndim(spec.f2) != 0:
+                    raise PallasUnsupportedError(
+                        "Array-valued BC factors are not supported by the "
+                        "3D fused windows"
+                    )
                 if np.ndim(spec.const_static) != 0:
                     arrays.append((ax, spec))
                 if spec.const_t is not None:
@@ -545,6 +562,19 @@ def _specs_have_xt(specs) -> bool:
     )
 
 
+def _specs_have_array_factors(specs) -> bool:
+    """True when any side carries per-point ghost-formula coefficients
+    (only the 2D stencil-helper kernels stage those)."""
+    if specs is None:
+        return False
+    return any(
+        np.ndim(side.f1) != 0 or np.ndim(side.f2) != 0
+        for pair in specs
+        if pair is not None
+        for side in pair
+    )
+
+
 def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
     """Preconditions of the fused kernel with physical (const-affine) BCs
     (incl. inhomogeneous arrays and t-dependent expression values)."""
@@ -552,7 +582,7 @@ def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
         specs = affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
         return False
-    if _specs_have_xt(specs):
+    if _specs_have_xt(specs) or _specs_have_array_factors(specs):
         return False
     # bf16 needs the MXU lane path, which requires periodic columns
     cols_periodic = specs is None or (len(specs) > 1 and specs[1] is None)
@@ -601,6 +631,11 @@ def make_affine_laplace_2d(
         raise PallasUnsupportedError(
             "Space-and-time-dependent BC values are not supported by the "
             "affine kernel (the expression-compiled windows lower them)"
+        )
+    if _specs_have_array_factors(bc_specs):
+        raise PallasUnsupportedError(
+            "Array-valued BC factors are not supported by the affine "
+            "kernel (the expression-compiled windows stage them)"
         )
     if bcs is None and not all(grid.periodic):
         raise PallasUnsupportedError(
@@ -1283,6 +1318,23 @@ def _make_stencil_helpers(
             c = c + helpers.t_consts[id(spec)]
         return c
 
+    def factor_of(spec, attr, shape, axis_side):
+        """Ghost-formula coefficient for one side: the scalar, or the staged
+        per-point vector (``helpers.bc_factors[(id(spec), attr)]``) matched
+        to the work geometry like :func:`const_of`'s array branch."""
+        f = getattr(spec, attr)
+        if np.ndim(f) == 0:
+            return f
+        arr = helpers.bc_factors[(id(spec), attr)]
+        if axis_side == "row":
+            off = helpers.stage_col_halo - (shape[1] - n_cols) // 2
+            return arr[0:1, off : off + shape[1]]
+        off = helpers.stage_row_halo - (shape[0] - band) // 2
+        return arr[off : off + shape[0]][:, 0:1]
+
+    def _nonzero(f) -> bool:
+        return bool(np.any(f)) if np.ndim(f) else bool(f)
+
     def fix_ghost_rows(w, bc_rows):
         if bc_rows is None:
             return w
@@ -1290,13 +1342,21 @@ def _make_stencil_helpers(
         hr = (w.shape[0] - band) // 2  # remaining halo rows on each side
         gate_lo, gate_hi, _, _ = edge_gates()
         e_lo = hr  # first globally valid row on program 0
-        ghost_lo = const_of(lo, w.shape, "row") + lo.f1 * w[e_lo : e_lo + 1, :]
-        if lo.f2:
-            ghost_lo = ghost_lo + lo.f2 * w[e_lo + 1 : e_lo + 2, :]
+        ghost_lo = const_of(lo, w.shape, "row") + factor_of(
+            lo, "f1", w.shape, "row"
+        ) * w[e_lo : e_lo + 1, :]
+        if _nonzero(lo.f2):
+            ghost_lo = ghost_lo + factor_of(
+                lo, "f2", w.shape, "row"
+            ) * w[e_lo + 1 : e_lo + 2, :]
         e_hi = w.shape[0] - 1 - hr  # last globally valid row on the last program
-        ghost_hi = const_of(hi, w.shape, "row") + hi.f1 * w[e_hi : e_hi + 1, :]
-        if hi.f2:
-            ghost_hi = ghost_hi + hi.f2 * w[e_hi - 1 : e_hi, :]
+        ghost_hi = const_of(hi, w.shape, "row") + factor_of(
+            hi, "f1", w.shape, "row"
+        ) * w[e_hi : e_hi + 1, :]
+        if _nonzero(hi.f2):
+            ghost_hi = ghost_hi + factor_of(
+                hi, "f2", w.shape, "row"
+            ) * w[e_hi - 1 : e_hi, :]
         rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
         w = jnp.where((rows == e_lo - 1) & gate_lo, ghost_lo, w)
         w = jnp.where((rows == e_hi + 1) & gate_hi, ghost_hi, w)
@@ -1310,13 +1370,21 @@ def _make_stencil_helpers(
         hc = (w.shape[1] - n_cols) // 2  # remaining halo cols on each side
         _, _, gate_lo, gate_hi = edge_gates()
         e_lo = hc
-        ghost_lo = const_of(lo, w.shape, "col") + lo.f1 * w[:, e_lo : e_lo + 1]
-        if lo.f2:
-            ghost_lo = ghost_lo + lo.f2 * w[:, e_lo + 1 : e_lo + 2]
+        ghost_lo = const_of(lo, w.shape, "col") + factor_of(
+            lo, "f1", w.shape, "col"
+        ) * w[:, e_lo : e_lo + 1]
+        if _nonzero(lo.f2):
+            ghost_lo = ghost_lo + factor_of(
+                lo, "f2", w.shape, "col"
+            ) * w[:, e_lo + 1 : e_lo + 2]
         e_hi = w.shape[1] - 1 - hc
-        ghost_hi = const_of(hi, w.shape, "col") + hi.f1 * w[:, e_hi : e_hi + 1]
-        if hi.f2:
-            ghost_hi = ghost_hi + hi.f2 * w[:, e_hi - 1 : e_hi]
+        ghost_hi = const_of(hi, w.shape, "col") + factor_of(
+            hi, "f1", w.shape, "col"
+        ) * w[:, e_hi : e_hi + 1]
+        if _nonzero(hi.f2):
+            ghost_hi = ghost_hi + factor_of(
+                hi, "f2", w.shape, "col"
+            ) * w[:, e_hi - 1 : e_hi]
         cols = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
         w = jnp.where((cols == e_lo - 1) & gate_lo, ghost_lo, w)
         w = jnp.where((cols == e_hi + 1) & gate_hi, ghost_hi, w)
@@ -1329,12 +1397,20 @@ def _make_stencil_helpers(
         if bc_cols is not None:
             lo, hi = as_spec(bc_cols[0]), as_spec(bc_cols[1])
             _, _, gate_lo, gate_hi = edge_gates()
-            ghost_lo = const_of(lo, center.shape, "col") + lo.f1 * center
-            if lo.f2:
-                ghost_lo = ghost_lo + lo.f2 * right
-            ghost_hi = const_of(hi, center.shape, "col") + hi.f1 * center
-            if hi.f2:
-                ghost_hi = ghost_hi + hi.f2 * left
+            ghost_lo = const_of(lo, center.shape, "col") + factor_of(
+                lo, "f1", center.shape, "col"
+            ) * center
+            if _nonzero(lo.f2):
+                ghost_lo = ghost_lo + factor_of(
+                    lo, "f2", center.shape, "col"
+                ) * right
+            ghost_hi = const_of(hi, center.shape, "col") + factor_of(
+                hi, "f1", center.shape, "col"
+            ) * center
+            if _nonzero(hi.f2):
+                ghost_hi = ghost_hi + factor_of(
+                    hi, "f2", center.shape, "col"
+                ) * left
             lanes = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
             left = jnp.where((lanes == 0) & gate_lo, ghost_lo, left)
             right = jnp.where((lanes == n_cols - 1) & gate_hi, ghost_hi, right)
@@ -1347,6 +1423,7 @@ def _make_stencil_helpers(
             cols = n_cols
             flags = None
             bc_arrays: dict = {}
+            bc_factors: dict = {}
             t_consts: dict = {}
             stage_row_halo = 0
             stage_col_halo = 0
@@ -1412,6 +1489,7 @@ def _make_stencil_helpers(
         cols = n_cols
         flags = None
         bc_arrays: dict = {}
+        bc_factors: dict = {}
         t_consts: dict = {}
         stage_row_halo = 0
         stage_col_halo = 0
@@ -1635,6 +1713,7 @@ def _make_stencil_helpers_3d(
         cols = nz
         flags = None
         bc_arrays: dict = {}
+        bc_factors: dict = {}
         t_consts: dict = {}
         stage_x_halo = 0
         stage_y_halo = 0
@@ -2227,25 +2306,34 @@ def make_fused_multi_stencil_window_2d(
     halo = -(-halo_total // _HALO) * _HALO  # rounded to the DMA granule
     F = n_fields
 
-    # staged side inputs for inhomogeneous / t-dependent BC consts
+    # staged side inputs for inhomogeneous / t-dependent BC consts; array
+    # FACTORS (Robin with per-point gamma) stage identically, bound into
+    # helpers.bc_factors under (id(spec), attr) keys
     arr_entries = [] if bc_inputs is None else bc_inputs["arrays"]
+    fac_entries = [] if bc_inputs is None else bc_inputs.get("factors", [])
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
     xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
     has_t = bool(t_specs)
-    row_entries = []  # (spec, (1, n_cols) block)
-    col_entries = []  # (spec, (n_rows + 2*halo, 128) extended block)
-    for kind, spec in arr_entries:
-        arr = np.asarray(spec.const_static, dtype=dtype).reshape(-1)
+    row_entries = []  # (('a'|'f', key), (1, n_cols) block)
+    col_entries = []  # (('a'|'f', key), (n_rows + 2*halo, 128) ext block)
+
+    def _stage(kind, key, values):
+        arr = np.asarray(values, dtype=dtype).reshape(-1)
         if kind == "row":
-            row_entries.append((spec, arr.reshape(1, n_cols)))
+            row_entries.append((key, arr.reshape(1, n_cols)))
         else:
             # wrap-pad by the staging halo; Mosaic rejects width-1 memref
             # slices, so broadcast across one 128-lane tile (kernel value-
             # slices lane 0) — same staging as make_affine_laplace_2d
             ext = np.concatenate([arr[-halo:], arr, arr[:halo]])
             col_entries.append(
-                (spec, np.broadcast_to(ext.reshape(-1, 1), (ext.size, 128)).copy())
+                (key, np.broadcast_to(ext.reshape(-1, 1), (ext.size, 128)).copy())
             )
+
+    for kind, spec in arr_entries:
+        _stage(kind, ("a", id(spec)), spec.const_static)
+    for kind, spec, attr in fac_entries:
+        _stage(kind, ("f", (id(spec), attr)), getattr(spec, attr))
     n_row_in, n_col_in = len(row_entries), len(col_entries)
     # space-AND-time consts: per-chunk tables as RUNTIME operands, one row
     # per temporal-block step (row-side (k, n_cols) VMEM blocks; column-side
@@ -2320,15 +2408,17 @@ def make_fused_multi_stencil_window_2d(
 
         helpers.stage_row_halo = halo
         bc_arrays = {}
-        for j, (spec, _) in enumerate(row_entries):
-            bc_arrays[id(spec)] = row_refs[j]
-        for j, (spec, _) in enumerate(col_entries):
-            bc_arrays[id(spec)] = col_vmem[j]
+        bc_factors = {}
+        for j, (key, _) in enumerate(row_entries):
+            (bc_arrays if key[0] == "a" else bc_factors)[key[1]] = row_refs[j]
+        for j, (key, _) in enumerate(col_entries):
+            (bc_arrays if key[0] == "a" else bc_factors)[key[1]] = col_vmem[j]
         for j, spec in enumerate(xt_row_specs):
             bc_arrays[id(spec)] = xtr_refs[j]
         for j, spec in enumerate(xt_col_specs):
             bc_arrays[id(spec)] = xtc_vmem[j]
         helpers.bc_arrays = bc_arrays
+        helpers.bc_factors = bc_factors
 
         works = [
             jnp.concatenate(
@@ -2502,6 +2592,11 @@ def make_fused_multi_ext_window_2d(
     # are shard-varying, so the caller supplies LOCAL (halo-extended) slices
     # at call time (sliced from host-precomputed GLOBAL arrays by
     # lax.axis_index, per the bit-identity rule)
+    if bc_inputs is not None and bc_inputs.get("factors"):
+        raise PallasUnsupportedError(
+            "Array-valued BC factors are not supported by the sharded "
+            "multi-field window"
+        )
     arr_entries = [] if bc_inputs is None else list(bc_inputs["arrays"])
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
     xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
@@ -2776,18 +2871,26 @@ class _BCSideStager2D:
         self.halo = halo
         self.row_entries: list = []
         self.col_entries: list = []
-        for kind, spec in [] if bc_inputs is None else bc_inputs["arrays"]:
-            arr = np.asarray(spec.const_static, dtype=dtype).reshape(-1)
+
+        def stage(kind, key, values):
+            arr = np.asarray(values, dtype=dtype).reshape(-1)
             if kind == "row":
-                self.row_entries.append((spec, arr.reshape(1, n_cols)))
+                self.row_entries.append((key, arr.reshape(1, n_cols)))
             else:
                 ext = np.concatenate([arr[-halo:], arr, arr[:halo]])
                 self.col_entries.append((
-                    spec,
+                    key,
                     np.broadcast_to(
                         ext.reshape(-1, 1), (ext.size, 128)
                     ).copy(),
                 ))
+
+        for kind, spec in [] if bc_inputs is None else bc_inputs["arrays"]:
+            stage(kind, ("a", id(spec)), spec.const_static)
+        for kind, spec, attr in (
+            [] if bc_inputs is None else bc_inputs.get("factors", [])
+        ):
+            stage(kind, ("f", (id(spec), attr)), getattr(spec, attr))
         self.n_row = len(self.row_entries)
         self.n_col = len(self.col_entries)
         self.active = bool(self.has_t or self.n_row or self.n_col)
@@ -2838,11 +2941,13 @@ class _BCSideStager2D:
     def bind(self, helpers, row_refs, col_vmem):
         helpers.stage_row_halo = self.halo
         bc_arrays = {}
-        for j, (spec, _) in enumerate(self.row_entries):
-            bc_arrays[id(spec)] = row_refs[j]
-        for j, (spec, _) in enumerate(self.col_entries):
-            bc_arrays[id(spec)] = col_vmem[j]
+        bc_factors = {}
+        for j, (key, _) in enumerate(self.row_entries):
+            (bc_arrays if key[0] == "a" else bc_factors)[key[1]] = row_refs[j]
+        for j, (key, _) in enumerate(self.col_entries):
+            (bc_arrays if key[0] == "a" else bc_factors)[key[1]] = col_vmem[j]
         helpers.bc_arrays = bc_arrays
+        helpers.bc_factors = bc_factors
 
     def set_step(self, helpers, t_tab, s):
         helpers.step_idx = s
@@ -3960,6 +4065,11 @@ def make_affine_laplace_ext_2d(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if _specs_have_array_factors(bc_specs):
+        raise PallasUnsupportedError(
+            "Array-valued BC factors are not supported by the halo-extended "
+            "affine kernel"
+        )
     if not supports_affine_laplace_ext(local_shape, dtype, k, ext_cols=ext_cols,
                                        interpret=interpret):
         raise PallasUnsupportedError(

@@ -378,6 +378,11 @@ def make_fused_multi_window_sharded(
     from ..grids.cartesian import CartesianGrid
 
     grid = mesh.basegrid
+    if bc_inputs is not None and bc_inputs.get("factors"):
+        raise PallasUnsupportedError(
+            "Array-valued BC factors are not supported by the sharded "
+            "fused windows"
+        )
     if isinstance(grid, CartesianGrid) and grid.num_axes == 3:
         if bc_inputs is not None:
             raise PallasUnsupportedError(

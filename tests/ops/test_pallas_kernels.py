@@ -825,6 +825,106 @@ def test_fused_window_time_bc_tracker_windows(rng, monkeypatch):
     )
 
 
+@pytest.mark.parametrize(
+    "side",
+    ["col", "row", "both-plus-t"],
+)
+def test_fused_window_array_factor_bc_parity(side, rng, monkeypatch):
+    """Robin BCs with per-point gamma ARRAYS lower too: the ghost formula's
+    coefficients f1/f2 stage like array consts (helpers.bc_factors), so
+    spatially varying mixed conditions run fused — reference per-point
+    virtual-point factor arrays (`local.py:1541-2104`). DiffusionPDE
+    reroutes through the expression compiler (the affine kernel rejects
+    array factors)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    gam = rng.uniform(0.5, 2.0, 16)
+    beta = rng.uniform(-1.0, 1.0, 16)
+    bc = {
+        "col": {"x": {"derivative": 0},
+                "y-": {"type": "mixed", "value": gam, "const": 0.3},
+                "y+": {"value": 0}},
+        "row": {"x-": {"type": "mixed", "value": gam, "const": beta},
+                "x+": {"derivative": 0}, "y": {"value": 0}},
+        "both-plus-t": {
+            "x-": {"type": "mixed", "value": gam, "const": beta},
+            "x+": {"derivative": 0},
+            "y-": {"value_expression": "sin(2 * t)"}, "y+": {"value": 0}},
+    }[side]
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    for eq in (
+        pde.DiffusionPDE(0.1, bc=bc),
+        pde.PDE({"c": "0.1 * laplace(c) - c**3"}, bc=bc),
+    ):
+        solver = EulerSolver(eq)
+        res = Controller(solver, t_range=0.02, tracker=None).run(
+            state, dt=5e-4
+        )
+        assert solver.info.get("fused_step") is True, type(eq).__name__
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+        ref = eq.solve(state, t_range=0.02, dt=5e-4, tracker=None)
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+        np.testing.assert_allclose(
+            np.asarray(res.data), np.asarray(ref.data), rtol=1e-12,
+            atol=1e-13,
+        )
+
+
+def test_fused_sde_window_array_factor_parity(rng, monkeypatch):
+    """Array-factor Robin BCs reach the SDE windows through the shared
+    stager — trajectories stay exact vs the unfused stepper."""
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng, label="c")
+    gam = rng.uniform(0.5, 2.0, 16)
+    bc = {"x-": {"type": "mixed", "value": gam, "const": 0.3},
+          "x+": {"derivative": 0}, "y": {"value": 0}}
+
+    def eq_factory():
+        return pde.PDE({"c": "0.1 * laplace(c)"}, bc=bc, noise=0.05,
+                       rng=np.random.default_rng(3))
+
+    res_fused, solver = _solve_sde(eq_factory, state, 0.02, 5e-4, True,
+                                   monkeypatch)
+    assert solver.info.get("fused_step") is True
+    res_ref, _ = _solve_sde(eq_factory, state, 0.02, 5e-4, False,
+                            monkeypatch)
+    np.testing.assert_allclose(
+        np.asarray(res_fused.data), np.asarray(res_ref.data),
+        rtol=1e-12, atol=1e-13,
+    )
+
+
+def test_fused_window_array_factor_gates(rng, monkeypatch):
+    """Sharded and 3D windows reject array factors and fall back."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    gam = rng.uniform(0.5, 2.0, 16)
+    bc = {"x-": {"type": "mixed", "value": gam, "const": 0.3},
+          "x+": {"derivative": 0}, "y": {"value": 0}}
+    solver = EulerSolver(pde.DiffusionPDE(0.1, bc=bc), decomposition=[2, 2])
+    out, _ = solver.make_stepper(state, dt=5e-4)(state, 0.0, 5e-3)
+    assert solver.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out.data)))
+
+    g3 = pde.CartesianGrid([(0, 1)] * 3, (8, 8, 16))
+    st3 = pde.ScalarField.random_uniform(g3, rng=rng)
+    g3m = rng.uniform(0.5, 2.0, (8, 16))
+    bc3 = {"x": {"derivative": 0},
+           "y-": {"type": "mixed", "value": g3m, "const": 0.3},
+           "y+": {"value": 0}, "z": {"derivative": 0}}
+    s3 = EulerSolver(pde.DiffusionPDE(0.1, bc=bc3))
+    o3, _ = s3.make_stepper(st3, dt=2e-4)(st3, 0.0, 2e-3)
+    assert s3.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(o3.data)))
+
+
 def test_fused_window_unsupported_bc_values_fall_back(rng, monkeypatch):
     """Expressions nonlinear in the adjacent value and mixed BCs with a
     space-dependent gamma break the affine ghost structure and fall back;

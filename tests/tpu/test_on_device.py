@@ -344,3 +344,21 @@ def test_fused_sde_kernel_noise_bc_side_inputs(rng, monkeypatch):
         np.asarray(ref.data).mean(axis=1),
         atol=0.05,
     )
+
+
+def test_fused_array_factor_bc_parity(rng, monkeypatch):
+    """Array-factor Robin BCs (per-point gamma staged as bc_factors) must
+    Mosaic-compile and match XLA on the chip."""
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (128, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    gam = np.linspace(0.5, 2.0, 128)
+    bc = {"x-": {"type": "mixed", "value": gam, "const": 0.3},
+          "x+": {"derivative": 0},
+          "y-": {"type": "mixed", "value": gam[::-1].copy(), "const": -0.2},
+          "y+": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.2, bc=bc)
+    res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )

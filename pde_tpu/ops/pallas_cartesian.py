@@ -2588,22 +2588,34 @@ def make_fused_multi_ext_window_2d(
     step = make_step(helpers)
     F = n_fields
 
-    # runtime side inputs for inhomogeneous / t-dependent BC consts: values
-    # are shard-varying, so the caller supplies LOCAL (halo-extended) slices
-    # at call time (sliced from host-precomputed GLOBAL arrays by
-    # lax.axis_index, per the bit-identity rule)
-    if bc_inputs is not None and bc_inputs.get("factors"):
-        raise PallasUnsupportedError(
-            "Array-valued BC factors are not supported by the sharded "
-            "multi-field window"
-        )
-    arr_entries = [] if bc_inputs is None else list(bc_inputs["arrays"])
+    # runtime side inputs for inhomogeneous / t-dependent BC consts AND
+    # array-valued factors: values are shard-varying, so the caller
+    # supplies LOCAL (halo-extended) slices at call time (sliced from
+    # host-precomputed GLOBAL arrays by lax.axis_index, per the
+    # bit-identity rule). Entries are (kind, spec, attr) with attr
+    # "const_static"/"f1"/"f2".
+    arr_entries = (
+        []
+        if bc_inputs is None
+        else [
+            (kind, spec, "const_static")
+            for kind, spec in bc_inputs["arrays"]
+        ]
+        + [
+            (kind, spec, attr)
+            for kind, spec, attr in bc_inputs.get("factors", [])
+        ]
+    )
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
     xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
     has_t = bool(t_specs)
-    row_specs = [spec for kind, spec in arr_entries if kind == "row"]
-    col_specs = [spec for kind, spec in arr_entries if kind == "col"]
-    n_row_in, n_col_in = len(row_specs), len(col_specs)
+    row_keys = [
+        (spec, attr) for kind, spec, attr in arr_entries if kind == "row"
+    ]
+    col_keys = [
+        (spec, attr) for kind, spec, attr in arr_entries if kind == "col"
+    ]
+    n_row_in, n_col_in = len(row_keys), len(col_keys)
     xt_row_specs = [spec for kind, spec in xt_entries if kind == "row"]
     xt_col_specs = [spec for kind, spec in xt_entries if kind == "col"]
     n_xtr, n_xtc = len(xt_row_specs), len(xt_col_specs)
@@ -2668,15 +2680,23 @@ def make_fused_multi_ext_window_2d(
         helpers.stage_row_halo = halo
         helpers.stage_col_halo = halo if ext_cols else 0
         bc_arrays = {}
-        for j, spec in enumerate(row_specs):
-            bc_arrays[id(spec)] = row_refs[j]
-        for j, spec in enumerate(col_specs):
-            bc_arrays[id(spec)] = col_vmem[j]
+        bc_factors = {}
+        for j, (spec, attr) in enumerate(row_keys):
+            if attr == "const_static":
+                bc_arrays[id(spec)] = row_refs[j]
+            else:
+                bc_factors[(id(spec), attr)] = row_refs[j]
+        for j, (spec, attr) in enumerate(col_keys):
+            if attr == "const_static":
+                bc_arrays[id(spec)] = col_vmem[j]
+            else:
+                bc_factors[(id(spec), attr)] = col_vmem[j]
         for j, spec in enumerate(xt_row_specs):
             bc_arrays[id(spec)] = xtr_refs[j]
         for j, spec in enumerate(xt_col_specs):
             bc_arrays[id(spec)] = xtc_vmem[j]
         helpers.bc_arrays = bc_arrays
+        helpers.bc_factors = bc_factors
 
         col_sl = (
             slice(halo - halo_total, halo + halo_total + n_cols)
@@ -2748,7 +2768,7 @@ def make_fused_multi_ext_window_2d(
         if has_t:
             t_args = [jnp.asarray(extra[n_arr + n_xt], dtype=dtype)]
         row_ops, col_ops = [], []
-        for (kind, _), arr in zip(arr_entries, supplied, strict=True):
+        for (kind, _, _), arr in zip(arr_entries, supplied, strict=True):
             arr = jnp.asarray(arr, dtype=dtype)
             if kind == "row":
                 arr = arr.reshape(1, -1)
@@ -2776,7 +2796,7 @@ def make_fused_multi_ext_window_2d(
             call(flags, *t_args, *row_ops, *xtr_ops, *col_ops, *xtc_ops, *arrs)
         )
 
-    window_k.array_entries = tuple((kind, spec) for kind, spec in arr_entries)
+    window_k.array_entries = tuple(arr_entries)  # (kind, spec, attr) triples
     window_k.xt_entries = tuple(xt_entries)
     window_k.t_specs = tuple(t_specs) if has_t else None
     window_k.halo = halo

@@ -378,11 +378,6 @@ def make_fused_multi_window_sharded(
     from ..grids.cartesian import CartesianGrid
 
     grid = mesh.basegrid
-    if bc_inputs is not None and bc_inputs.get("factors"):
-        raise PallasUnsupportedError(
-            "Array-valued BC factors are not supported by the sharded "
-            "fused windows"
-        )
     if isinstance(grid, CartesianGrid) and grid.num_axes == 3:
         if bc_inputs is not None:
             raise PallasUnsupportedError(
@@ -427,12 +422,13 @@ def make_fused_multi_window_sharded(
         h = ext_halo_width(kk * halo_per_step, interpret=interpret)
         pad = make_halo_pad(mesh, (h, h if ext_cols else 0), periodic)
         # host-precompute padded GLOBAL boundary-value arrays per runtime
-        # slot; the traced closure slices them by lax.axis_index (at
-        # non-periodic global edges the wrapped entries feed only halo
-        # cells the kernel's edge fixups mask before use)
+        # slot (BC consts AND array-valued factors, attr per entry); the
+        # traced closure slices them by lax.axis_index (at non-periodic
+        # global edges the wrapped entries feed only halo cells the
+        # kernel's edge fixups mask before use)
         side_global = []
-        for kind, spec in step.array_entries:
-            arr = np.asarray(spec.const_static, dtype=float).reshape(-1)
+        for kind, spec, attr in step.array_entries:
+            arr = np.asarray(getattr(spec, attr), dtype=float).reshape(-1)
             if kind == "row" and not ext_cols:
                 side_global.append((kind, arr))  # column axis not cut
             else:

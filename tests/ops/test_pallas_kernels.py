@@ -899,7 +899,10 @@ def test_fused_sde_window_array_factor_parity(rng, monkeypatch):
 
 
 def test_fused_window_array_factor_gates(rng, monkeypatch):
-    """Sharded and 3D windows reject array factors and fall back."""
+    """Sharded 2D windows LOWER array factors (runtime side inputs sliced
+    per shard, bit-identical — see
+    tests/parallel/test_sharded.py::test_sharded_fused_array_factor_parity);
+    3D windows reject them and fall back."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
@@ -910,7 +913,7 @@ def test_fused_window_array_factor_gates(rng, monkeypatch):
           "x+": {"derivative": 0}, "y": {"value": 0}}
     solver = EulerSolver(pde.DiffusionPDE(0.1, bc=bc), decomposition=[2, 2])
     out, _ = solver.make_stepper(state, dt=5e-4)(state, 0.0, 5e-3)
-    assert solver.info.get("fused_step") is None
+    assert solver.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out.data)))
 
     g3 = pde.CartesianGrid([(0, 1)] * 3, (8, 8, 16))

@@ -829,6 +829,42 @@ def test_sharded_fused_expression_target_bc_parity(
     )
 
 
+@pytest.mark.parametrize("decomposition", [[2, 1], [1, 2], [2, 2]])
+def test_sharded_fused_array_factor_parity(decomposition, rng, monkeypatch):
+    """Array-valued Robin factors reach the sharded fused windows as
+    runtime side inputs (global factor arrays sliced per shard by
+    lax.axis_index, like array consts); bit-identical to the single-device
+    fused kernel."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    gam = rng.uniform(0.5, 2.0, 16)
+    beta = rng.uniform(-1.0, 1.0, 16)
+    bc = {"x-": {"type": "mixed", "value": gam, "const": beta},
+          "x+": {"derivative": 0},
+          "y-": {"type": "mixed", "value": gam[::-1].copy(), "const": 0.2},
+          "y+": {"value": 0}}
+    eq = pde.DiffusionPDE(0.05, bc=bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.02, tracker=None).run(state, dt=5e-4)
+    assert solver.info.get("fused_step") is True
+
+    solver1 = EulerSolver(eq)
+    res1 = Controller(solver1, t_range=0.02, tracker=None).run(state, dt=5e-4)
+    assert solver1.info.get("fused_step") is True
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(res1.data))
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.02, dt=5e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
 def test_sharded_fused_time_bc_tracker_windows(rng, monkeypatch):
     """Sharded t-dependent BC windows restart the const table at each
     tracker-window t_start."""

@@ -98,10 +98,10 @@ class DiffusionPDE(SDEBase):
                 )
             ) or (
                 # 3D array/t-dependent BC values: the specialized affine 3D
-                # kernel takes scalar consts; the expression-compiled 3D
-                # window stages per-face planes/blocks + SMEM t tables
+                # kernels take scalar consts; the expression-compiled 3D
+                # windows stage per-face planes/blocks + SMEM t tables,
+                # single-device AND decomposed
                 state.grid.num_axes == 3
-                and mesh is None
                 and self._bcs_have_side_inputs(state.grid, bcs)
             )
             if reroute:

@@ -713,11 +713,6 @@ class PDE(SDEBase):
                 "Space-and-time-dependent BC values are not supported "
                 "by the SDE fused windows"
             )
-        if bc_inputs is not None and grid.num_axes == 3 and mesh is not None:
-            raise NotImplementedError(
-                "Inhomogeneous/time-dependent BC values are not supported "
-                "by the sharded 3D fused windows"
-            )
 
         def make_get_bc(var):
             return lambda op_name: bc_table.get((var, op_name))

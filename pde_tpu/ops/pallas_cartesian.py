@@ -2115,7 +2115,7 @@ def _pick_band_ext_3d(
 def make_fused_multi_ext_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     local_shape, ext_axes=(True, False, False), dtype=np.float32,
-    k: int | None = None, interpret: bool = False,
+    k: int | None = None, interpret: bool = False, bc_inputs=None,
 ) -> tuple[Callable, int]:
     """3D multi-field temporal-blocking kernel on halo-extended local blocks.
 
@@ -2177,11 +2177,48 @@ def make_fused_multi_ext_window_3d(
     step = make_step(helpers)
     F = n_fields
 
+    # runtime side inputs for inhomogeneous / t-dependent BC consts: values
+    # are shard-varying, so the caller supplies LOCAL (halo-extended along
+    # decomposed axes, x-wrap-padded) per-face arrays at call time — ax 0
+    # as a (ny_in, nz_in) plane, ax 1 as (lx + 2*halo, nz_in), ax 2 as
+    # (lx + 2*halo, ny_in) (lane-broadcast inside the wrapper)
+    arr_entries = [] if bc_inputs is None else list(bc_inputs["arrays"])
+    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    has_t = bool(t_specs)
+    plane_entries = [spec for ax, spec in arr_entries if ax == 0]
+    y_entries = [spec for ax, spec in arr_entries if ax == 1]
+    z_entries = [spec for ax, spec in arr_entries if ax == 2]
+    n_pl, n_y, n_z = len(plane_entries), len(y_entries), len(z_entries)
+    if not interpret and (n_pl or n_y or n_z):
+        extra = (
+            n_pl * ny_e * nz_e
+            + n_y * (band + 2 * halo) * nz_e
+            + n_z * (band + 2 * halo) * ny_e * 128
+        ) * itemsize
+        if extra > 2 * 1024 * 1024:
+            raise PallasUnsupportedError(
+                "3D BC value arrays exceed the side-input VMEM budget"
+            )
+
     def kernel(flags_ref, *refs):
-        ins = refs[:F]
-        outs = refs[F : 2 * F]
-        work_refs = refs[2 * F : 3 * F]
-        sem = refs[3 * F]
+        pos = 0
+        if has_t:
+            t_tab = refs[pos]
+            pos += 1
+        plane_refs = refs[pos : pos + n_pl]
+        pos += n_pl
+        y_hbm = refs[pos : pos + n_y]
+        pos += n_y
+        z_hbm = refs[pos : pos + n_z]
+        pos += n_z
+        ins = refs[pos : pos + F]
+        outs = refs[pos + F : pos + 2 * F]
+        pos += 2 * F
+        work_refs = refs[pos : pos + F]
+        pos += F
+        y_vmem = refs[pos : pos + n_y]
+        z_vmem = refs[pos + n_y : pos + n_y + n_z]
+        sem = refs[pos + n_y + n_z]
         helpers.flags = flags_ref
         i = pl.program_id(0)
         row0 = i * band  # input planes [row0, row0 + band + 2*halo)
@@ -2194,21 +2231,58 @@ def make_fused_multi_ext_window_3d(
             )
             cp.start()
             copies.append(cp)
+        for j, (src, dst) in enumerate(
+            [(y_hbm[j2], y_vmem[j2]) for j2 in range(n_y)]
+            + [(z_hbm[j2], z_vmem[j2]) for j2 in range(n_z)]
+        ):
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(pl.multiple_of(row0, band), band + 2 * halo)],
+                dst,
+                sem.at[F + j],
+            )
+            cp.start()
+            copies.append(cp)
         for cp in copies:
             cp.wait()
 
+        helpers.stage_x_halo = halo
+        helpers.stage_y_halo = halo if ext_y else 0
+        helpers.stage_z_halo = halo if ext_z else 0
+        bc_arrays = {}
+        for j, spec in enumerate(plane_entries):
+            bc_arrays[id(spec)] = plane_refs[j]
+        for j, spec in enumerate(y_entries):
+            bc_arrays[id(spec)] = y_vmem[j]
+        for j, spec in enumerate(z_entries):
+            bc_arrays[id(spec)] = z_vmem[j]
+        helpers.bc_arrays = bc_arrays
+
         works = [work_refs[f][:, :ny_in, :nz_in] for f in range(F)]
-        for _ in range(k):
+        for s in range(k):
+            if has_t:
+                helpers.t_consts = {
+                    id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
+                }
             works = step(works)
         for f in range(F):
             outs[f][:, :, :] = works[f]
 
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+        + [
+            pl.BlockSpec(
+                (1, ny_e, nz_e), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ] * n_pl
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_z)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * F
+    )
     call = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((lx, ly, lz), dtype)] * F,
         grid=(lx // band,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * F,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (band, ly, lz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -2216,7 +2290,9 @@ def make_fused_multi_ext_window_3d(
         ] * F,
         scratch_shapes=(
             [pltpu.VMEM((band + 2 * halo, ny_e, nz_e), dtype)] * F
-            + [pltpu.SemaphoreType.DMA((F,))]
+            + [pltpu.VMEM((band + 2 * halo, 1, nz_e), dtype)] * n_y
+            + [pltpu.VMEM((band + 2 * halo, ny_e, 128), dtype)] * n_z
+            + [pltpu.SemaphoreType.DMA((F + n_y + n_z,))]
         ),
         interpret=interpret,
     )
@@ -2225,7 +2301,11 @@ def make_fused_multi_ext_window_3d(
     pad_z = nz_e - nz_in
     no_edges = jnp.zeros((6,), jnp.int32)
 
-    def window_k(datas, edge_flags=None):
+    def window_k(datas, edge_flags=None, *extra):
+        """``extra``: one LOCAL value array per ``window_k.array_entries``
+        entry (ax 0: (ny_in, nz_in); ax 1: (lx + 2*halo, nz_in); ax 2:
+        (lx + 2*halo, ny_in)), then a (k, n_t) t-table when
+        ``window_k.t_specs``."""
         arrs = [jnp.asarray(d, dtype=dtype) for d in datas]
         if pad_y or pad_z:
             arrs = [
@@ -2234,8 +2314,34 @@ def make_fused_multi_ext_window_3d(
         flags = no_edges if edge_flags is None else jnp.asarray(
             edge_flags, jnp.int32
         )
-        return list(call(flags, *arrs))
+        n_arr = n_pl + n_y + n_z
+        supplied = list(extra[:n_arr])
+        t_args = []
+        if has_t:
+            t_args = [jnp.asarray(extra[n_arr], dtype=dtype)]
+        pl_ops, y_ops, z_ops = [], [], []
+        for (ax, _), arr in zip(arr_entries, supplied, strict=True):
+            arr = jnp.asarray(arr, dtype=dtype)
+            if ax == 0:
+                arr = jnp.pad(
+                    arr, ((0, ny_e - arr.shape[0]), (0, nz_e - arr.shape[1]))
+                )
+                pl_ops.append(arr[None])
+            elif ax == 1:
+                arr = jnp.pad(arr, ((0, 0), (0, nz_e - arr.shape[1])))
+                y_ops.append(arr[:, None, :])
+            else:
+                arr = jnp.pad(arr, ((0, 0), (0, ny_e - arr.shape[1])))
+                z_ops.append(
+                    jnp.broadcast_to(arr[:, :, None], (*arr.shape, 128))
+                )
+        return list(
+            call(flags, *t_args, *pl_ops, *y_ops, *z_ops, *arrs)
+        )
 
+    window_k.array_entries = tuple(arr_entries)
+    window_k.t_specs = tuple(t_specs) if has_t else None
+    window_k.halo = halo
     return window_k, k
 
 

@@ -379,13 +379,9 @@ def make_fused_multi_window_sharded(
 
     grid = mesh.basegrid
     if isinstance(grid, CartesianGrid) and grid.num_axes == 3:
-        if bc_inputs is not None:
-            raise PallasUnsupportedError(
-                "Sharded 3D fused windows take scalar BC consts only"
-            )
         return _make_fused_multi_window_sharded_3d(
             mesh, make_step, halo_per_step, n_fields, dtype=dtype,
-            interpret=interpret,
+            interpret=interpret, bc_inputs=bc_inputs, dt=dt,
         )
     if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
         raise PallasUnsupportedError(
@@ -540,7 +536,7 @@ def make_fused_multi_window_sharded(
 
 def _make_fused_multi_window_sharded_3d(
     mesh, make_step, halo_per_step: int, n_fields: int, *,
-    dtype=np.float32, interpret: bool = False,
+    dtype=np.float32, interpret: bool = False, bc_inputs=None, dt=None,
 ) -> Callable:
     """Sharded 3D multi-field window: expression rhs trees on decomposed
     volumes.
@@ -550,15 +546,26 @@ def _make_fused_multi_window_sharded_3d(
     edge-flag-gated BC patches — the 3D analogue of
     :func:`make_fused_multi_window_sharded`, with one paired-ppermute
     exchange per k-step kernel call.
+
+    ``bc_inputs`` (:func:`collect_bc_side_inputs_3d` output) lowers
+    per-face value arrays and t-dependent consts on decomposed volumes:
+    host-precomputed GLOBAL face arrays (wrap-padded along x and every
+    decomposed axis) are sliced per shard by ``lax.axis_index`` inside the
+    traced closure (the bit-identity rule) and fed to the ext kernel as
+    runtime side inputs; the per-step SMEM t-table rebuilds per chunk from
+    the window's ``t0`` (``window(datas, t0, steps)``, attribute
+    ``needs_t``).
     """
     from ..ops.pallas_cartesian import (
         PallasUnsupportedError,
+        _binary_kernel_ladder,
         _make_binary_chunked_window,
         make_fused_multi_ext_window_3d,
     )
 
     grid = mesh.basegrid
     local_shape = tuple(mesh.subgrid.shape)
+    lx, ly, lz = local_shape
     ext_axes = (
         True,  # x is the banded axis: always extended
         mesh.decomposition[1] > 1,
@@ -585,14 +592,75 @@ def _make_fused_multi_window_sharded_3d(
         step, _ = make_fused_multi_ext_window_3d(
             grid, make_step, halo_per_step, n_fields,
             local_shape=local_shape, ext_axes=ext_axes, dtype=dtype, k=kk,
-            interpret=interpret,
+            interpret=interpret, bc_inputs=bc_inputs,
         )
         h = kk * halo_per_step
         halos = tuple(h if e else 0 for e in ext_axes)
         pad = make_halo_pad(mesh, halos, periodic)
-        return lambda datas: tuple(
-            step([pad(d) for d in datas], edge_flags())
-        )
+        # host-precompute padded GLOBAL per-face value arrays; the traced
+        # closure slices them per shard by lax.axis_index (wrapped entries
+        # at non-periodic global edges feed only halo cells the kernel's
+        # edge fixups mask before use). Face layouts: ax 0 -> (ny, nz)
+        # plane; ax 1 -> (nx, nz); ax 2 -> (nx, ny).
+        side_global = []
+        for ax, spec in step.array_entries:
+            arr = np.asarray(spec.const_static, dtype=float)
+            if ax == 0:
+                dims = (1, 2)  # varies over (y, z)
+            elif ax == 1:
+                dims = (0, 2)  # varies over (x, z)
+            else:
+                dims = (0, 1)  # varies over (x, y)
+            arr = arr.reshape(
+                tuple(grid.shape[d] for d in dims)
+            )
+            # wrap-pad each staged dim that carries halos: x always (the
+            # kernel's per-program slice covers [x0 - h, x0 + band + h)),
+            # decomposed y/z by the exchange halo
+            pads = []
+            for d in dims:
+                hd = h if (d == 0 and ax != 0) or (
+                    d > 0 and ext_axes[d]
+                ) else 0
+                pads.append(hd)
+            for axis_i, hd in enumerate(pads):
+                if hd:
+                    arr = np.concatenate(
+                        [
+                            arr.take(range(arr.shape[axis_i] - hd,
+                                           arr.shape[axis_i]), axis=axis_i),
+                            arr,
+                            arr.take(range(hd), axis=axis_i),
+                        ],
+                        axis=axis_i,
+                    )
+            side_global.append((ax, dims, pads, arr))
+
+        def slice_side(ax, dims, pads, g_np):
+            g = jnp.asarray(g_np, dtype=dtype)
+            starts = []
+            sizes = []
+            for axis_i, (d, hd) in enumerate(zip(dims, pads, strict=True)):
+                n_loc = local_shape[d]
+                off = jax.lax.axis_index(axis_names[d]) * np.int32(n_loc)
+                starts.append(off.astype(jnp.int32))
+                sizes.append(n_loc + 2 * hd)
+            return jax.lax.dynamic_slice(g, tuple(starts), tuple(sizes))
+
+        def step_fn(datas, ts=None):
+            extra = [
+                slice_side(ax, dims, pads, g_np)
+                for ax, dims, pads, g_np in side_global
+            ]
+            if step.t_specs is not None:
+                cols = [jax.vmap(fn)(ts) for fn in
+                        [sp.const_t for sp in step.t_specs]]
+                extra.append(jnp.stack(cols, axis=1))
+            return tuple(
+                step([pad(d) for d in datas], edge_flags(), *extra)
+            )
+
+        return step_fn
 
     # probe the largest supported k (small shards need smaller halos)
     k = None
@@ -602,7 +670,7 @@ def _make_fused_multi_window_sharded_3d(
             _, k = make_fused_multi_ext_window_3d(
                 grid, make_step, halo_per_step, n_fields,
                 local_shape=local_shape, ext_axes=ext_axes, dtype=dtype,
-                k=probe_k, interpret=interpret,
+                k=probe_k, interpret=interpret, bc_inputs=bc_inputs,
             )
             break
         except PallasUnsupportedError:
@@ -611,10 +679,37 @@ def _make_fused_multi_window_sharded_3d(
         raise PallasUnsupportedError(
             "Shard too small for any temporal-blocking factor"
         )
-    window_t = _make_binary_chunked_window(build, k)
 
-    def window(datas, steps):
-        return list(window_t(tuple(datas), steps))
+    needs_time = bc_inputs is not None and bc_inputs["t"]
+    if not needs_time:
+        window_t = _make_binary_chunked_window(build, k)
 
-    window.multi_field = True
-    return window
+        def window(datas, steps):
+            return list(window_t(tuple(datas), steps))
+
+        window.multi_field = True
+        return window
+
+    if dt is None:
+        raise ValueError("dt is required for time-dependent BC windows")
+    kernels = _binary_kernel_ladder(build, k)
+
+    def window_td(datas, t0, steps):
+        state = tuple(datas)
+        index = jnp.asarray(0, jnp.int32)
+        remaining = steps
+        for kk, step_fn in kernels:
+            chunks = remaining // kk
+
+            def body(c, carry, _kk=kk, _step=step_fn):
+                d, idx = carry
+                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                return (_step(d, ts), idx + _kk)
+
+            state, index = jax.lax.fori_loop(0, chunks, body, (state, index))
+            remaining = remaining - chunks * kk
+        return list(state)
+
+    window_td.multi_field = True
+    window_td.needs_t = True
+    return window_td

@@ -602,8 +602,9 @@ def test_3d_coupled_routed_bc_side_inputs(rng, monkeypatch):
 
 
 def test_3d_bc_side_input_gates(rng, monkeypatch):
-    """3D gating contract: xt values and decomposed runs with non-scalar
-    values fall back to XLA; uniform arrays collapse to scalars and fuse."""
+    """3D gating contract: xt values fall back to XLA; decomposed runs
+    with non-scalar values now FUSE (see
+    test_3d_sharded_bc_side_input_parity)."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
@@ -618,7 +619,8 @@ def test_3d_bc_side_input_gates(rng, monkeypatch):
     out, _ = stepper(state, 0.0, 2e-3)
     assert solver.info.get("fused_step") is None
     assert np.all(np.isfinite(np.asarray(out.data)))
-    # decomposed + truly varying arrays fall back (sharded 3D takes scalars)
+    # decomposed + truly varying arrays fuse since round 3 (runtime side
+    # inputs sliced per shard)
     vals = rng.uniform(-1.0, 1.0, (8, 16))
     eq2 = pde.DiffusionPDE(0.1, bc={
         "x-": {"value": vals}, "x+": {"derivative": 0},
@@ -626,5 +628,45 @@ def test_3d_bc_side_input_gates(rng, monkeypatch):
     solver2 = EulerSolver(eq2, decomposition=[2, 1, 1])
     stepper2 = solver2.make_stepper(state, dt=2e-4)
     out2, _ = stepper2(state, 0.0, 2e-3)
-    assert solver2.info.get("fused_step") is None
+    assert solver2.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out2.data)))
+
+
+@pytest.mark.parametrize(
+    "decomposition", [[2, 1, 1], [1, 2, 1], [1, 1, 2], [2, 2, 2]]
+)
+@pytest.mark.parametrize("side", ["x-plane", "y-side", "z-side", "t-arr"])
+def test_3d_sharded_bc_side_input_parity(side, decomposition, rng,
+                                         monkeypatch):
+    """Per-face value arrays and t-dependent consts reach the SHARDED 3D
+    ext kernel: host-precomputed GLOBAL face arrays (wrap-padded along x
+    and decomposed axes) sliced per shard by lax.axis_index — bit-identical
+    to the single-device fused kernel."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (8, 8, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    vp = rng.uniform(-1.0, 1.0, (8, 16))
+    vy = rng.uniform(-1.0, 1.0, (8, 16))
+    vz = rng.uniform(-1.0, 1.0, (8, 8))
+    bc = {
+        "x-plane": {"x-": {"value": vp}, "x+": {"derivative": 0},
+                    "y": {"derivative": 0}, "z": {"value": 0}},
+        "y-side": {"x": {"derivative": 0}, "y-": {"value": vy},
+                   "y+": {"derivative": 0}, "z": {"value": 0}},
+        "z-side": {"x": {"derivative": 0}, "y": {"value": 0},
+                   "z-": {"value": vz}, "z+": {"derivative": 0}},
+        "t-arr": {"x-": {"value": vp}, "x+": {"derivative": 0},
+                  "y-": {"value_expression": "sin(3 * t)"}, "y+": {"value": 0},
+                  "z": {"derivative": 0}},
+    }[side]
+    eq = pde.DiffusionPDE(0.1, bc=bc)
+    solver1 = EulerSolver(eq)
+    res1 = Controller(solver1, t_range=0.01, tracker=None).run(state, dt=2e-4)
+    assert solver1.info.get("fused_step") is True
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=2e-4)
+    assert solver.info.get("fused_step") is True
+    np.testing.assert_array_equal(np.asarray(res.data), np.asarray(res1.data))

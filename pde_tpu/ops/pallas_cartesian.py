@@ -289,19 +289,6 @@ class _BCSideSpec:
         return float(self.const_static), self.f1, self.f2
 
 
-def _as_triplets(pair):
-    """Normalize a BC side pair to scalar ``(c, f1, f2)`` triplets.
-
-    The 3D helpers take scalar consts only (the expression compiler gates
-    array/t-dependent values to the 2D kernels); :class:`_BCSideSpec`
-    entries are collapsed via :meth:`_BCSideSpec.scalar_triplet`.
-    """
-    return tuple(
-        side.scalar_triplet() if isinstance(side, _BCSideSpec) else side
-        for side in pair
-    )
-
-
 def _uniform_scalar(value):
     """Collapse a uniform array to a float; None when truly inhomogeneous."""
     arr = np.asarray(value)

@@ -383,3 +383,50 @@ def test_inhomogeneous_value_bc_array_parity(rng):
     ref_out = refpde.ScalarField(ref_grid, data).laplace(bc, backend="jax")
     tpu_out = pde_tpu.ScalarField(tpu_grid, data).laplace(bc)
     np.testing.assert_allclose(tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL)
+
+
+def test_mixed_bc_array_factor_parity(rng):
+    """Robin BCs with PER-POINT gamma/beta arrays agree with the reference
+    (its virtual-point data is per-point arrays, `local.py:1541-2104`)."""
+    ref_grid, tpu_grid = _pair_grids("cart2")
+    data = rng.normal(size=ref_grid.shape)
+    gam = rng.uniform(0.5, 2.0, ref_grid.shape[0])
+    beta = rng.uniform(-1.0, 1.0, ref_grid.shape[0])
+    bc = {"x": "periodic",
+          "y-": {"type": "mixed", "value": gam, "const": beta},
+          "y+": {"derivative": 0}}
+
+    ref_out = refpde.ScalarField(ref_grid, data).laplace(bc, backend="jax")
+    tpu_out = pde_tpu.ScalarField(tpu_grid, data).laplace(bc)
+    np.testing.assert_allclose(
+        tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL
+    )
+
+
+def test_virtual_point_bc_parity(rng):
+    """The raw virtual_point target (ghost set directly from an expression
+    of coordinates) agrees with the reference."""
+    ref_grid, tpu_grid = _pair_grids("cart2")
+    data = rng.normal(size=ref_grid.shape)
+    bc = {"x": "periodic", "y": {"virtual_point": "2 * sin(x)"}}
+
+    ref_out = refpde.ScalarField(ref_grid, data).laplace(bc, backend="jax")
+    tpu_out = pde_tpu.ScalarField(tpu_grid, data).laplace(bc)
+    np.testing.assert_allclose(
+        tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL
+    )
+
+
+def test_mixed_expression_bc_parity(rng):
+    """mixed_expression (Robin from expressions) agrees with the reference."""
+    ref_grid, tpu_grid = _pair_grids("cart2")
+    data = rng.normal(size=ref_grid.shape)
+    bc = {"x": "periodic",
+          "y": {"type": "mixed_expression", "value": "2.0",
+                "const": "sin(x)"}}
+
+    ref_out = refpde.ScalarField(ref_grid, data).laplace(bc, backend="jax")
+    tpu_out = pde_tpu.ScalarField(tpu_grid, data).laplace(bc)
+    np.testing.assert_allclose(
+        tpu_out.to_numpy(), np.asarray(ref_out.data), **TOL
+    )

@@ -495,7 +495,9 @@ def collect_bc_side_inputs_3d(bc_table):
     """3D variant of :func:`collect_bc_side_inputs`: kinds are axis indices.
 
     Returns ``None`` when every const is scalar, else ``{"arrays":
-    [(ax, spec), ...], "t": [spec, ...]}``. Staging layouts (see
+    [(ax, spec, attr), ...], "t": [spec, ...]}`` with attr
+    ``"const_static"``/``"f1"``/``"f2"`` (per-face value arrays AND
+    array-valued Robin factors stage identically). Staging layouts (see
     :func:`make_fused_multi_stencil_window_3d`): x-side arrays are one
     ``(1, ny, nz)`` VMEM plane; y-side arrays a per-program
     ``(band + 2*halo, 1, nz)`` DMA slice of an x-wrap-padded block; z-side
@@ -521,13 +523,11 @@ def collect_bc_side_inputs_3d(bc_table):
                         "Space-and-time-dependent BC values are not "
                         "supported by the 3D fused windows"
                     )
-                if np.ndim(spec.f1) != 0 or np.ndim(spec.f2) != 0:
-                    raise PallasUnsupportedError(
-                        "Array-valued BC factors are not supported by the "
-                        "3D fused windows"
-                    )
+                for attr in ("f1", "f2"):
+                    if np.ndim(getattr(spec, attr)) != 0:
+                        arrays.append((ax, spec, attr))
                 if np.ndim(spec.const_static) != 0:
-                    arrays.append((ax, spec))
+                    arrays.append((ax, spec, "const_static"))
                 if spec.const_t is not None:
                     t_specs.append(spec)
     if not arrays and not t_specs:
@@ -1608,6 +1608,26 @@ def _make_stencil_helpers_3d(
             c = c + helpers.t_consts[id(spec)]
         return c
 
+    def factor_of(spec, attr, shape, ax):
+        """Ghost-formula coefficient: the scalar, or the staged per-face
+        vector (``helpers.bc_factors[(id(spec), attr)]``) matched to the
+        geometry like :func:`const_of`'s array branch."""
+        f = getattr(spec, attr)
+        if np.ndim(f) == 0:
+            return f
+        arr = helpers.bc_factors[(id(spec), attr)]
+        offx = helpers.stage_x_halo - (shape[0] - band) // 2
+        offy = helpers.stage_y_halo - (shape[1] - ny) // 2 if ext_y else 0
+        offz = helpers.stage_z_halo - (shape[2] - nz) // 2 if ext_z else 0
+        if ax == 0:
+            return arr[0:1, offy : offy + shape[1], offz : offz + shape[2]]
+        if ax == 1:
+            return arr[offx : offx + shape[0], 0:1, offz : offz + shape[2]]
+        return arr[offx : offx + shape[0], offy : offy + shape[1], 0:1]
+
+    def _nonzero(f) -> bool:
+        return bool(np.any(f)) if np.ndim(f) else bool(f)
+
     def fix_ghost_x(w, bc_x):
         if bc_x is None:
             return w
@@ -1615,13 +1635,21 @@ def _make_stencil_helpers_3d(
         hr = (w.shape[0] - band) // 2  # remaining halo planes per side
         i = pl.program_id(0)
         e_lo = hr
-        ghost_lo = const_of(lo, w.shape, 0) + lo.f1 * w[e_lo : e_lo + 1]
-        if lo.f2:
-            ghost_lo = ghost_lo + lo.f2 * w[e_lo + 1 : e_lo + 2]
+        ghost_lo = const_of(lo, w.shape, 0) + factor_of(
+            lo, "f1", w.shape, 0
+        ) * w[e_lo : e_lo + 1]
+        if _nonzero(lo.f2):
+            ghost_lo = ghost_lo + factor_of(
+                lo, "f2", w.shape, 0
+            ) * w[e_lo + 1 : e_lo + 2]
         e_hi = w.shape[0] - 1 - hr
-        ghost_hi = const_of(hi, w.shape, 0) + hi.f1 * w[e_hi : e_hi + 1]
-        if hi.f2:
-            ghost_hi = ghost_hi + hi.f2 * w[e_hi - 1 : e_hi]
+        ghost_hi = const_of(hi, w.shape, 0) + factor_of(
+            hi, "f1", w.shape, 0
+        ) * w[e_hi : e_hi + 1]
+        if _nonzero(hi.f2):
+            ghost_hi = ghost_hi + factor_of(
+                hi, "f2", w.shape, 0
+            ) * w[e_hi - 1 : e_hi]
         planes = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
         w = jnp.where((planes == e_lo - 1) & gate(0, i == 0), ghost_lo, w)
         w = jnp.where(
@@ -1643,13 +1671,21 @@ def _make_stencil_helpers_3d(
 
         hc = (w.shape[dim] - n_valid) // 2  # remaining halo layers per side
         e_lo = hc
-        ghost_lo = const_of(lo, w.shape, dim) + lo.f1 * w[sl(e_lo)]
-        if lo.f2:
-            ghost_lo = ghost_lo + lo.f2 * w[sl(e_lo + 1)]
+        ghost_lo = const_of(lo, w.shape, dim) + factor_of(
+            lo, "f1", w.shape, dim
+        ) * w[sl(e_lo)]
+        if _nonzero(lo.f2):
+            ghost_lo = ghost_lo + factor_of(
+                lo, "f2", w.shape, dim
+            ) * w[sl(e_lo + 1)]
         e_hi = w.shape[dim] - 1 - hc
-        ghost_hi = const_of(hi, w.shape, dim) + hi.f1 * w[sl(e_hi)]
-        if hi.f2:
-            ghost_hi = ghost_hi + hi.f2 * w[sl(e_hi - 1)]
+        ghost_hi = const_of(hi, w.shape, dim) + factor_of(
+            hi, "f1", w.shape, dim
+        ) * w[sl(e_hi)]
+        if _nonzero(hi.f2):
+            ghost_hi = ghost_hi + factor_of(
+                hi, "f2", w.shape, dim
+            ) * w[sl(e_hi - 1)]
         idxs = jax.lax.broadcasted_iota(jnp.int32, w.shape, dim)
         w = jnp.where((idxs == e_lo - 1) & gate(2 * dim), ghost_lo, w)
         w = jnp.where((idxs == e_hi + 1) & gate(2 * dim + 1), ghost_hi, w)
@@ -1661,12 +1697,20 @@ def _make_stencil_helpers_3d(
         high = pltpu.roll(center, n - 1, axis)
         if bc_side is not None:
             lo, hi = as_spec(bc_side[0]), as_spec(bc_side[1])
-            ghost_lo = const_of(lo, center.shape, axis) + lo.f1 * center
-            if lo.f2:
-                ghost_lo = ghost_lo + lo.f2 * high
-            ghost_hi = const_of(hi, center.shape, axis) + hi.f1 * center
-            if hi.f2:
-                ghost_hi = ghost_hi + hi.f2 * low
+            ghost_lo = const_of(lo, center.shape, axis) + factor_of(
+                lo, "f1", center.shape, axis
+            ) * center
+            if _nonzero(lo.f2):
+                ghost_lo = ghost_lo + factor_of(
+                    lo, "f2", center.shape, axis
+                ) * high
+            ghost_hi = const_of(hi, center.shape, axis) + factor_of(
+                hi, "f1", center.shape, axis
+            ) * center
+            if _nonzero(hi.f2):
+                ghost_hi = ghost_hi + factor_of(
+                    hi, "f2", center.shape, axis
+                ) * low
             idx = jax.lax.broadcasted_iota(jnp.int32, center.shape, axis)
             low = jnp.where((idx == 0) & gate(2 * axis), ghost_lo, low)
             high = jnp.where(
@@ -1844,26 +1888,29 @@ def make_fused_multi_stencil_window_3d(
     step = make_step(helpers)
     F = n_fields
 
-    # staged side inputs for inhomogeneous / t-dependent BC consts
+    # staged side inputs for inhomogeneous / t-dependent BC consts and
+    # array-valued factors (entries are (ax, spec, attr) triples)
     arr_entries = [] if bc_inputs is None else bc_inputs["arrays"]
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
     has_t = bool(t_specs)
-    plane_entries = []  # x sides: (spec, (1, ny, nz))
-    y_entries = []  # y sides: (spec, (nx + 2*halo, 1, nz))
-    z_entries = []  # z sides: (spec, (nx + 2*halo, ny, 128))
-    for ax, spec in arr_entries:
-        arr = np.asarray(spec.const_static, dtype=dtype)
+    plane_entries = []  # x sides: ((spec, attr), (1, ny, nz))
+    y_entries = []  # y sides: ((spec, attr), (nx + 2*halo, 1, nz))
+    z_entries = []  # z sides: ((spec, attr), (nx + 2*halo, ny, 128))
+    for ax, spec, attr in arr_entries:
+        arr = np.asarray(getattr(spec, attr), dtype=dtype)
         if ax == 0:
-            plane_entries.append((spec, arr.reshape(1, ny, nz)))
+            plane_entries.append(((spec, attr), arr.reshape(1, ny, nz)))
             continue
         # wrap-pad x by the staged halo (the top/bot halo DMAs wrap)
         arr = arr.reshape(nx, -1)
         ext = np.concatenate([arr[-halo:], arr, arr[:halo]], axis=0)
         if ax == 1:
-            y_entries.append((spec, ext.reshape(nx + 2 * halo, 1, nz)))
+            y_entries.append(
+                ((spec, attr), ext.reshape(nx + 2 * halo, 1, nz))
+            )
         else:
             z_entries.append((
-                spec,
+                (spec, attr),
                 np.broadcast_to(
                     ext.reshape(nx + 2 * halo, ny, 1),
                     (nx + 2 * halo, ny, 128),
@@ -1934,13 +1981,22 @@ def make_fused_multi_stencil_window_3d(
 
         helpers.stage_x_halo = halo
         bc_arrays = {}
-        for j, (spec, _) in enumerate(plane_entries):
-            bc_arrays[id(spec)] = plane_refs[j]
-        for j, (spec, _) in enumerate(y_entries):
-            bc_arrays[id(spec)] = y_vmem[j]
-        for j, (spec, _) in enumerate(z_entries):
-            bc_arrays[id(spec)] = z_vmem[j]
+        bc_factors = {}
+
+        def _route(spec, attr, ref):
+            if attr == "const_static":
+                bc_arrays[id(spec)] = ref
+            else:
+                bc_factors[(id(spec), attr)] = ref
+
+        for j, ((spec, attr), _) in enumerate(plane_entries):
+            _route(spec, attr, plane_refs[j])
+        for j, ((spec, attr), _) in enumerate(y_entries):
+            _route(spec, attr, y_vmem[j])
+        for j, ((spec, attr), _) in enumerate(z_entries):
+            _route(spec, attr, z_vmem[j])
         helpers.bc_arrays = bc_arrays
+        helpers.bc_factors = bc_factors
 
         works = [
             jnp.concatenate(
@@ -2172,9 +2228,11 @@ def make_fused_multi_ext_window_3d(
     arr_entries = [] if bc_inputs is None else list(bc_inputs["arrays"])
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
     has_t = bool(t_specs)
-    plane_entries = [spec for ax, spec in arr_entries if ax == 0]
-    y_entries = [spec for ax, spec in arr_entries if ax == 1]
-    z_entries = [spec for ax, spec in arr_entries if ax == 2]
+    plane_entries = [
+        (spec, attr) for ax, spec, attr in arr_entries if ax == 0
+    ]
+    y_entries = [(spec, attr) for ax, spec, attr in arr_entries if ax == 1]
+    z_entries = [(spec, attr) for ax, spec, attr in arr_entries if ax == 2]
     n_pl, n_y, n_z = len(plane_entries), len(y_entries), len(z_entries)
     if not interpret and (n_pl or n_y or n_z):
         extra = (
@@ -2236,13 +2294,22 @@ def make_fused_multi_ext_window_3d(
         helpers.stage_y_halo = halo if ext_y else 0
         helpers.stage_z_halo = halo if ext_z else 0
         bc_arrays = {}
-        for j, spec in enumerate(plane_entries):
-            bc_arrays[id(spec)] = plane_refs[j]
-        for j, spec in enumerate(y_entries):
-            bc_arrays[id(spec)] = y_vmem[j]
-        for j, spec in enumerate(z_entries):
-            bc_arrays[id(spec)] = z_vmem[j]
+        bc_factors = {}
+
+        def _route(spec, attr, ref):
+            if attr == "const_static":
+                bc_arrays[id(spec)] = ref
+            else:
+                bc_factors[(id(spec), attr)] = ref
+
+        for j, (spec, attr) in enumerate(plane_entries):
+            _route(spec, attr, plane_refs[j])
+        for j, (spec, attr) in enumerate(y_entries):
+            _route(spec, attr, y_vmem[j])
+        for j, (spec, attr) in enumerate(z_entries):
+            _route(spec, attr, z_vmem[j])
         helpers.bc_arrays = bc_arrays
+        helpers.bc_factors = bc_factors
 
         works = [work_refs[f][:, :ny_in, :nz_in] for f in range(F)]
         for s in range(k):
@@ -2307,7 +2374,7 @@ def make_fused_multi_ext_window_3d(
         if has_t:
             t_args = [jnp.asarray(extra[n_arr], dtype=dtype)]
         pl_ops, y_ops, z_ops = [], [], []
-        for (ax, _), arr in zip(arr_entries, supplied, strict=True):
+        for (ax, _, _), arr in zip(arr_entries, supplied, strict=True):
             arr = jnp.asarray(arr, dtype=dtype)
             if ax == 0:
                 arr = jnp.pad(

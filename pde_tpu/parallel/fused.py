@@ -603,8 +603,8 @@ def _make_fused_multi_window_sharded_3d(
         # edge fixups mask before use). Face layouts: ax 0 -> (ny, nz)
         # plane; ax 1 -> (nx, nz); ax 2 -> (nx, ny).
         side_global = []
-        for ax, spec in step.array_entries:
-            arr = np.asarray(spec.const_static, dtype=float)
+        for ax, spec, attr in step.array_entries:
+            arr = np.asarray(getattr(spec, attr), dtype=float)
             if ax == 0:
                 dims = (1, 2)  # varies over (y, z)
             elif ax == 1:

@@ -670,3 +670,38 @@ def test_3d_sharded_bc_side_input_parity(side, decomposition, rng,
     res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=2e-4)
     assert solver.info.get("fused_step") is True
     np.testing.assert_array_equal(np.asarray(res.data), np.asarray(res1.data))
+
+
+@pytest.mark.parametrize("ax", [0, 1, 2], ids=["x-side", "y-side", "z-side"])
+def test_3d_array_factor_parity(ax, rng, monkeypatch):
+    """Robin BCs with per-face gamma ARRAYS lower into the 3D windows
+    (staged like per-face consts, bound into helpers.bc_factors) —
+    single-device parity vs XLA AND decomposed bit-identity vs the serial
+    fused kernel."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (8, 8, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    gam = rng.uniform(0.5, 2.0, _vals_for_side(rng, grid, ax).shape)
+    axes = "xyz"
+    bc = {axes[a]: {"derivative": 0} for a in range(3) if a != ax}
+    bc[f"{axes[ax]}-"] = {"type": "mixed", "value": gam, "const": 0.3}
+    bc[f"{axes[ax]}+"] = {"value": 0}
+    eq = pde.DiffusionPDE(0.1, bc=bc)
+
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=2e-4)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=2e-4, tracker=None)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+    solver2 = EulerSolver(eq, decomposition=[2, 2, 1])
+    res2 = Controller(solver2, t_range=0.01, tracker=None).run(state, dt=2e-4)
+    assert solver2.info.get("fused_step") is True
+    np.testing.assert_array_equal(np.asarray(res2.data), np.asarray(res.data))

@@ -899,10 +899,11 @@ def test_fused_sde_window_array_factor_parity(rng, monkeypatch):
 
 
 def test_fused_window_array_factor_gates(rng, monkeypatch):
-    """Sharded 2D windows LOWER array factors (runtime side inputs sliced
-    per shard, bit-identical — see
-    tests/parallel/test_sharded.py::test_sharded_fused_array_factor_parity);
-    3D windows reject them and fall back."""
+    """Array factors fuse EVERYWHERE the fused path runs: sharded 2D
+    (runtime side inputs sliced per shard —
+    tests/parallel/test_sharded.py::test_sharded_fused_array_factor_parity)
+    and 3D single-device + decomposed (per-face staging —
+    tests/ops/test_pallas_3d.py::test_3d_array_factor_parity)."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
@@ -924,7 +925,7 @@ def test_fused_window_array_factor_gates(rng, monkeypatch):
            "y+": {"value": 0}, "z": {"derivative": 0}}
     s3 = EulerSolver(pde.DiffusionPDE(0.1, bc=bc3))
     o3, _ = s3.make_stepper(st3, dt=2e-4)(st3, 0.0, 2e-3)
-    assert s3.info.get("fused_step") is None
+    assert s3.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(o3.data)))
 
 

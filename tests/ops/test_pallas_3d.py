@@ -90,14 +90,25 @@ def test_fused_window_3d_randomized_configs(rng, monkeypatch):
     from pde_tpu.solvers.controller import Controller
     from pde_tpu.solvers.euler import EulerSolver
 
-    def random_side_bc():
-        kind = rng.choice(["value", "derivative", "mixed", "curvature"])
+    def random_side_bc(face_shape):
+        kind = rng.choice([
+            "value", "derivative", "mixed", "curvature",
+            "value_array", "mixed_array_gamma", "value_t",
+        ])
         if kind == "mixed":
             return {"type": "mixed", "value": float(rng.uniform(-1, 2)),
                     "const": float(rng.uniform(-1, 1))}
+        if kind == "value_array":
+            return {"value": rng.uniform(-1, 1, face_shape)}
+        if kind == "mixed_array_gamma":
+            return {"type": "mixed", "value": rng.uniform(0.2, 2, face_shape),
+                    "const": float(rng.uniform(-1, 1))}
+        if kind == "value_t":
+            w = float(rng.uniform(0.5, 4))
+            return {"value_expression": f"sin({w} * t)"}
         return {kind: float(rng.uniform(-1, 1))}
 
-    for trial in range(6):
+    for trial in range(8):
         # the banded x axis needs nx % 8 == 0 (the band table); y/z are free
         shape = (
             int(rng.choice([8, 16])),
@@ -106,12 +117,13 @@ def test_fused_window_3d_randomized_configs(rng, monkeypatch):
         )
         periodic = [bool(rng.integers(2)) for _ in range(3)]
         bc = {}
-        for ax, per in zip("xyz", periodic):
+        for a, (ax, per) in enumerate(zip("xyz", periodic)):
             if per:
                 bc[ax] = "periodic"
             else:
-                bc[ax + "-"] = random_side_bc()
-                bc[ax + "+"] = random_side_bc()
+                face = tuple(n for d, n in enumerate(shape) if d != a)
+                bc[ax + "-"] = random_side_bc(face)
+                bc[ax + "+"] = random_side_bc(face)
         grid = pde.CartesianGrid(
             [(0, float(rng.uniform(0.5, 2))) for _ in range(3)],
             shape, periodic=periodic,

@@ -441,13 +441,26 @@ def test_fused_window_randomized_configs(rng, monkeypatch):
     from pde_tpu.solvers.euler import EulerSolver
 
     def random_side_bc():
-        kind = rng.choice(["value", "derivative", "mixed", "curvature"])
+        kind = rng.choice([
+            "value", "derivative", "mixed", "curvature",
+            "value_array", "mixed_array_gamma", "value_t", "virtual_point",
+        ])
         if kind == "mixed":
             return {"type": "mixed", "value": float(rng.uniform(-1, 2)),
                     "const": float(rng.uniform(-1, 1))}
+        if kind == "value_array":
+            return {"value": rng.uniform(-1, 1, 16)}
+        if kind == "mixed_array_gamma":
+            return {"type": "mixed", "value": rng.uniform(0.2, 2, 16),
+                    "const": rng.uniform(-1, 1, 16)}
+        if kind == "value_t":
+            w = float(rng.uniform(0.5, 4))
+            return {"value_expression": f"sin({w} * t)"}
+        if kind == "virtual_point":
+            return {"virtual_point": float(rng.uniform(-1, 1))}
         return {kind: float(rng.uniform(-1, 1))}
 
-    for trial in range(6):
+    for trial in range(10):
         periodic = [bool(rng.integers(2)), bool(rng.integers(2))]
         bc = {}
         for ax, per in zip("xy", periodic):

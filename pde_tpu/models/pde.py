@@ -708,11 +708,6 @@ class PDE(SDEBase):
                 raise NotImplementedError(str(err)) from err
         else:
             bc_inputs = collect_bc_side_inputs(bc_table)
-        if bc_inputs is not None and self.is_sde and bc_inputs.get("xt"):
-            raise NotImplementedError(
-                "Space-and-time-dependent BC values are not supported "
-                "by the SDE fused windows"
-            )
 
         def make_get_bc(var):
             return lambda op_name: bc_table.get((var, op_name))

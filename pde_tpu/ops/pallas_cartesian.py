@@ -3032,25 +3032,39 @@ def _make_kernel_noise_gen(pltpu, dist: str):
 
 
 class _BCSideStager2D:
-    """Staging of inhomogeneous/t-dependent BC consts for the single-field
-    2D SDE kernels (same layouts as :func:`make_fused_multi_stencil_window_2d`
-    — row-side (1, n_cols) VMEM blocks, column-side per-program DMA slices
-    of a halo-extended lane-broadcast vector, t consts via an SMEM (k, n_t)
-    table). Space-AND-time values raise (the SDE windows do not stage
-    per-chunk value tables)."""
+    """Staging of inhomogeneous/t-dependent BC consts (and array factors)
+    for the single-field 2D SDE kernels — the same layouts as
+    :func:`make_fused_multi_stencil_window_2d`: row-side (1, n_cols) VMEM
+    blocks, column-side per-program DMA slices of a halo-extended
+    lane-broadcast vector, t consts via an SMEM (k, n_t) table, and
+    space-AND-time values as per-chunk step-indexed tables (row-side
+    (k, n_cols) VMEM; column-side (k, rows, 128) DMA slices) supplied as
+    RUNTIME operands by the chunked window."""
 
-    def __init__(self, bc_inputs, n_cols, halo, dtype):
+    def __init__(self, bc_inputs, n_cols, halo, dtype, k=None):
         self.t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
-        xt = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
-        if xt:
+        self.xt_entries = (
+            [] if bc_inputs is None else list(bc_inputs.get("xt", []))
+        )
+        if self.xt_entries and k is None:
             raise PallasUnsupportedError(
-                "Space-and-time-dependent BC values are not supported by "
-                "the fused SDE windows"
+                "Space-and-time-dependent BC values need the temporal "
+                "block size at staging time"
             )
+        self.k = k
+        self.n_cols = n_cols
         self.has_t = bool(self.t_specs)
         self.halo = halo
         self.row_entries: list = []
         self.col_entries: list = []
+        self.xt_row_specs = [
+            spec for kind, spec in self.xt_entries if kind == "row"
+        ]
+        self.xt_col_specs = [
+            spec for kind, spec in self.xt_entries if kind == "col"
+        ]
+        self.n_xtr = len(self.xt_row_specs)
+        self.n_xtc = len(self.xt_col_specs)
 
         def stage(kind, key, values):
             arr = np.asarray(values, dtype=dtype).reshape(-1)
@@ -3073,7 +3087,10 @@ class _BCSideStager2D:
             stage(kind, ("f", (id(spec), attr)), getattr(spec, attr))
         self.n_row = len(self.row_entries)
         self.n_col = len(self.col_entries)
-        self.active = bool(self.has_t or self.n_row or self.n_col)
+        self.active = bool(
+            self.has_t or self.n_row or self.n_col or self.xt_entries
+        )
+        self.needs_runtime = bool(self.has_t or self.xt_entries)
 
     def in_specs(self, pl, pltpu, n_cols):
         return (
@@ -3083,25 +3100,40 @@ class _BCSideStager2D:
                     (1, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM
                 )
             ] * self.n_row
-            + [pl.BlockSpec(memory_space=pl.ANY)] * self.n_col
+            + [
+                pl.BlockSpec(
+                    (self.k, n_cols), lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ] * self.n_xtr
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (self.n_col + self.n_xtc)
         )
 
     def scratch(self, pltpu, band, dtype):
-        return [
-            pltpu.VMEM((band + 2 * self.halo, 128), dtype)
-        ] * self.n_col
+        return (
+            [pltpu.VMEM((band + 2 * self.halo, 128), dtype)] * self.n_col
+            + [
+                pltpu.VMEM((self.k, band + 2 * self.halo, 128), dtype)
+            ] * self.n_xtc
+        )
+
+    @property
+    def n_scratch(self):
+        return self.n_col + self.n_xtc
 
     def unpack(self, refs):
-        """(t_tab, row_refs, col_hbm, n_consumed) from the leading refs."""
+        """(t_tab, row_refs, col_hbm, n_consumed) from the leading refs
+        (``row_refs`` covers static rows then xt rows; ``col_hbm`` static
+        cols then xt cols)."""
         pos = 0
         t_tab = None
         if self.has_t:
             t_tab = refs[0]
             pos = 1
-        row_refs = refs[pos : pos + self.n_row]
-        pos += self.n_row
-        col_hbm = refs[pos : pos + self.n_col]
-        return t_tab, row_refs, col_hbm, pos + self.n_col
+        row_refs = refs[pos : pos + self.n_row + self.n_xtr]
+        pos += self.n_row + self.n_xtr
+        col_hbm = refs[pos : pos + self.n_col + self.n_xtc]
+        return t_tab, row_refs, col_hbm, pos + self.n_col + self.n_xtc
 
     def start_copies(self, pl, pltpu, row0, band, col_hbm, col_vmem, sem,
                      base):
@@ -3116,6 +3148,16 @@ class _BCSideStager2D:
             )
             cp.start()
             copies.append(cp)
+        for j in range(self.n_xtc):
+            cp = pltpu.make_async_copy(
+                col_hbm[self.n_col + j].at[
+                    :, pl.ds(pl.multiple_of(row0, 8), band + 2 * self.halo), :
+                ],
+                col_vmem[self.n_col + j],
+                sem.at[base + self.n_col + j],
+            )
+            cp.start()
+            copies.append(cp)
         return copies
 
     def bind(self, helpers, row_refs, col_vmem):
@@ -3124,8 +3166,12 @@ class _BCSideStager2D:
         bc_factors = {}
         for j, (key, _) in enumerate(self.row_entries):
             (bc_arrays if key[0] == "a" else bc_factors)[key[1]] = row_refs[j]
+        for j, spec in enumerate(self.xt_row_specs):
+            bc_arrays[id(spec)] = row_refs[self.n_row + j]
         for j, (key, _) in enumerate(self.col_entries):
             (bc_arrays if key[0] == "a" else bc_factors)[key[1]] = col_vmem[j]
+        for j, spec in enumerate(self.xt_col_specs):
+            bc_arrays[id(spec)] = col_vmem[self.n_col + j]
         helpers.bc_arrays = bc_arrays
         helpers.bc_factors = bc_factors
 
@@ -3135,6 +3181,29 @@ class _BCSideStager2D:
             helpers.t_consts = {
                 id(spec): t_tab[s, j] for j, spec in enumerate(self.t_specs)
             }
+
+    def runtime_operands(self, xt_ops, t_tab, dtype):
+        """Assemble the leading runtime kernel operands for one chunk:
+        ``xt_ops`` holds one per-chunk (k, n) table per ``self.xt_entries``
+        entry (the chunked window evaluates ``spec.const_xt`` over the
+        chunk's step times); row tables pass through, column tables are
+        wrap-padded and lane-broadcast here."""
+        xtr, xtc = [], []
+        for (kind, _), arr in zip(self.xt_entries, xt_ops, strict=True):
+            arr = jnp.asarray(arr, dtype=dtype)
+            if kind == "row":
+                xtr.append(arr)
+            else:
+                ext = jnp.concatenate(
+                    [arr[:, -self.halo :], arr, arr[:, : self.halo]], axis=1
+                )
+                xtc.append(
+                    jnp.broadcast_to(ext[:, :, None], (*ext.shape, 128))
+                )
+        t_args = (
+            [jnp.asarray(t_tab, dtype=dtype)] if self.has_t else []
+        )
+        return t_args, xtr, xtc
 
     def host_operands(self, dtype):
         return [
@@ -3190,7 +3259,7 @@ def make_fused_sde_kernel_noise_window_2d(
     scale = np.dtype(dtype).type(scale)
     n_ext = band + 2 * halo
     assert n_ext % _HALO == 0
-    stager = _BCSideStager2D(bc_inputs, n_cols, halo, dtype)
+    stager = _BCSideStager2D(bc_inputs, n_cols, halo, dtype, k=k)
 
     def kernel(*refs):
         ctl_ref = refs[0]
@@ -3198,8 +3267,8 @@ def make_fused_sde_kernel_noise_window_2d(
         pos += 1
         f_hbm, out_ref = refs[pos : pos + 2]
         band_ref, halo_top, halo_bot, noise_ref = refs[pos + 2 : pos + 6]
-        col_vmem = refs[pos + 6 : pos + 6 + stager.n_col]
-        sem = refs[pos + 6 + stager.n_col]
+        col_vmem = refs[pos + 6 : pos + 6 + stager.n_scratch]
+        sem = refs[pos + 6 + stager.n_scratch]
         i = pl.program_id(0)
         row0 = i * band
         top_row = pl.multiple_of(
@@ -3276,22 +3345,26 @@ def make_fused_sde_kernel_noise_window_2d(
             pltpu.VMEM((halo, n_cols), dtype),
             pltpu.VMEM((n_ext, n_cols), dtype),
         ] + stager.scratch(pltpu, band, dtype) + [
-            pltpu.SemaphoreType.DMA((3 + stager.n_col,)),
+            pltpu.SemaphoreType.DMA((3 + stager.n_scratch,)),
         ],
     )
 
     consts = stager.host_operands(dtype)
 
-    if stager.has_t:
+    if stager.needs_runtime:
 
-        def window_k_t(data, ctl, t_tab):
+        def window_k_t(data, ctl, xt_ops, t_tab=None):
+            t_args, xtr, xtc = stager.runtime_operands(xt_ops, t_tab, dtype)
+            row_consts = consts[: stager.n_row]
+            col_consts = consts[stager.n_row :]
             return call(
                 jnp.asarray(ctl, jnp.int32),
-                jnp.asarray(t_tab, dtype=dtype), *consts,
+                *t_args, *row_consts, *xtr, *col_consts, *xtc,
                 jnp.asarray(data, dtype=dtype),
             )
 
-        window_k_t.t_specs = tuple(stager.t_specs)
+        window_k_t.t_specs = tuple(stager.t_specs) if stager.has_t else None
+        window_k_t.xt_entries = tuple(stager.xt_entries)
         return window_k_t, k
 
     def window_k(data, ctl):
@@ -3301,6 +3374,7 @@ def make_fused_sde_kernel_noise_window_2d(
         )
 
     window_k.t_specs = None
+    window_k.xt_entries = ()
     return window_k, k
 
 
@@ -3363,14 +3437,14 @@ def make_fused_sde_stencil_window_2d(
     step = make_step(helpers)
     halo_total = k * halo_per_step
     halo = -(-halo_total // _HALO) * _HALO
-    stager = _BCSideStager2D(bc_inputs, n_cols, halo, dtype)
+    stager = _BCSideStager2D(bc_inputs, n_cols, halo, dtype, k=k)
 
     def kernel(*refs):
         t_tab, row_refs, col_hbm, pos = stager.unpack(refs)
         f_hbm, noise_hbm, out_ref = refs[pos : pos + 3]
         band_ref, halo_top, halo_bot, noise_ref = refs[pos + 3 : pos + 7]
-        col_vmem = refs[pos + 7 : pos + 7 + stager.n_col]
-        sem = refs[pos + 7 + stager.n_col]
+        col_vmem = refs[pos + 7 : pos + 7 + stager.n_scratch]
+        sem = refs[pos + 7 + stager.n_scratch]
         i = pl.program_id(0)
         row0 = i * band
         top_row = pl.multiple_of(
@@ -3446,23 +3520,27 @@ def make_fused_sde_stencil_window_2d(
             pltpu.VMEM((halo, n_cols), dtype),
             pltpu.VMEM((k, band + 2 * halo, n_cols), dtype),
         ] + stager.scratch(pltpu, band, dtype) + [
-            pltpu.SemaphoreType.DMA((6 + stager.n_col,)),
+            pltpu.SemaphoreType.DMA((6 + stager.n_scratch,)),
         ],
         interpret=interpret,
     )
 
     consts = stager.host_operands(dtype)
 
-    if stager.has_t:
+    if stager.needs_runtime:
 
-        def window_k_t(data, noise, t_tab):
+        def window_k_t(data, noise, xt_ops, t_tab=None):
+            t_args, xtr, xtc = stager.runtime_operands(xt_ops, t_tab, dtype)
+            row_consts = consts[: stager.n_row]
+            col_consts = consts[stager.n_row :]
             return call(
-                jnp.asarray(t_tab, dtype=dtype), *consts,
+                *t_args, *row_consts, *xtr, *col_consts, *xtc,
                 jnp.asarray(data, dtype=dtype),
                 jnp.asarray(noise, dtype=dtype),
             )
 
-        window_k_t.t_specs = tuple(stager.t_specs)
+        window_k_t.t_specs = tuple(stager.t_specs) if stager.has_t else None
+        window_k_t.xt_entries = tuple(stager.xt_entries)
         return window_k_t, k
 
     def window_k(data, noise):
@@ -3472,6 +3550,7 @@ def make_fused_sde_stencil_window_2d(
         )
 
     window_k.t_specs = None
+    window_k.xt_entries = ()
     return window_k, k
 
 
@@ -3493,19 +3572,28 @@ def make_chunked_sde_window_2d(
     the stream is derived from ``key`` via two raw bit words, and
     trajectories match the XLA path only in distribution.
 
-    ``bc_inputs`` (:func:`collect_bc_side_inputs` output, no xt entries)
-    stages inhomogeneous/t-dependent BC consts; with t entries the window
-    is ``window(data, key, t0, steps)`` (attribute ``needs_t``) and
-    ``dt`` is required.
+    ``bc_inputs`` (:func:`collect_bc_side_inputs` output) stages
+    inhomogeneous/t-dependent BC consts, array factors, AND
+    space-and-time-dependent values (per-chunk step-indexed tables); with
+    t or xt entries the window is ``window(data, key, t0, steps)``
+    (attribute ``needs_t``) and ``dt`` is required.
     """
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
     has_t = bool(t_specs)
-    if has_t and dt is None:
+    needs_runtime = bool(has_t or xt_entries)
+    if needs_runtime and dt is None:
         raise ValueError("dt is required for time-dependent BC windows")
     t_funcs = [spec.const_t for spec in t_specs]
+    xt_funcs = [spec.const_xt for _, spec in xt_entries]
 
     def make_t_tab(ts):
+        if not t_funcs:
+            return None
         return jnp.stack([jax.vmap(fn)(ts) for fn in t_funcs], axis=1)
+
+    def make_xt_ops(ts):
+        return [jax.vmap(fn)(ts) for fn in xt_funcs]
 
     if kernel_noise is not None:
         if interpret:
@@ -3540,9 +3628,12 @@ def make_chunked_sde_window_2d(
                 def body(c, carry, _kk=kk, _step=step_fn):
                     d, idx = carry
                     ctl = jnp.concatenate([seed, idx[None]])
-                    if has_t:
+                    if needs_runtime:
                         ts = t0 + (idx + jnp.arange(_kk)) * dt
-                        return (_step(d, ctl, make_t_tab(ts)), idx + _kk)
+                        return (
+                            _step(d, ctl, make_xt_ops(ts), make_t_tab(ts)),
+                            idx + _kk,
+                        )
                     return (_step(d, ctl), idx + _kk)
 
                 data, index = jax.lax.fori_loop(
@@ -3551,7 +3642,7 @@ def make_chunked_sde_window_2d(
                 remaining = remaining - chunks * kk
             return data
 
-        if has_t:
+        if needs_runtime:
 
             def window_kn_t(data, key, t0, steps):
                 return window_kn(data, key, steps, t0)
@@ -3583,16 +3674,19 @@ def make_chunked_sde_window_2d(
             def body(c, carry, _kk=kk, _step=step_fn):
                 d, idx = carry
                 noise = noise_fn(key, idx + jnp.arange(_kk))
-                if has_t:
+                if needs_runtime:
                     ts = t0 + (idx + jnp.arange(_kk)) * dt
-                    return (_step(d, noise, make_t_tab(ts)), idx + _kk)
+                    return (
+                        _step(d, noise, make_xt_ops(ts), make_t_tab(ts)),
+                        idx + _kk,
+                    )
                 return (_step(d, noise), idx + _kk)
 
             data, index = jax.lax.fori_loop(0, chunks, body, (data, index))
             remaining = remaining - chunks * kk
         return data
 
-    if has_t:
+    if needs_runtime:
 
         def window_t(data, key, t0, steps):
             return window(data, key, steps, t0)

@@ -385,20 +385,39 @@ def test_fused_sde_window_bc_side_inputs(bc, rng, monkeypatch):
     )
 
 
-def test_fused_sde_window_xt_bc_falls_back(rng, monkeypatch):
-    """Space-AND-time BC values are not staged by the SDE windows."""
-    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
-    from pde_tpu.solvers.euler import EulerSolver
-
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": {"derivative": 0},
+         "y-": {"value_expression": "sin(x - 2 * t)"}, "y+": {"value": 0}},
+        {"x-": {"value_expression": "cos(y + t)"}, "x+": {"derivative": 0},
+         "y": {"value": 0}},
+        {"x-": {"value_expression": "cos(y + t)"}, "x+": {"derivative": 0},
+         "y-": {"value": np.linspace(-1, 1, 16)},
+         "y+": {"value_expression": "sin(x - t)"}},
+    ],
+    ids=["xt-col", "xt-row", "xt-both-plus-array"],
+)
+def test_fused_sde_window_xt_bc_parity(bc, rng, monkeypatch):
+    """Space-AND-time BC values reach the SDE windows as per-chunk
+    step-indexed tables (the stager's runtime operands) — trajectories
+    stay exact vs the unfused stepper."""
     grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
     state = pde.ScalarField.random_uniform(grid, rng=rng, label="c")
-    bc = {"x": {"derivative": 0}, "y-": {"value_expression": "sin(x - t)"},
-          "y+": {"value": 0}}
-    eq = pde.PDE({"c": "0.1 * laplace(c)"}, bc=bc, noise=0.05)
-    solver = EulerSolver(eq)
-    out, _ = solver.make_stepper(state, dt=5e-4)(state, 0.0, 0.01)
-    assert solver.info.get("fused_step") is None
-    assert np.all(np.isfinite(np.asarray(out.data)))
+
+    def eq_factory():
+        return pde.PDE({"c": "0.1 * laplace(c)"}, bc=bc, noise=0.05,
+                       rng=np.random.default_rng(3))
+
+    res_fused, solver = _solve_sde(eq_factory, state, 0.02, 5e-4, True,
+                                   monkeypatch)
+    assert solver.info.get("fused_step") is True
+    res_ref, _ = _solve_sde(eq_factory, state, 0.02, 5e-4, False,
+                            monkeypatch)
+    np.testing.assert_allclose(
+        np.asarray(res_fused.data), np.asarray(res_ref.data),
+        rtol=1e-12, atol=1e-13,
+    )
 
 
 def test_fused_sde_rejects_multiplicative(monkeypatch):

@@ -86,6 +86,18 @@ class DiffusionPDE(SDEBase):
                 interpret=interpret_requested(),
             )
         except PallasUnsupportedError as err:
+            # one spec parse feeds every reroute predicate (affine_bc_specs
+            # runs sympy differentiation per expression side)
+            from ..ops.pallas_cartesian import (
+                _specs_have_array_factors,
+                _specs_have_xt,
+                affine_bc_specs,
+            )
+
+            try:
+                specs = affine_bc_specs(state.grid, bcs)
+            except PallasUnsupportedError:
+                specs = None
             reroute = (
                 # sin(x - t)-style BC values and array-valued factors:
                 # only the expression-compiled stencil kernels stage them
@@ -93,8 +105,8 @@ class DiffusionPDE(SDEBase):
                 # factors and fall back from the rerouted path cleanly)
                 state.grid.num_axes == 2
                 and (
-                    self._bcs_have_xt(state.grid, bcs)
-                    or self._bcs_have_array_factors(state.grid, bcs)
+                    _specs_have_xt(specs)
+                    or _specs_have_array_factors(specs)
                 )
             ) or (
                 # 3D array/t-dependent BC values: the specialized affine 3D
@@ -102,7 +114,13 @@ class DiffusionPDE(SDEBase):
                 # windows stage per-face planes/blocks + SMEM t tables,
                 # single-device AND decomposed
                 state.grid.num_axes == 3
-                and self._bcs_have_side_inputs(state.grid, bcs)
+                and specs is not None
+                and any(
+                    not side.is_scalar
+                    for pair in specs
+                    if pair is not None
+                    for side in pair
+                )
             )
             if reroute:
                 from .base import make_fused_window_via_expression
@@ -112,55 +130,6 @@ class DiffusionPDE(SDEBase):
                     self.bc, mesh=mesh,
                 )
             raise NotImplementedError(str(err)) from err
-
-    @staticmethod
-    def _bcs_have_xt(grid, bcs) -> bool:
-        """True when any side carries a space-AND-time-dependent value."""
-        from ..ops.pallas_cartesian import (
-            PallasUnsupportedError,
-            _specs_have_xt,
-            affine_bc_specs,
-        )
-
-        try:
-            return _specs_have_xt(affine_bc_specs(grid, bcs))
-        except PallasUnsupportedError:
-            return False
-
-    @staticmethod
-    def _bcs_have_array_factors(grid, bcs) -> bool:
-        """True when any side carries per-point ghost coefficients."""
-        from ..ops.pallas_cartesian import (
-            PallasUnsupportedError,
-            _specs_have_array_factors,
-            affine_bc_specs,
-        )
-
-        try:
-            return _specs_have_array_factors(affine_bc_specs(grid, bcs))
-        except PallasUnsupportedError:
-            return False
-
-    @staticmethod
-    def _bcs_have_side_inputs(grid, bcs) -> bool:
-        """True when any side carries an array or time-dependent value."""
-        from ..ops.pallas_cartesian import (
-            PallasUnsupportedError,
-            affine_bc_specs,
-        )
-
-        try:
-            specs = affine_bc_specs(grid, bcs)
-        except PallasUnsupportedError:
-            return False
-        if specs is None:
-            return False
-        return any(
-            not side.is_scalar
-            for pair in specs
-            if pair is not None
-            for side in pair
-        )
 
     def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""

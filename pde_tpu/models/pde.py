@@ -695,10 +695,12 @@ class PDE(SDEBase):
                     raise NotImplementedError(str(err)) from err
             exprs.append(expr)
 
-        # inhomogeneous per-boundary-point arrays and t-dependent expression
-        # consts become kernel side inputs (2D paths single-device and
-        # sharded; 3D single-device — per-face planes/blocks, no xt); the
-        # SDE and sharded-3D kernels take scalar consts only for now
+        # inhomogeneous per-boundary-point arrays, array-valued Robin
+        # factors, t-dependent and (2D/SDE) space-and-time-dependent
+        # expression consts become kernel side inputs across the 2D, 3D,
+        # SDE, and sharded windows; the only remaining fallbacks are 3D
+        # space-and-time values (collect_bc_side_inputs_3d raises) and
+        # the inherently non-affine forms (affine_bc_specs raises)
         if grid.num_axes == 3:
             from ..ops.pallas_cartesian import collect_bc_side_inputs_3d
 

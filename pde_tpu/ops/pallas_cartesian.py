@@ -2501,6 +2501,20 @@ def make_fused_multi_stencil_window_2d(
     xt_row_specs = [spec for kind, spec in xt_entries if kind == "row"]
     xt_col_specs = [spec for kind, spec in xt_entries if kind == "col"]
     n_xtr, n_xtc = len(xt_row_specs), len(xt_col_specs)
+    if not interpret and (n_row_in or n_col_in or n_xtr or n_xtc):
+        # side inputs live OUTSIDE the _pick_band footprint model: bound
+        # them so a value-heavy config falls back instead of hard-failing
+        # at Mosaic compile (the clean-fallback invariant)
+        extra = (
+            n_row_in * n_cols
+            + n_xtr * k * n_cols
+            + n_col_in * (band + 2 * halo) * 128
+            + n_xtc * k * (band + 2 * halo) * 128
+        ) * itemsize
+        if extra > 2 * 1024 * 1024:
+            raise PallasUnsupportedError(
+                "BC value side inputs exceed the VMEM budget"
+            )
 
     def kernel(*refs):
         pos = 0
@@ -2779,6 +2793,19 @@ def make_fused_multi_ext_window_2d(
     xt_row_specs = [spec for kind, spec in xt_entries if kind == "row"]
     xt_col_specs = [spec for kind, spec in xt_entries if kind == "col"]
     n_xtr, n_xtc = len(xt_row_specs), len(xt_col_specs)
+    if not interpret and (n_row_in or n_col_in or n_xtr or n_xtc):
+        # side inputs live OUTSIDE the _pick_band_ext footprint model (see
+        # the stencil window's identical gate)
+        extra = (
+            n_row_in * lanes
+            + n_xtr * k * lanes
+            + n_col_in * (band + 2 * halo) * 128
+            + n_xtc * k * (band + 2 * halo) * 128
+        ) * itemsize
+        if extra > 2 * 1024 * 1024:
+            raise PallasUnsupportedError(
+                "BC value side inputs exceed the VMEM budget"
+            )
 
     def kernel(flags_ref, *refs):
         pos = 0
@@ -3182,6 +3209,25 @@ class _BCSideStager2D:
                 id(spec): t_tab[s, j] for j, spec in enumerate(self.t_specs)
             }
 
+    def vmem_check(self, band, itemsize, interpret):
+        """Raise when the staged side inputs would overflow the scoped-VMEM
+        budget: they live OUTSIDE the _pick_band footprint model, so a
+        value-heavy config must fall back to XLA instead of hard-failing
+        at Mosaic compile (the clean-fallback invariant)."""
+        if interpret:
+            return
+        k = self.k or 1
+        extra = (
+            self.n_row * self.n_cols
+            + self.n_xtr * k * self.n_cols
+            + self.n_col * (band + 2 * self.halo) * 128
+            + self.n_xtc * k * (band + 2 * self.halo) * 128
+        ) * itemsize
+        if extra > 2 * 1024 * 1024:
+            raise PallasUnsupportedError(
+                "BC value side inputs exceed the VMEM budget"
+            )
+
     def runtime_operands(self, xt_ops, t_tab, dtype):
         """Assemble the leading runtime kernel operands for one chunk:
         ``xt_ops`` holds one per-chunk (k, n) table per ``self.xt_entries``
@@ -3260,6 +3306,7 @@ def make_fused_sde_kernel_noise_window_2d(
     n_ext = band + 2 * halo
     assert n_ext % _HALO == 0
     stager = _BCSideStager2D(bc_inputs, n_cols, halo, dtype, k=k)
+    stager.vmem_check(band, itemsize, False)  # hardware-only kernel
 
     def kernel(*refs):
         ctl_ref = refs[0]
@@ -3438,6 +3485,7 @@ def make_fused_sde_stencil_window_2d(
     halo_total = k * halo_per_step
     halo = -(-halo_total // _HALO) * _HALO
     stager = _BCSideStager2D(bc_inputs, n_cols, halo, dtype, k=k)
+    stager.vmem_check(band, itemsize, interpret)
 
     def kernel(*refs):
         t_tab, row_refs, col_hbm, pos = stager.unpack(refs)
@@ -3969,7 +4017,7 @@ def supports_affine_laplace_cyl(grid, bcs, dtype, k: int = 1) -> bool:
         specs = affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
         return False
-    if _specs_have_xt(specs):
+    if _specs_have_xt(specs) or _specs_have_array_factors(specs):
         return False
     cols_periodic = specs is None or (len(specs) > 1 and specs[1] is None)
     return _supports_fused_shape_2d(

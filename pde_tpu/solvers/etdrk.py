@@ -395,7 +395,7 @@ class ETDRK4Solver(SolverBase):
             forward, inverse, slice_coeff = _make_sharded_transforms(
                 mesh, axis_kinds, real_dtype
             )
-            self.info["etdrk_sharding"] = "shard_map+all_gather"
+            self.info["etdrk_sharding"] = "shard_map+psum_gather"
         if n_fields == 1:
             coeffs = _phi_coefficients(L_vals, dt)
         else:

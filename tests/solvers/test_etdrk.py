@@ -545,7 +545,7 @@ def test_decomposed_matches_serial_periodic(decomposition, rng):
     )
     solver = ETDRK4Solver(eq, decomposition=decomposition)
     res = Controller(solver, t_range=1.0, tracker=None).run(state, dt=0.05)
-    assert solver.info.get("etdrk_sharding") == "shard_map+all_gather"
+    assert solver.info.get("etdrk_sharding") == "shard_map+psum_gather"
     np.testing.assert_array_equal(np.asarray(res.data), np.asarray(ref.data))
 
 

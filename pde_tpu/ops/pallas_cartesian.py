@@ -354,14 +354,15 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
     func = bc._func
     if has_t and has_coords:
         # space-AND-time dependence: the const is a per-point array rebuilt
-        # per step — lowered as per-chunk (k, n) value tables by the
-        # stencil-helper kernels (the specialized affine kernels reject it)
-        n_pts = int(np.prod(coord_arrays[0].shape))
+        # per step — lowered as per-chunk (k, n) FLAT value tables by the
+        # stencil-helper kernels (the specialized affine kernels reject it;
+        # 3D callers reshape the flat face back to its 2-D extent)
+        face_shape = coord_arrays[0].shape
         jc = tuple(jnp.asarray(c) for c in coord_arrays)
 
-        def const_xt(t, _f=func, _dx=dx, _c=jc, _n=n_pts):
+        def const_xt(t, _f=func, _dx=dx, _c=jc, _shape=face_shape):
             val = _f(jnp.zeros(()), _dx, *_c, t)
-            return jnp.broadcast_to(jnp.asarray(val), (_n,))
+            return jnp.broadcast_to(jnp.asarray(val), _shape).reshape(-1)
 
         return _BCSideSpec(f1, 0.0, 0.0, const_xt=const_xt)
     if has_t:
@@ -495,18 +496,20 @@ def collect_bc_side_inputs_3d(bc_table):
     """3D variant of :func:`collect_bc_side_inputs`: kinds are axis indices.
 
     Returns ``None`` when every const is scalar, else ``{"arrays":
-    [(ax, spec, attr), ...], "t": [spec, ...]}`` with attr
-    ``"const_static"``/``"f1"``/``"f2"`` (per-face value arrays AND
-    array-valued Robin factors stage identically). Staging layouts (see
-    :func:`make_fused_multi_stencil_window_3d`): x-side arrays are one
-    ``(1, ny, nz)`` VMEM plane; y-side arrays a per-program
+    [(ax, spec, attr), ...], "t": [spec, ...], "xt": [(ax, spec), ...]}``
+    with attr ``"const_static"``/``"f1"``/``"f2"`` (per-face value arrays
+    AND array-valued Robin factors stage identically). Staging layouts
+    (see :func:`make_fused_multi_stencil_window_3d`): x-side arrays are
+    one ``(1, ny, nz)`` VMEM plane; y-side arrays a per-program
     ``(band + 2*halo, 1, nz)`` DMA slice of an x-wrap-padded block; z-side
     arrays a ``(band + 2*halo, ny, 128)`` slice of a lane-broadcast block
-    (value in lane 0 — Mosaic rejects width-1 memref slices).
-    Space-AND-time-dependent values raise (fall back to XLA in 3D).
+    (value in lane 0 — Mosaic rejects width-1 memref slices). ``xt``
+    entries are space-AND-time values lowered as per-chunk step-indexed
+    tables (one extra leading ``k`` dim on each layout).
     """
     arrays: list = []
     t_specs: list = []
+    xt: list = []
     seen: set = set()
     for specs in bc_table.values():
         if specs is None:
@@ -518,21 +521,19 @@ def collect_bc_side_inputs_3d(bc_table):
                 if id(spec) in seen:
                     continue
                 seen.add(id(spec))
-                if spec.const_xt is not None:
-                    raise PallasUnsupportedError(
-                        "Space-and-time-dependent BC values are not "
-                        "supported by the 3D fused windows"
-                    )
                 for attr in ("f1", "f2"):
                     if np.ndim(getattr(spec, attr)) != 0:
                         arrays.append((ax, spec, attr))
+                if spec.const_xt is not None:
+                    xt.append((ax, spec))
+                    continue
                 if np.ndim(spec.const_static) != 0:
                     arrays.append((ax, spec, "const_static"))
                 if spec.const_t is not None:
                     t_specs.append(spec)
-    if not arrays and not t_specs:
+    if not arrays and not t_specs and not xt:
         return None
-    return {"arrays": arrays, "t": t_specs}
+    return {"arrays": arrays, "t": t_specs, "xt": xt}
 
 
 def _specs_have_xt(specs) -> bool:
@@ -1587,10 +1588,12 @@ def _make_stencil_helpers_3d(
         tracks the shrinking work extent relative to the staged x halo
         (``helpers.stage_x_halo``); y/z offsets matter only in ext mode
         (``stage_y_halo``/``stage_z_halo`` staged halo layers).
+        Space-and-time values read the CURRENT step's slab of a per-chunk
+        step-indexed table (one extra leading ``k`` dim; the kernel sets
+        ``helpers.step_idx`` before each step call).
         """
-        c = spec.const_static
-        if np.ndim(c) != 0:
-            arr = helpers.bc_arrays[id(spec)]
+
+        def offsets(shape):
             offx = helpers.stage_x_halo - (shape[0] - band) // 2
             offy = (
                 helpers.stage_y_halo - (shape[1] - ny) // 2 if ext_y else 0
@@ -1598,6 +1601,27 @@ def _make_stencil_helpers_3d(
             offz = (
                 helpers.stage_z_halo - (shape[2] - nz) // 2 if ext_z else 0
             )
+            return offx, offy, offz
+
+        if spec.const_xt is not None:
+            arr = helpers.bc_arrays[id(spec)]
+            s = helpers.step_idx
+            offx, offy, offz = offsets(shape)
+            if ax == 0:  # (k, ny_s, nz_s): the step slab IS the plane dim
+                return arr[
+                    s : s + 1, offy : offy + shape[1], offz : offz + shape[2]
+                ]
+            if ax == 1:  # (k, X_s, 1, nz_s)
+                return arr[s][
+                    offx : offx + shape[0], 0:1, offz : offz + shape[2]
+                ]
+            return arr[s][
+                offx : offx + shape[0], offy : offy + shape[1], 0:1
+            ]
+        c = spec.const_static
+        if np.ndim(c) != 0:
+            arr = helpers.bc_arrays[id(spec)]
+            offx, offy, offz = offsets(shape)
             if ax == 0:  # (1, ny_s, nz_s) plane
                 c = arr[0:1, offy : offy + shape[1], offz : offz + shape[2]]
             elif ax == 1:  # (X_s, 1, nz_s) block
@@ -1749,6 +1773,7 @@ def _make_stencil_helpers_3d(
         stage_x_halo = 0
         stage_y_halo = 0
         stage_z_halo = 0
+        step_idx = 0
 
         @staticmethod
         def trim(value, amount):
@@ -1889,10 +1914,18 @@ def make_fused_multi_stencil_window_3d(
     F = n_fields
 
     # staged side inputs for inhomogeneous / t-dependent BC consts and
-    # array-valued factors (entries are (ax, spec, attr) triples)
+    # array-valued factors (entries are (ax, spec, attr) triples);
+    # space-and-time values arrive as per-chunk step-indexed RUNTIME
+    # operands (one extra leading k dim per layout)
     arr_entries = [] if bc_inputs is None else bc_inputs["arrays"]
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
+    xt_pl = [spec for ax, spec in xt_entries if ax == 0]
+    xt_y = [spec for ax, spec in xt_entries if ax == 1]
+    xt_z = [spec for ax, spec in xt_entries if ax == 2]
+    n_xpl, n_xy, n_xz = len(xt_pl), len(xt_y), len(xt_z)
     has_t = bool(t_specs)
+    needs_runtime = bool(has_t or xt_entries)
     plane_entries = []  # x sides: ((spec, attr), (1, ny, nz))
     y_entries = []  # y sides: ((spec, attr), (nx + 2*halo, 1, nz))
     z_entries = []  # z sides: ((spec, attr), (nx + 2*halo, ny, 128))
@@ -1917,13 +1950,13 @@ def make_fused_multi_stencil_window_3d(
                 ).copy(),
             ))
     n_pl, n_y, n_z = len(plane_entries), len(y_entries), len(z_entries)
-    if not interpret and (n_pl or n_y or n_z):
+    if not interpret and (n_pl or n_y or n_z or xt_entries):
         # side inputs live outside the _pick_band_k_3d VMEM model; bound
         # their footprint so a z-heavy config falls back instead of OOMing
         extra = (
-            n_pl * ny * nz
-            + n_y * (band + 2 * halo) * nz
-            + n_z * (band + 2 * halo) * ny * 128
+            (n_pl + n_xpl * k) * ny * nz
+            + (n_y + n_xy * k) * (band + 2 * halo) * nz
+            + (n_z + n_xz * k) * (band + 2 * halo) * ny * 128
         ) * itemsize
         if extra > 2 * 1024 * 1024:
             raise PallasUnsupportedError(
@@ -1937,10 +1970,12 @@ def make_fused_multi_stencil_window_3d(
             pos += 1
         plane_refs = refs[pos : pos + n_pl]
         pos += n_pl
-        y_hbm = refs[pos : pos + n_y]
-        pos += n_y
-        z_hbm = refs[pos : pos + n_z]
-        pos += n_z
+        xpl_refs = refs[pos : pos + n_xpl]
+        pos += n_xpl
+        y_hbm = refs[pos : pos + n_y + n_xy]
+        pos += n_y + n_xy
+        z_hbm = refs[pos : pos + n_z + n_xz]
+        pos += n_z + n_xz
         ins = refs[pos : pos + F]
         outs = refs[pos + F : pos + 2 * F]
         pos += 2 * F
@@ -1948,9 +1983,10 @@ def make_fused_multi_stencil_window_3d(
         tops = refs[pos + F : pos + 2 * F]
         bots = refs[pos + 2 * F : pos + 3 * F]
         pos += 3 * F
-        y_vmem = refs[pos : pos + n_y]
-        z_vmem = refs[pos + n_y : pos + n_y + n_z]
-        sem = refs[pos + n_y + n_z]
+        y_vmem = refs[pos : pos + n_y + n_xy]
+        pos += n_y + n_xy
+        z_vmem = refs[pos : pos + n_z + n_xz]
+        sem = refs[pos + n_z + n_xz]
         i = pl.program_id(0)
         row0 = i * band
         top_row = jax.lax.rem(row0 + np.int32(nx - halo), np.int32(nx))
@@ -1966,13 +2002,25 @@ def make_fused_multi_stencil_window_3d(
                 cp.start()
                 copies.append(cp)
         # per-program value slices covering [row0 - halo, row0 + band + halo)
-        # of the x-wrap-padded blocks (staged offset +halo)
+        # of the x-wrap-padded blocks (staged offset +halo); step-indexed
+        # xt blocks carry the x range in their SECOND dim
         for j, (src, dst) in enumerate(
             [(y_hbm[j2], y_vmem[j2]) for j2 in range(n_y)]
             + [(z_hbm[j2], z_vmem[j2]) for j2 in range(n_z)]
         ):
             cp = pltpu.make_async_copy(
                 src.at[pl.ds(row0, band + 2 * halo)], dst, sem.at[3 * F + j]
+            )
+            cp.start()
+            copies.append(cp)
+        for j, (src, dst) in enumerate(
+            [(y_hbm[n_y + j2], y_vmem[n_y + j2]) for j2 in range(n_xy)]
+            + [(z_hbm[n_z + j2], z_vmem[n_z + j2]) for j2 in range(n_xz)]
+        ):
+            cp = pltpu.make_async_copy(
+                src.at[:, pl.ds(row0, band + 2 * halo)],
+                dst,
+                sem.at[3 * F + n_y + n_z + j],
             )
             cp.start()
             copies.append(cp)
@@ -1991,10 +2039,16 @@ def make_fused_multi_stencil_window_3d(
 
         for j, ((spec, attr), _) in enumerate(plane_entries):
             _route(spec, attr, plane_refs[j])
+        for j, spec in enumerate(xt_pl):
+            bc_arrays[id(spec)] = xpl_refs[j]
         for j, ((spec, attr), _) in enumerate(y_entries):
             _route(spec, attr, y_vmem[j])
+        for j, spec in enumerate(xt_y):
+            bc_arrays[id(spec)] = y_vmem[n_y + j]
         for j, ((spec, attr), _) in enumerate(z_entries):
             _route(spec, attr, z_vmem[j])
+        for j, spec in enumerate(xt_z):
+            bc_arrays[id(spec)] = z_vmem[n_z + j]
         helpers.bc_arrays = bc_arrays
         helpers.bc_factors = bc_factors
 
@@ -2006,6 +2060,7 @@ def make_fused_multi_stencil_window_3d(
             for f in range(F)
         ]
         for s in range(k):
+            helpers.step_idx = s
             if has_t:
                 helpers.t_consts = {
                     id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
@@ -2021,7 +2076,12 @@ def make_fused_multi_stencil_window_3d(
                 (1, ny, nz), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             )
         ] * n_pl
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_z)
+        + [
+            pl.BlockSpec(
+                (k, ny, nz), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ] * n_xpl
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_xy + n_z + n_xz)
         + [pl.BlockSpec(memory_space=pl.ANY)] * F
     )
     call = pl.pallas_call(
@@ -2038,8 +2098,12 @@ def make_fused_multi_stencil_window_3d(
             [pltpu.VMEM((band, ny, nz), dtype)] * F
             + [pltpu.VMEM((halo, ny, nz), dtype)] * (2 * F)
             + [pltpu.VMEM((band + 2 * halo, 1, nz), dtype)] * n_y
+            + [pltpu.VMEM((k, band + 2 * halo, 1, nz), dtype)] * n_xy
             + [pltpu.VMEM((band + 2 * halo, ny, 128), dtype)] * n_z
-            + [pltpu.SemaphoreType.DMA((3 * F + n_y + n_z,))]
+            + [pltpu.VMEM((k, band + 2 * halo, ny, 128), dtype)] * n_xz
+            + [pltpu.SemaphoreType.DMA(
+                (3 * F + n_y + n_z + n_xy + n_xz,)
+            )]
         ),
         interpret=interpret,
     )
@@ -2048,16 +2112,39 @@ def make_fused_multi_stencil_window_3d(
     y_consts = [jnp.asarray(a, dtype=dtype) for _, a in y_entries]
     z_consts = [jnp.asarray(a, dtype=dtype) for _, a in z_entries]
 
-    if has_t:
+    if needs_runtime:
 
-        def window_k_t(datas, t_tab):
+        def window_k_t(datas, xt_ops, t_tab=None):
+            """``xt_ops``: one per-chunk table per ``window_k_t.xt_entries``
+            entry (ax 0: (k, ny, nz); ax 1: (k, nx, nz); ax 2:
+            (k, nx, ny)) — x-wrap-padding and lane-broadcast happen here."""
+            xpl_ops, xy_ops, xz_ops = [], [], []
+            for (ax, _), arr in zip(xt_entries, xt_ops, strict=True):
+                arr = jnp.asarray(arr, dtype=dtype)
+                if ax == 0:
+                    xpl_ops.append(arr)
+                    continue
+                ext = jnp.concatenate(
+                    [arr[:, -halo:], arr, arr[:, :halo]], axis=1
+                )
+                if ax == 1:
+                    xy_ops.append(ext[:, :, None, :])
+                else:
+                    xz_ops.append(
+                        jnp.broadcast_to(
+                            ext[:, :, :, None], (*ext.shape, 128)
+                        )
+                    )
+            t_args = [jnp.asarray(t_tab, dtype=dtype)] if has_t else []
             out = call(
-                jnp.asarray(t_tab, dtype=dtype), *plane_consts, *y_consts,
-                *z_consts, *[jnp.asarray(d, dtype=dtype) for d in datas],
+                *t_args, *plane_consts, *xpl_ops, *y_consts, *xy_ops,
+                *z_consts, *xz_ops,
+                *[jnp.asarray(d, dtype=dtype) for d in datas],
             )
             return list(out)
 
-        window_k_t.t_specs = tuple(t_specs)
+        window_k_t.t_specs = tuple(t_specs) if has_t else None
+        window_k_t.xt_entries = tuple(xt_entries)
         return window_k_t, k
 
     def window_k(datas):
@@ -2068,6 +2155,7 @@ def make_fused_multi_stencil_window_3d(
         return list(out)
 
     window_k.t_specs = None
+    window_k.xt_entries = ()
     return window_k, k
 
 
@@ -2091,12 +2179,13 @@ def make_chunked_multi_window_3d(
             grid, make_step, halo_per_step, n_fields, dtype=dtype, k=kk,
             interpret=interpret, bc_inputs=bc_inputs,
         )
-        if step.t_specs is None:
+        if step.t_specs is None and not step.xt_entries:
             return lambda d: tuple(step(list(d)))
-        return lambda d, t_tab: tuple(step(list(d), t_tab))
+        return lambda d, xt_ops, t_tab: tuple(step(list(d), xt_ops, t_tab))
 
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
-    if not t_specs:
+    xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
+    if not t_specs and not xt_entries:
         window_t = _make_binary_chunked_window(build, k)
 
         def window(datas, steps):
@@ -2108,6 +2197,22 @@ def make_chunked_multi_window_3d(
         raise ValueError("dt is required for time-dependent BC windows")
     kernels = _binary_kernel_ladder(build, k)
     t_funcs = [spec.const_t for spec in t_specs]
+    xt_info = []
+    for ax, spec in xt_entries:
+        face = tuple(n for d, n in enumerate(grid.shape) if d != ax)
+        xt_info.append((spec.const_xt, face))
+
+    def make_t_tab(ts):
+        if not t_funcs:
+            return None
+        return jnp.stack([jax.vmap(fn)(ts) for fn in t_funcs], axis=1)
+
+    def make_xt_ops(ts):
+        # const_xt returns flattened per-face values; reshape to the face
+        return [
+            jax.vmap(fn)(ts).reshape(ts.shape[0], *face)
+            for fn, face in xt_info
+        ]
 
     def window_td(datas, t0, steps):
         state = tuple(datas)
@@ -2119,10 +2224,9 @@ def make_chunked_multi_window_3d(
             def body(c, carry, _kk=kk, _step=step_fn):
                 d, idx = carry
                 ts = t0 + (idx + jnp.arange(_kk)) * dt
-                t_tab = jnp.stack(
-                    [jax.vmap(fn)(ts) for fn in t_funcs], axis=1
+                return (
+                    _step(d, make_xt_ops(ts), make_t_tab(ts)), idx + _kk
                 )
-                return (_step(d, t_tab), idx + _kk)
 
             state, index = jax.lax.fori_loop(0, chunks, body, (state, index))
             remaining = remaining - chunks * kk

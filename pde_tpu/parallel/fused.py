@@ -563,6 +563,11 @@ def _make_fused_multi_window_sharded_3d(
         make_fused_multi_ext_window_3d,
     )
 
+    if bc_inputs is not None and bc_inputs.get("xt"):
+        raise PallasUnsupportedError(
+            "Space-and-time-dependent BC values are not supported by the "
+            "sharded 3D fused windows"
+        )
     grid = mesh.basegrid
     local_shape = tuple(mesh.subgrid.shape)
     lx, ly, lz = local_shape

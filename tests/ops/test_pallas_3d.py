@@ -614,23 +614,30 @@ def test_3d_coupled_routed_bc_side_inputs(rng, monkeypatch):
 
 
 def test_3d_bc_side_input_gates(rng, monkeypatch):
-    """3D gating contract: xt values fall back to XLA; decomposed runs
-    with non-scalar values now FUSE (see
-    test_3d_sharded_bc_side_input_parity)."""
+    """3D gating contract: single-device xt values FUSE (per-chunk
+    step-indexed face tables, see test_3d_space_time_bc_parity); SHARDED
+    3D xt still falls back; decomposed non-scalar values fuse
+    (test_3d_sharded_bc_side_input_parity)."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
     grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (8, 8, 16))
     state = pde.ScalarField.random_uniform(grid, rng=rng)
-    # space-AND-time values fall back in 3D
-    eq = pde.DiffusionPDE(0.1, bc={
-        "x": {"derivative": 0}, "y-": {"value_expression": "sin(z - t)"},
-        "y+": {"value": 0}, "z": {"derivative": 0}})
+    bc_xt = {"x": {"derivative": 0},
+             "y-": {"value_expression": "sin(z - t)"},
+             "y+": {"value": 0}, "z": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.1, bc=bc_xt)
     solver = EulerSolver(eq)
     stepper = solver.make_stepper(state, dt=2e-4)
     out, _ = stepper(state, 0.0, 2e-3)
-    assert solver.info.get("fused_step") is None
+    assert solver.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out.data)))
+    # sharded 3D xt falls back cleanly
+    solver_x = EulerSolver(eq, decomposition=[2, 1, 1])
+    stepper_x = solver_x.make_stepper(state, dt=2e-4)
+    out_x, _ = stepper_x(state, 0.0, 2e-3)
+    assert solver_x.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out_x.data)))
     # decomposed + truly varying arrays fuse since round 3 (runtime side
     # inputs sliced per shard)
     vals = rng.uniform(-1.0, 1.0, (8, 16))
@@ -642,6 +649,42 @@ def test_3d_bc_side_input_gates(rng, monkeypatch):
     out2, _ = stepper2(state, 0.0, 2e-3)
     assert solver2.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out2.data)))
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x-": {"value_expression": "sin(y + z - t)"}, "x+": {"derivative": 0},
+         "y": {"derivative": 0}, "z": {"value": 0}},
+        {"x": {"derivative": 0}, "y-": {"value_expression": "sin(z - 2 * t)"},
+         "y+": {"value": 0}, "z": {"derivative": 0}},
+        {"x": {"derivative": 0}, "y": {"value": 0},
+         "z-": {"value_expression": "cos(x + t)"}, "z+": {"derivative": 0}},
+        {"x-": {"value_expression": "sin(y + z - t)"}, "x+": {"derivative": 0},
+         "y-": {"value": np.linspace(-1, 1, 8 * 16).reshape(8, 16)},
+         "y+": {"value_expression": "sin(3 * t)"}, "z": {"derivative": 0}},
+    ],
+    ids=["xt-x", "xt-y", "xt-z", "xt-plus-array-plus-t"],
+)
+def test_3d_space_time_bc_parity(bc, rng, monkeypatch):
+    """Space-AND-time BC values lower into the 3D window as per-chunk
+    step-indexed face tables (one extra leading k dim per staging
+    layout)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 3)], (8, 8, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.1, bc=bc)
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=2e-4)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=2e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
 
 
 @pytest.mark.parametrize(

@@ -362,3 +362,20 @@ def test_fused_array_factor_bc_parity(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
+
+
+def test_fused_3d_space_time_bc_parity(rng, monkeypatch):
+    """3D xt staging uses rank-4 step-indexed DMA blocks ((k, X, 1, nz)
+    and (k, X, ny, 128)) — layouts only the chip can validate."""
+    grid = pde.CartesianGrid([(0, 1)] * 3, (64, 64, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    bc = {"x": {"derivative": 0},
+          "y-": {"value_expression": "sin(z - 2 * t)"},
+          "y+": {"derivative": 0},
+          "z-": {"value_expression": "cos(x + t)"}, "z+": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.05, bc=bc)
+    res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )

@@ -2331,18 +2331,24 @@ def make_fused_multi_ext_window_3d(
     # (lx + 2*halo, ny_in) (lane-broadcast inside the wrapper)
     arr_entries = [] if bc_inputs is None else list(bc_inputs["arrays"])
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
+    xt_pl = [spec for ax, spec in xt_entries if ax == 0]
+    xt_y = [spec for ax, spec in xt_entries if ax == 1]
+    xt_z = [spec for ax, spec in xt_entries if ax == 2]
+    n_xpl, n_xy, n_xz = len(xt_pl), len(xt_y), len(xt_z)
     has_t = bool(t_specs)
+    needs_runtime = bool(has_t or xt_entries)
     plane_entries = [
         (spec, attr) for ax, spec, attr in arr_entries if ax == 0
     ]
     y_entries = [(spec, attr) for ax, spec, attr in arr_entries if ax == 1]
     z_entries = [(spec, attr) for ax, spec, attr in arr_entries if ax == 2]
     n_pl, n_y, n_z = len(plane_entries), len(y_entries), len(z_entries)
-    if not interpret and (n_pl or n_y or n_z):
+    if not interpret and (n_pl or n_y or n_z or xt_entries):
         extra = (
-            n_pl * ny_e * nz_e
-            + n_y * (band + 2 * halo) * nz_e
-            + n_z * (band + 2 * halo) * ny_e * 128
+            (n_pl + n_xpl * k) * ny_e * nz_e
+            + (n_y + n_xy * k) * (band + 2 * halo) * nz_e
+            + (n_z + n_xz * k) * (band + 2 * halo) * ny_e * 128
         ) * itemsize
         if extra > 2 * 1024 * 1024:
             raise PallasUnsupportedError(
@@ -2356,18 +2362,21 @@ def make_fused_multi_ext_window_3d(
             pos += 1
         plane_refs = refs[pos : pos + n_pl]
         pos += n_pl
-        y_hbm = refs[pos : pos + n_y]
-        pos += n_y
-        z_hbm = refs[pos : pos + n_z]
-        pos += n_z
+        xpl_refs = refs[pos : pos + n_xpl]
+        pos += n_xpl
+        y_hbm = refs[pos : pos + n_y + n_xy]
+        pos += n_y + n_xy
+        z_hbm = refs[pos : pos + n_z + n_xz]
+        pos += n_z + n_xz
         ins = refs[pos : pos + F]
         outs = refs[pos + F : pos + 2 * F]
         pos += 2 * F
         work_refs = refs[pos : pos + F]
         pos += F
-        y_vmem = refs[pos : pos + n_y]
-        z_vmem = refs[pos + n_y : pos + n_y + n_z]
-        sem = refs[pos + n_y + n_z]
+        y_vmem = refs[pos : pos + n_y + n_xy]
+        pos += n_y + n_xy
+        z_vmem = refs[pos : pos + n_z + n_xz]
+        sem = refs[pos + n_z + n_xz]
         helpers.flags = flags_ref
         i = pl.program_id(0)
         row0 = i * band  # input planes [row0, row0 + band + 2*halo)
@@ -2391,6 +2400,18 @@ def make_fused_multi_ext_window_3d(
             )
             cp.start()
             copies.append(cp)
+        # step-indexed xt blocks carry the x range in their SECOND dim
+        for j, (src, dst) in enumerate(
+            [(y_hbm[n_y + j2], y_vmem[n_y + j2]) for j2 in range(n_xy)]
+            + [(z_hbm[n_z + j2], z_vmem[n_z + j2]) for j2 in range(n_xz)]
+        ):
+            cp = pltpu.make_async_copy(
+                src.at[:, pl.ds(pl.multiple_of(row0, band), band + 2 * halo)],
+                dst,
+                sem.at[F + n_y + n_z + j],
+            )
+            cp.start()
+            copies.append(cp)
         for cp in copies:
             cp.wait()
 
@@ -2408,15 +2429,22 @@ def make_fused_multi_ext_window_3d(
 
         for j, (spec, attr) in enumerate(plane_entries):
             _route(spec, attr, plane_refs[j])
+        for j, spec in enumerate(xt_pl):
+            bc_arrays[id(spec)] = xpl_refs[j]
         for j, (spec, attr) in enumerate(y_entries):
             _route(spec, attr, y_vmem[j])
+        for j, spec in enumerate(xt_y):
+            bc_arrays[id(spec)] = y_vmem[n_y + j]
         for j, (spec, attr) in enumerate(z_entries):
             _route(spec, attr, z_vmem[j])
+        for j, spec in enumerate(xt_z):
+            bc_arrays[id(spec)] = z_vmem[n_z + j]
         helpers.bc_arrays = bc_arrays
         helpers.bc_factors = bc_factors
 
         works = [work_refs[f][:, :ny_in, :nz_in] for f in range(F)]
         for s in range(k):
+            helpers.step_idx = s
             if has_t:
                 helpers.t_consts = {
                     id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
@@ -2433,7 +2461,12 @@ def make_fused_multi_ext_window_3d(
                 (1, ny_e, nz_e), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             )
         ] * n_pl
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_z)
+        + [
+            pl.BlockSpec(
+                (k, ny_e, nz_e), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ] * n_xpl
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_xy + n_z + n_xz)
         + [pl.BlockSpec(memory_space=pl.ANY)] * F
     )
     call = pl.pallas_call(
@@ -2449,8 +2482,10 @@ def make_fused_multi_ext_window_3d(
         scratch_shapes=(
             [pltpu.VMEM((band + 2 * halo, ny_e, nz_e), dtype)] * F
             + [pltpu.VMEM((band + 2 * halo, 1, nz_e), dtype)] * n_y
+            + [pltpu.VMEM((k, band + 2 * halo, 1, nz_e), dtype)] * n_xy
             + [pltpu.VMEM((band + 2 * halo, ny_e, 128), dtype)] * n_z
-            + [pltpu.SemaphoreType.DMA((F + n_y + n_z,))]
+            + [pltpu.VMEM((k, band + 2 * halo, ny_e, 128), dtype)] * n_xz
+            + [pltpu.SemaphoreType.DMA((F + n_y + n_z + n_xy + n_xz,))]
         ),
         interpret=interpret,
     )
@@ -2462,8 +2497,9 @@ def make_fused_multi_ext_window_3d(
     def window_k(datas, edge_flags=None, *extra):
         """``extra``: one LOCAL value array per ``window_k.array_entries``
         entry (ax 0: (ny_in, nz_in); ax 1: (lx + 2*halo, nz_in); ax 2:
-        (lx + 2*halo, ny_in)), then a (k, n_t) t-table when
-        ``window_k.t_specs``."""
+        (lx + 2*halo, ny_in)), then one LOCAL per-chunk table per
+        ``window_k.xt_entries`` entry (same extents with a leading ``k``
+        dim), then a (k, n_t) t-table when ``window_k.t_specs``."""
         arrs = [jnp.asarray(d, dtype=dtype) for d in datas]
         if pad_y or pad_z:
             arrs = [
@@ -2473,10 +2509,12 @@ def make_fused_multi_ext_window_3d(
             edge_flags, jnp.int32
         )
         n_arr = n_pl + n_y + n_z
+        n_xt = n_xpl + n_xy + n_xz
         supplied = list(extra[:n_arr])
+        xt_supplied = list(extra[n_arr : n_arr + n_xt])
         t_args = []
         if has_t:
-            t_args = [jnp.asarray(extra[n_arr], dtype=dtype)]
+            t_args = [jnp.asarray(extra[n_arr + n_xt], dtype=dtype)]
         pl_ops, y_ops, z_ops = [], [], []
         for (ax, _, _), arr in zip(arr_entries, supplied, strict=True):
             arr = jnp.asarray(arr, dtype=dtype)
@@ -2493,11 +2531,31 @@ def make_fused_multi_ext_window_3d(
                 z_ops.append(
                     jnp.broadcast_to(arr[:, :, None], (*arr.shape, 128))
                 )
+        xpl_ops, xy_ops, xz_ops = [], [], []
+        for (ax, _), arr in zip(xt_entries, xt_supplied, strict=True):
+            arr = jnp.asarray(arr, dtype=dtype)
+            if ax == 0:
+                arr = jnp.pad(
+                    arr,
+                    ((0, 0), (0, ny_e - arr.shape[1]),
+                     (0, nz_e - arr.shape[2])),
+                )
+                xpl_ops.append(arr)
+            elif ax == 1:
+                arr = jnp.pad(arr, ((0, 0), (0, 0), (0, nz_e - arr.shape[2])))
+                xy_ops.append(arr[:, :, None, :])
+            else:
+                arr = jnp.pad(arr, ((0, 0), (0, 0), (0, ny_e - arr.shape[2])))
+                xz_ops.append(
+                    jnp.broadcast_to(arr[:, :, :, None], (*arr.shape, 128))
+                )
         return list(
-            call(flags, *t_args, *pl_ops, *y_ops, *z_ops, *arrs)
+            call(flags, *t_args, *pl_ops, *xpl_ops, *y_ops, *xy_ops,
+                 *z_ops, *xz_ops, *arrs)
         )
 
     window_k.array_entries = tuple(arr_entries)
+    window_k.xt_entries = tuple(xt_entries)
     window_k.t_specs = tuple(t_specs) if has_t else None
     window_k.halo = halo
     return window_k, k

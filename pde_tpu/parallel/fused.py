@@ -563,11 +563,6 @@ def _make_fused_multi_window_sharded_3d(
         make_fused_multi_ext_window_3d,
     )
 
-    if bc_inputs is not None and bc_inputs.get("xt"):
-        raise PallasUnsupportedError(
-            "Space-and-time-dependent BC values are not supported by the "
-            "sharded 3D fused windows"
-        )
     grid = mesh.basegrid
     local_shape = tuple(mesh.subgrid.shape)
     lx, ly, lz = local_shape
@@ -641,22 +636,61 @@ def _make_fused_multi_window_sharded_3d(
                     )
             side_global.append((ax, dims, pads, arr))
 
-        def slice_side(ax, dims, pads, g_np):
-            g = jnp.asarray(g_np, dtype=dtype)
-            starts = []
-            sizes = []
-            for axis_i, (d, hd) in enumerate(zip(dims, pads, strict=True)):
+        def face_dims_pads(ax):
+            if ax == 0:
+                dims = (1, 2)
+            elif ax == 1:
+                dims = (0, 2)
+            else:
+                dims = (0, 1)
+            pads = [
+                h if (d == 0 and ax != 0) or (d > 0 and ext_axes[d]) else 0
+                for d in dims
+            ]
+            return dims, pads
+
+        def slice_side(dims, pads, g, lead=0):
+            starts = [jnp.int32(0)] * lead
+            sizes = list(g.shape[:lead])
+            for d, hd in zip(dims, pads, strict=True):
                 n_loc = local_shape[d]
                 off = jax.lax.axis_index(axis_names[d]) * np.int32(n_loc)
                 starts.append(off.astype(jnp.int32))
                 sizes.append(n_loc + 2 * hd)
             return jax.lax.dynamic_slice(g, tuple(starts), tuple(sizes))
 
+        # space-AND-time values: evaluate the GLOBAL per-chunk face table,
+        # wrap-pad like the static faces, slice per shard (leading k dim
+        # passes through)
+        xt_info = []
+        for ax, spec in step.xt_entries:
+            dims, pads = face_dims_pads(ax)
+            face = tuple(grid.shape[d] for d in dims)
+            xt_info.append((ax, dims, pads, face, spec.const_xt))
+
         def step_fn(datas, ts=None):
             extra = [
-                slice_side(ax, dims, pads, g_np)
+                slice_side(dims, pads, jnp.asarray(g_np, dtype=dtype))
                 for ax, dims, pads, g_np in side_global
             ]
+            for ax, dims, pads, face, fn in xt_info:
+                tab = jax.vmap(fn)(ts).astype(dtype)
+                tab = tab.reshape(tab.shape[0], *face)
+                for axis_i, hd in enumerate(pads):
+                    if hd:
+                        a = axis_i + 1  # leading k dim
+                        tab = jnp.concatenate(
+                            [
+                                jax.lax.slice_in_dim(
+                                    tab, tab.shape[a] - hd, tab.shape[a],
+                                    axis=a,
+                                ),
+                                tab,
+                                jax.lax.slice_in_dim(tab, 0, hd, axis=a),
+                            ],
+                            axis=a,
+                        )
+                extra.append(slice_side(dims, pads, tab, lead=1))
             if step.t_specs is not None:
                 cols = [jax.vmap(fn)(ts) for fn in
                         [sp.const_t for sp in step.t_specs]]
@@ -685,7 +719,9 @@ def _make_fused_multi_window_sharded_3d(
             "Shard too small for any temporal-blocking factor"
         )
 
-    needs_time = bc_inputs is not None and bc_inputs["t"]
+    needs_time = bc_inputs is not None and (
+        bc_inputs["t"] or bc_inputs.get("xt")
+    )
     if not needs_time:
         window_t = _make_binary_chunked_window(build, k)
 

@@ -614,10 +614,9 @@ def test_3d_coupled_routed_bc_side_inputs(rng, monkeypatch):
 
 
 def test_3d_bc_side_input_gates(rng, monkeypatch):
-    """3D gating contract: single-device xt values FUSE (per-chunk
-    step-indexed face tables, see test_3d_space_time_bc_parity); SHARDED
-    3D xt still falls back; decomposed non-scalar values fuse
-    (test_3d_sharded_bc_side_input_parity)."""
+    """3D gating contract: every staged BC value class fuses, serial AND
+    decomposed (xt included — per-chunk step-indexed face tables); the
+    only remaining fallbacks are the inherently non-affine forms."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
@@ -632,23 +631,20 @@ def test_3d_bc_side_input_gates(rng, monkeypatch):
     out, _ = stepper(state, 0.0, 2e-3)
     assert solver.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out.data)))
-    # sharded 3D xt falls back cleanly
+    # sharded 3D xt fuses too (per-shard slices of global per-chunk tables)
     solver_x = EulerSolver(eq, decomposition=[2, 1, 1])
     stepper_x = solver_x.make_stepper(state, dt=2e-4)
     out_x, _ = stepper_x(state, 0.0, 2e-3)
-    assert solver_x.info.get("fused_step") is None
+    assert solver_x.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out_x.data)))
-    # decomposed + truly varying arrays fuse since round 3 (runtime side
-    # inputs sliced per shard)
-    vals = rng.uniform(-1.0, 1.0, (8, 16))
-    eq2 = pde.DiffusionPDE(0.1, bc={
-        "x-": {"value": vals}, "x+": {"derivative": 0},
-        "y": {"derivative": 0}, "z": {"value": 0}})
-    solver2 = EulerSolver(eq2, decomposition=[2, 1, 1])
-    stepper2 = solver2.make_stepper(state, dt=2e-4)
-    out2, _ = stepper2(state, 0.0, 2e-3)
-    assert solver2.info.get("fused_step") is True
-    assert np.all(np.isfinite(np.asarray(out2.data)))
+    # nonlinear-in-value expression BCs stay on the XLA path
+    eq3 = pde.DiffusionPDE(0.1, bc={
+        "x": {"derivative": 0}, "y": {"virtual_point": "value**2"},
+        "z": {"value": 0}})
+    solver3 = EulerSolver(eq3)
+    out3, _ = solver3.make_stepper(state, dt=2e-4)(state, 0.0, 2e-3)
+    assert solver3.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out3.data)))
 
 
 @pytest.mark.parametrize(
@@ -690,7 +686,9 @@ def test_3d_space_time_bc_parity(bc, rng, monkeypatch):
 @pytest.mark.parametrize(
     "decomposition", [[2, 1, 1], [1, 2, 1], [1, 1, 2], [2, 2, 2]]
 )
-@pytest.mark.parametrize("side", ["x-plane", "y-side", "z-side", "t-arr"])
+@pytest.mark.parametrize(
+    "side", ["x-plane", "y-side", "z-side", "t-arr", "xt"]
+)
 def test_3d_sharded_bc_side_input_parity(side, decomposition, rng,
                                          monkeypatch):
     """Per-face value arrays and t-dependent consts reach the SHARDED 3D
@@ -716,6 +714,11 @@ def test_3d_sharded_bc_side_input_parity(side, decomposition, rng,
         "t-arr": {"x-": {"value": vp}, "x+": {"derivative": 0},
                   "y-": {"value_expression": "sin(3 * t)"}, "y+": {"value": 0},
                   "z": {"derivative": 0}},
+        "xt": {"x": {"derivative": 0},
+               "y-": {"value_expression": "sin(z - 2 * t)"},
+               "y+": {"value": 0},
+               "z-": {"value_expression": "cos(x + t)"},
+               "z+": {"derivative": 0}},
     }[side]
     eq = pde.DiffusionPDE(0.1, bc=bc)
     solver1 = EulerSolver(eq)

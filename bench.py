@@ -93,21 +93,24 @@ def main() -> None:
     if value is None:
         value = _run_subprocess(disable_fused=True, timeout=budget)
     if value is None:
-        # last resort: run inline without isolation
-        os.environ["PDE_TPU_DISABLE_FUSED"] = "1"
-        value = bench_diffusion(size=size)
+        # one more bounded attempt — NEVER run inline: when the remote TPU
+        # service is fully wedged (observed: even plain XLA jit hangs for
+        # hours), an unbounded inline run would hang the driver
+        value = _run_subprocess(disable_fused=True, timeout=budget)
     baseline = 1e10  # BASELINE.json target on v5e-8
-    print(
-        json.dumps(
-            {
-                "metric": f"2D diffusion cell-updates/s ({size}^2, fp32, Euler"
-                + (", fused-pallas)" if fused else ", xla)"),
-                "value": value,
-                "unit": "cell-updates/s",
-                "vs_baseline": value / baseline,
-            }
+    result = {
+        "metric": f"2D diffusion cell-updates/s ({size}^2, fp32, Euler"
+        + (", fused-pallas)" if fused else ", xla)"),
+        "value": value if value is not None else 0.0,
+        "unit": "cell-updates/s",
+        "vs_baseline": (value / baseline) if value is not None else 0.0,
+    }
+    if value is None:
+        result["note"] = (
+            "TPU service unreachable: every bounded attempt timed out "
+            "(see docs/BENCHMARKS.md for the last measured numbers)"
         )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

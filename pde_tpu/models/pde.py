@@ -645,7 +645,12 @@ class PDE(SDEBase):
             raise NotImplementedError("Fused window requires uniform dtypes")
         grid = fields[0].grid
         interpret = interpret_requested()
-        if any("laplace" in self._operators[v] for v in self.variables):
+        if grid.num_axes == 2 and any(
+            "laplace" in self._operators[v] for v in self.variables
+        ):
+            # the stencil helpers lower the 5-point 2D Laplacian only; the
+            # corner-weight config does not alter 3D stencils, so 3D fusion
+            # stays available under it
             from ..ops.pallas_cartesian import _require_default_laplace_stencil
 
             try:

@@ -41,16 +41,24 @@ def interpret_requested() -> bool:
     return os.environ.get("PDE_TPU_PALLAS_INTERPRET") == "1"
 
 
-def _require_default_laplace_stencil():
-    """All fused kernels lower the 5-point Laplacian; refuse (-> XLA
-    fallback, which honors the config) when the 9-point corner-weight
-    stencil is requested via ``operators.cartesian.laplacian_2d_corner_weight``
-    (reference `backends/numba/operators/cartesian.py:109-192`)."""
+def _corner_weight() -> float:
+    """The configured 2D corner weight (0 = default 5-point Laplacian)."""
     from ..utils.config import config
 
-    if config["operators.cartesian.laplacian_2d_corner_weight"] != 0:
+    return float(config["operators.cartesian.laplacian_2d_corner_weight"])
+
+
+def _require_default_laplace_stencil():
+    """Refuse (-> XLA fallback, which honors the config) when the 9-point
+    corner-weight stencil is requested via
+    ``operators.cartesian.laplacian_2d_corner_weight`` (reference
+    `backends/numba/operators/cartesian.py:109-192`) on a kernel family
+    that only lowers the 5-point form. The fully periodic 2D affine kernel
+    DOES lower the 9-point stencil (see :func:`make_affine_laplace_2d`) and
+    skips this gate; 3D kernels never gate — the config key is 2D-only."""
+    if _corner_weight() != 0:
         raise PallasUnsupportedError(
-            "Fused kernels implement the 5-point Laplacian only "
+            "This fused kernel family implements the 5-point Laplacian only "
             "(laplacian_2d_corner_weight != 0 falls back to XLA)"
         )
 
@@ -609,8 +617,28 @@ def make_affine_laplace_2d(
     HBM traffic). This lowers CylindricalSymGrid Laplacians — the reference
     compiles these loops with numba (`operators/cylindrical_sym.py:32`) but
     has no fused/temporal-blocked equivalent.
+
+    The configured 9-point corner-weight Laplacian
+    (``operators.cartesian.laplacian_2d_corner_weight``, reference
+    `backends/numba/operators/cartesian.py:109-192`) lowers on fully
+    periodic grids: the diagonal neighbors come from row-slices of the SAME
+    two lane rolls the 5-point stencil already pays (roll the whole work
+    region instead of its center rows), so the extra cost is adds/multiplies
+    only. Physical BCs with the 9-point stencil need the corner-ghost
+    extrapolation (`ops/cartesian.py:_set_corner_points_2d`) and fall back
+    to XLA, matching the ETDRK spectral-split restriction.
     """
-    _require_default_laplace_stencil()
+    corner_w = _corner_weight()
+    if corner_w != 0.0 and (
+        bcs is not None
+        or radial is not None
+        or not all(grid.periodic)
+        or np.dtype(dtype) == np.dtype(jnp.bfloat16)
+    ):
+        raise PallasUnsupportedError(
+            "The fused 9-point corner-weight Laplacian requires a fully "
+            "periodic 2D Cartesian grid with float32 data"
+        )
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -810,6 +838,31 @@ def make_affine_laplace_2d(
                 work = jnp.where(
                     (rows == e_hi + 1) & (i == n_programs - 1), ghost_hi, work
                 )
+            if corner_w != 0.0:
+                # 9-point corner-weight stencil (w=1/2 Oono-Puri, w=1/3
+                # Patra-Karttunen; ref numba/operators/cartesian.py:109-192):
+                # roll the WHOLE work region so the diagonal neighbors are
+                # row-slices of the same two lane rolls the 5-point form
+                # pays — no extra lane relayouts, only adds/multiplies
+                lroll = pltpu.roll(work, 1, 1)
+                rroll = pltpu.roll(work, n_cols - 1, 1)
+                center = work[1:-1, :]
+                dm2 = sx + sy
+                lap9 = (
+                    ((1.0 - corner_w) * sx) * (work[:-2, :] + work[2:, :])
+                    + ((1.0 - corner_w) * sy)
+                    * (lroll[1:-1, :] + rroll[1:-1, :])
+                    + (0.25 * corner_w * dm2)
+                    * (
+                        lroll[:-2, :]
+                        + lroll[2:, :]
+                        + rroll[:-2, :]
+                        + rroll[2:, :]
+                    )
+                    + ((corner_w - 2.0) * dm2) * center
+                )
+                work = a * center + b * lap9
+                continue
             up = work[:-2, :]
             center = work[1:-1, :]
             down = work[2:, :]
@@ -1026,9 +1079,9 @@ def make_affine_laplace_3d(
     ≈53 G updates/s (k=2) and at 128³ ≈86 G (k=4), vs ≈13 G for the XLA path.
     Like the 2D kernel, const-affine BCs lower as in-kernel ghost fixups:
     plane rewrites at the banded axis (edge programs) and sublane/lane patches
-    after the rolls.
+    after the rolls. (No corner-weight gate: the
+    ``laplacian_2d_corner_weight`` config only alters 2D stencils.)
     """
-    _require_default_laplace_stencil()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1167,8 +1220,9 @@ def make_fused_euler_window_3d(
     grid: CartesianGrid, *, diffusivity: float, dt: float, dtype=np.float32,
     bcs=None, interpret: bool = False,
 ) -> Callable:
-    """3D analogue of :func:`make_fused_euler_window_2d`."""
-    _require_default_laplace_stencil()
+    """3D analogue of :func:`make_fused_euler_window_2d`. (No corner-weight
+    gate: the ``laplacian_2d_corner_weight`` config only alters 2D stencils.)
+    """
     _, k = make_affine_laplace_3d(
         grid, a=1.0, b=dt * diffusivity, dtype=dtype, bcs=bcs,
         interpret=interpret,
@@ -1846,6 +1900,55 @@ def _make_stencil_helpers_3d(
     return helpers
 
 
+_SIDE_INPUT_BUDGET = 2 * 1024 * 1024  # staged BC side inputs (outside the
+# band VMEM models); same bound as the 2D kernels' side-input gates
+
+
+def _side_input_extra_2d(bc_inputs, width, band, halo, k, itemsize):
+    """Per-program VMEM bytes of staged 2D BC side inputs at temporal block
+    ``k``: row-side blocks are ``width`` lanes wide (n_cols for the stencil
+    window, the ext lane count for the halo-extended one); column-side
+    blocks broadcast across one 128-lane tile; xt tables carry a leading k
+    dim."""
+    if not bc_inputs:
+        return 0
+    n_row = sum(1 for kind, _ in bc_inputs["arrays"] if kind == "row")
+    n_col = sum(1 for kind, _ in bc_inputs["arrays"] if kind == "col")
+    n_row += sum(
+        1 for kind, _, _ in bc_inputs.get("factors", []) if kind == "row"
+    )
+    n_col += sum(
+        1 for kind, _, _ in bc_inputs.get("factors", []) if kind == "col"
+    )
+    n_xtr = sum(1 for kind, _ in bc_inputs.get("xt", []) if kind == "row")
+    n_xtc = sum(1 for kind, _ in bc_inputs.get("xt", []) if kind == "col")
+    return (
+        (n_row + n_xtr * k) * width
+        + (n_col + n_xtc * k) * (band + 2 * halo) * 128
+    ) * itemsize
+
+
+def _side_input_extra_3d(shape, bc_inputs, band, k, halo_per_step, itemsize):
+    """Per-program VMEM bytes of staged 3D BC side inputs at temporal block
+    ``k``: static per-face arrays plus the step-indexed xt tables (leading k
+    dim), with the x padding growing as ``k * halo_per_step``."""
+    if not bc_inputs:
+        return 0
+    nx, ny, nz = shape
+    n_ax = [0, 0, 0]
+    for ax, _spec, _attr in bc_inputs["arrays"]:
+        n_ax[ax] += 1
+    n_xt = [0, 0, 0]
+    for ax, _spec in bc_inputs.get("xt", []):
+        n_xt[ax] += 1
+    halo = k * halo_per_step
+    return (
+        (n_ax[0] + n_xt[0] * k) * ny * nz
+        + (n_ax[1] + n_xt[1] * k) * (band + 2 * halo) * nz
+        + (n_ax[2] + n_xt[2] * k) * (band + 2 * halo) * ny * 128
+    ) * itemsize
+
+
 def make_fused_multi_stencil_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, k: int | None = None, interpret: bool = False,
@@ -1900,6 +2003,16 @@ def make_fused_multi_stencil_window_3d(
         band, k_max = band_k
         if k is None:
             k = max(1, k_max // halo_per_step)
+            # staged BC side inputs live OUTSIDE the plane VMEM model and
+            # scale with k (per-step xt tables + the k*hps halo padding):
+            # shrink the temporal block until they fit instead of letting
+            # the hard gate below reject the whole fused path (which only
+            # fires on hardware — interpret mode skips it, so this was
+            # caught by the real-TPU lane, not CPU CI)
+            while k > 1 and _side_input_extra_3d(
+                grid.shape, bc_inputs, band, k, halo_per_step, itemsize
+            ) > _SIDE_INPUT_BUDGET:
+                k //= 2
         if not 1 <= k * halo_per_step <= k_max:
             raise PallasUnsupportedError(f"k={k} unsupported for this shape")
     halo = k * halo_per_step  # x is the major dim: no DMA granule
@@ -1953,12 +2066,12 @@ def make_fused_multi_stencil_window_3d(
     if not interpret and (n_pl or n_y or n_z or xt_entries):
         # side inputs live outside the _pick_band_k_3d VMEM model; bound
         # their footprint so a z-heavy config falls back instead of OOMing
-        extra = (
-            (n_pl + n_xpl * k) * ny * nz
-            + (n_y + n_xy * k) * (band + 2 * halo) * nz
-            + (n_z + n_xz * k) * (band + 2 * halo) * ny * 128
-        ) * itemsize
-        if extra > 2 * 1024 * 1024:
+        # (the k=None selection above already shrinks k to fit, so this
+        # only fires for explicitly requested k)
+        extra = _side_input_extra_3d(
+            grid.shape, bc_inputs, band, k, halo_per_step, itemsize
+        )
+        if extra > _SIDE_INPUT_BUDGET:
             raise PallasUnsupportedError(
                 "3D BC value arrays exceed the side-input VMEM budget"
             )
@@ -2620,6 +2733,21 @@ def make_fused_multi_stencil_window_2d(
             "Fused stencil window requires a 2D Cartesian/cylindrical grid "
             "with aligned shape and float32/bfloat16 data on a TPU backend"
         )
+    if k_defaulted and not interpret and bc_inputs is not None:
+        # staged BC side inputs live OUTSIDE the _pick_band model and scale
+        # with k (xt step tables + halo padding): shrink the temporal block
+        # until they fit instead of letting the hard gate below reject the
+        # fused path outright (hardware-lane finding — interpret skips it)
+        def _extra(kk):
+            ht = kk * halo_per_step
+            return _side_input_extra_2d(
+                bc_inputs, n_cols,
+                _pick_band(n_rows, n_cols * n_fields, itemsize, ht),
+                -(-ht // _HALO) * _HALO, kk, itemsize,
+            )
+
+        while k > 1 and _extra(k) > _SIDE_INPUT_BUDGET:
+            k //= 2
     # scale the VMEM budget by the number of resident field planes
     band = _pick_band(n_rows, n_cols * n_fields, itemsize, k * halo_per_step)
     helpers = _make_stencil_helpers(grid, pl, pltpu, band, n_rows // band)
@@ -2886,6 +3014,7 @@ def make_fused_multi_ext_window_2d(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    k_defaulted = k is None
     if k is None:
         k = max(1, _HALO // halo_per_step)
     n_cols = grid.shape[1] if local_cols is None else local_cols
@@ -2957,14 +3086,20 @@ def make_fused_multi_ext_window_2d(
     n_xtr, n_xtc = len(xt_row_specs), len(xt_col_specs)
     if not interpret and (n_row_in or n_col_in or n_xtr or n_xtc):
         # side inputs live OUTSIDE the _pick_band_ext footprint model (see
-        # the stencil window's identical gate)
-        extra = (
-            n_row_in * lanes
-            + n_xtr * k * lanes
-            + n_col_in * (band + 2 * halo) * 128
-            + n_xtc * k * (band + 2 * halo) * 128
-        ) * itemsize
-        if extra > 2 * 1024 * 1024:
+        # the stencil window's identical gate). When k was defaulted,
+        # shrink the temporal block until the xt step tables fit (the ext
+        # halo is pinned at _HALO on TPU, so band/helpers stay valid)
+        def _extra(kk):
+            return (
+                (n_row_in + n_xtr * kk) * lanes
+                + (n_col_in + n_xtc * kk) * (band + 2 * halo) * 128
+            ) * itemsize
+
+        if k_defaulted:
+            while k > 1 and _extra(k) > _SIDE_INPUT_BUDGET:
+                k //= 2
+            halo_total = k * halo_per_step
+        if _extra(k) > _SIDE_INPUT_BUDGET:
             raise PallasUnsupportedError(
                 "BC value side inputs exceed the VMEM budget"
             )
@@ -4080,8 +4215,20 @@ def make_fused_euler_window_2d(
     (the reference's no-flux benchmark case, `performance.rst:36-45`), and
     CylindricalSymGrid (the ``(1/r) d/dr`` term lowers as per-row in-kernel
     coefficients; the r axis always requires physical BCs).
+
+    The configured 9-point corner-weight Laplacian lowers on fully periodic
+    Cartesian grids (see :func:`make_affine_laplace_2d`); other
+    configurations fall back to XLA.
     """
-    _require_default_laplace_stencil()
+    if _corner_weight() != 0.0 and (
+        bcs is not None
+        or np.dtype(dtype) == np.dtype(jnp.bfloat16)
+        or not all(grid.periodic)
+    ):
+        raise PallasUnsupportedError(
+            "The fused 9-point corner-weight window requires a fully "
+            "periodic Cartesian grid with float32 data"
+        )
     from ..grids.cylindrical import CylindricalSymGrid
 
     is_cyl = isinstance(grid, CylindricalSymGrid)
@@ -4260,9 +4407,9 @@ def make_affine_laplace_ext_3d(
     z_lo, z_hi]`` marking GLOBAL domain edges; where set and ``bc_params``
     carries affine ghost parameters (:func:`affine_bc_params`), the kernel
     rewrites the ghost plane/row/lane each step instead of trusting the
-    (garbage) halo.
+    (garbage) halo. (No corner-weight gate: the
+    ``laplacian_2d_corner_weight`` config only alters 2D stencils.)
     """
-    _require_default_laplace_stencil()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -1109,10 +1109,10 @@ def test_fused_window_space_time_bc_tracker_windows(rng, monkeypatch):
         )
 
 
-def test_fused_window_corner_weight_falls_back(rng, monkeypatch):
-    """The 9-point corner-weight stencil is not lowered: fused paths must
-    refuse so the XLA lowering (which honors the config) integrates it —
-    previously the kernel silently ran the 5-point stencil."""
+def test_fused_window_corner_weight_periodic_parity(rng, monkeypatch):
+    """The 9-point corner-weight stencil lowers into the fused kernel on
+    fully periodic grids (diagonal neighbors are row-slices of the same two
+    lane rolls) and must match the XLA lowering, which honors the config."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
@@ -1128,8 +1128,49 @@ def test_fused_window_corner_weight_falls_back(rng, monkeypatch):
         solver9 = EulerSolver(eq)
         stepper9 = solver9.make_stepper(state, dt=1e-2)
         nine_pt, _ = stepper9(state, 0.0, 0.1)
-        assert solver9.info.get("fused_step") is None  # fell back
+        assert solver9.info.get("fused_step") is True  # lowers since round 3
+
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+        solver_x = EulerSolver(eq)
+        ref9, _ = solver_x.make_stepper(state, dt=1e-2)(state, 0.0, 0.1)
+        assert solver_x.info.get("fused_step") is None
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    np.testing.assert_allclose(
+        np.asarray(nine_pt.data), np.asarray(ref9.data), rtol=1e-12, atol=1e-13
+    )
     assert not np.allclose(np.asarray(five_pt.data), np.asarray(nine_pt.data))
+
+
+def test_fused_window_corner_weight_falls_back(rng, monkeypatch):
+    """Physical BCs with the corner-weight stencil need the corner-ghost
+    extrapolation and must refuse, so the XLA lowering (which honors the
+    config) integrates them; 3D windows stay fused — the config key only
+    alters 2D stencils."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.euler import EulerSolver
+
+    eq = pde.DiffusionPDE(bc={"derivative": 0})
+    grid = pde.UnitGrid([16, 16])
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):
+        solver9 = EulerSolver(eq)
+        nine_pt, _ = solver9.make_stepper(state, dt=1e-2)(state, 0.0, 0.1)
+        assert solver9.info.get("fused_step") is None  # fell back
+
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+        solver_x = EulerSolver(eq)
+        ref9, _ = solver_x.make_stepper(state, dt=1e-2)(state, 0.0, 0.1)
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+        np.testing.assert_array_equal(
+            np.asarray(nine_pt.data), np.asarray(ref9.data)
+        )
+
+        # 3D windows are unaffected by the 2D-only config
+        grid3 = pde.UnitGrid([16, 16, 16], periodic=True)
+        state3 = pde.ScalarField.random_uniform(grid3, rng=rng)
+        solver3 = EulerSolver(pde.DiffusionPDE())
+        solver3.make_stepper(state3, dt=1e-3)(state3, 0.0, 0.01)
+        assert solver3.info.get("fused_step") is True
 
     # gradient-only rhs trees are unaffected by the laplace config
     with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):

@@ -33,6 +33,13 @@ def _solve_pair(eq, state, t_range, dt, monkeypatch, decomposition=None):
         **({} if decomposition is None else
            {"adaptive": False, "decomposition": decomposition}),
     )
+    # NaN==NaN passes assert_allclose: an unstable config (D*dt*sum(1/dx^2)
+    # > 0.5) would make every parity test vacuous. Guard here so a diverged
+    # run fails loudly (hardware finding: 8 configs were silently NaN).
+    for f in (res, ref):
+        assert np.isfinite(np.asarray(f.data)).all(), (
+            "diverged run — the parity comparison would be vacuous"
+        )
     return res, ref, solver.info
 
 
@@ -85,7 +92,7 @@ def test_fused_noflux_bc_parity(rng, monkeypatch):
     """Const-affine BC fixups (no-flux) on the chip."""
     grid = pde.CartesianGrid([(0, 1), (0, 1)], (128, 128))
     state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
-    eq = pde.DiffusionPDE(0.2, bc={"derivative": 0})
+    eq = pde.DiffusionPDE(0.01, bc={"derivative": 0})  # stability 0.33
     res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
     assert info.get("fused_step") is True
     np.testing.assert_allclose(
@@ -102,7 +109,7 @@ def test_fused_inhomogeneous_bc_parity(rng, monkeypatch):
     bc = {"x-": {"value": values_x}, "x+": {"derivative": 0},
           "y-": {"value": values_y}, "y+": {"derivative": 0}}
     state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
-    eq = pde.DiffusionPDE(0.2, bc=bc)
+    eq = pde.DiffusionPDE(0.01, bc=bc)  # stability 0.20
     res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
     assert info.get("fused_step") is True
     np.testing.assert_allclose(
@@ -128,7 +135,7 @@ def test_fused_3d_parity(rng, monkeypatch):
     """3D kernel (k-plane halos) on the chip."""
     grid = pde.CartesianGrid([(0, 1)] * 3, (64, 64, 128), periodic=True)
     state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
-    eq = pde.DiffusionPDE(0.05)
+    eq = pde.DiffusionPDE(0.01)  # stability 0.25
     res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
     assert info.get("fused_step") is True
     np.testing.assert_allclose(
@@ -141,7 +148,7 @@ def test_sharded_ext_kernel_single_chip(rng, monkeypatch):
     mesh a single chip can run) matches the serial XLA path."""
     grid = pde.CartesianGrid([(0, 1), (0, 1)], (128, 128))
     state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
-    eq = pde.DiffusionPDE(0.1, bc={"derivative": 0})
+    eq = pde.DiffusionPDE(0.01, bc={"derivative": 0})  # stability 0.33
     res, ref, info = _solve_pair(
         eq, state, 0.5, 1e-3, monkeypatch, decomposition=[1, 1]
     )
@@ -193,7 +200,7 @@ def test_cylindrical_fused_parity(rng, monkeypatch):
     """Cylindrical kernel (per-row radial coefficients) on the chip."""
     grid = pde.CylindricalSymGrid(1.0, (0, 1), (128, 128))
     state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
-    eq = pde.DiffusionPDE(0.05, bc={"derivative": 0})
+    eq = pde.DiffusionPDE(0.005, bc={"derivative": 0})  # radial term: 0.25
     res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
     assert info.get("fused_step") is True
     np.testing.assert_allclose(
@@ -287,7 +294,7 @@ def test_fused_3d_inhomogeneous_bc_parity(rng, monkeypatch):
     bc = {"x": {"derivative": 0},
           "y-": {"value": vals_y}, "y+": {"derivative": 0},
           "z-": {"value": vals_z}, "z+": {"derivative": 0}}
-    eq = pde.DiffusionPDE(0.05, bc=bc)
+    eq = pde.DiffusionPDE(0.01, bc=bc)  # stability 0.25
     res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
     assert info.get("fused_step") is True
     np.testing.assert_allclose(
@@ -303,7 +310,7 @@ def test_fused_3d_time_dependent_bc_parity(rng, monkeypatch):
     bc = {"x-": {"value": vals_x}, "x+": {"derivative": 0},
           "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0},
           "z": {"derivative": 0}}
-    eq = pde.DiffusionPDE(0.05, bc=bc)
+    eq = pde.DiffusionPDE(0.01, bc=bc)  # stability 0.25
     res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
     assert info.get("fused_step") is True
     np.testing.assert_allclose(
@@ -323,14 +330,16 @@ def test_fused_sde_kernel_noise_bc_side_inputs(rng, monkeypatch):
           "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}}
     from pde_tpu.solvers.euler import EulerSolver
 
+    # explicit-Euler stability: D*dt*(1/dx^2 + 1/dy^2) = 0.082 << 0.5
+    # (D=0.1 was unstable — BOTH paths diverged; hardware-lane finding)
     with pde.config({"sde.increment_dist": "irwin4"}):
-        eq = pde.DiffusionPDE(diffusivity=0.1, noise=0.5, bc=bc,
+        eq = pde.DiffusionPDE(diffusivity=0.01, noise=0.5, bc=bc,
                               rng=np.random.default_rng(5))
         solver = EulerSolver(eq)
         out, _ = solver.make_stepper(state, dt=1e-4)(state, 0.0, 0.05)
         assert solver.info.get("fused_step") is True
     monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
-    eqr = pde.DiffusionPDE(diffusivity=0.1, noise=0.5, bc=bc,
+    eqr = pde.DiffusionPDE(diffusivity=0.01, noise=0.5, bc=bc,
                            rng=np.random.default_rng(6))
     ref = eqr.solve(state, t_range=0.05, dt=1e-4, tracker=None)
     # same weak law: variances agree; the deterministic BC-driven mean
@@ -356,7 +365,7 @@ def test_fused_array_factor_bc_parity(rng, monkeypatch):
           "x+": {"derivative": 0},
           "y-": {"type": "mixed", "value": gam[::-1].copy(), "const": -0.2},
           "y+": {"derivative": 0}}
-    eq = pde.DiffusionPDE(0.2, bc=bc)
+    eq = pde.DiffusionPDE(0.01, bc=bc)  # stability 0.20
     res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
     assert info.get("fused_step") is True
     np.testing.assert_allclose(
@@ -373,9 +382,13 @@ def test_fused_3d_space_time_bc_parity(rng, monkeypatch):
           "y-": {"value_expression": "sin(z - 2 * t)"},
           "y+": {"derivative": 0},
           "z-": {"value_expression": "cos(x + t)"}, "z+": {"derivative": 0}}
-    eq = pde.DiffusionPDE(0.05, bc=bc)
+    # stability: D*dt*sum(1/dx^2) = 0.01*1e-3*24576 = 0.25 < 0.5 (D=0.05
+    # was unstable — both paths NaN'd, and allclose treats NaN==NaN as
+    # equal, so the parity assert would pass vacuously; hardware finding)
+    eq = pde.DiffusionPDE(0.01, bc=bc)
     res, ref, info = _solve_pair(eq, state, 0.2, 1e-3, monkeypatch)
     assert info.get("fused_step") is True
+    assert np.isfinite(np.asarray(res.data)).all()
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )

@@ -131,6 +131,22 @@ def test_fused_time_dependent_bc_parity(rng, monkeypatch):
     )
 
 
+def test_fused_corner_weight_parity(rng, monkeypatch):
+    """The 9-point corner-weight Laplacian (fully periodic fused lowering,
+    round-3 feature) must match the XLA path on silicon — the diagonal
+    neighbors come from row-slices of the SAME two lane rolls, a layout
+    only the chip validates."""
+    grid = pde.UnitGrid([256, 256], periodic=True)
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):
+        eq = pde.DiffusionPDE(0.1)
+        res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
 def test_fused_3d_parity(rng, monkeypatch):
     """3D kernel (k-plane halos) on the chip."""
     grid = pde.CartesianGrid([(0, 1)] * 3, (64, 64, 128), periodic=True)
@@ -320,18 +336,55 @@ def test_fused_3d_time_dependent_bc_parity(rng, monkeypatch):
 
 def test_fused_sde_kernel_noise_bc_side_inputs(rng, monkeypatch):
     """The in-kernel-PRNG SDE window (hardware-only: pltpu.prng_seed has no
-    interpret lowering) stages array/t-dependent BC consts; statistics and
-    BC means must match the XLA path."""
+    interpret lowering) stages array/t-dependent BC consts.
+
+    Two checks, decomposed so each has a valid oracle (round-3 lane
+    failure: the old single-realization mean-profile comparison was
+    statistically void — with noise=0.5, dt=1e-4, cell_vol=3.05e-5 each
+    row-mean is a random walk of std sqrt(noise*dt/cell_vol/n_cols*steps)
+    ≈ 1.8, so two INDEPENDENT streams can never agree at atol=0.05; the
+    observed 'near-sign-flip' was just two mean-zero random profiles):
+
+    1. deterministic BC drift — run the SAME kernel-noise window with the
+       increment scale forced to 0 (PRNG seeding/generation and all BC
+       side-input staging still execute) against the XLA noise-free path;
+       must match to f32 tolerance;
+    2. noise law — variance ratio vs an independent XLA realization.
+    """
     monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
     grid = pde.CartesianGrid([(0, 1), (0, 2)], (256, 256))
     state = pde.ScalarField(grid, np.zeros((256, 256), np.float32))
     vals = np.linspace(-1.0, 1.0, 256)
     bc = {"x-": {"value": vals}, "x+": {"derivative": 0},
           "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}}
+    import pde_tpu.models.pde as mpde
     from pde_tpu.solvers.euler import EulerSolver
 
+    # -- 1. deterministic BC drift through the kernel-noise window --------
+    orig_spec = mpde.PDE._sde_kernel_noise_spec
+
+    def zero_scale_spec(self, grid_, dt_, interpret):
+        spec = orig_spec(self, grid_, dt_, interpret)
+        return dict(spec, scale=0.0) if spec is not None else None
+
+    monkeypatch.setattr(mpde.PDE, "_sde_kernel_noise_spec", zero_scale_spec)
     # explicit-Euler stability: D*dt*(1/dx^2 + 1/dy^2) = 0.082 << 0.5
-    # (D=0.1 was unstable — BOTH paths diverged; hardware-lane finding)
+    with pde.config({"sde.increment_dist": "irwin4"}):
+        eq0 = pde.DiffusionPDE(diffusivity=0.01, noise=0.5, bc=bc,
+                               rng=np.random.default_rng(5))
+        solver0 = EulerSolver(eq0)
+        det, _ = solver0.make_stepper(state, dt=1e-4)(state, 0.0, 0.05)
+        assert solver0.info.get("fused_step") is True
+    monkeypatch.setattr(mpde.PDE, "_sde_kernel_noise_spec", orig_spec)
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    eq_det = pde.DiffusionPDE(diffusivity=0.01, noise=0.0, bc=bc)
+    ref_det = eq_det.solve(state, t_range=0.05, dt=1e-4, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(det.data), np.asarray(ref_det.data), **F32_TOL
+    )
+
+    # -- 2. noise law: variance vs an independent XLA realization ---------
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
     with pde.config({"sde.increment_dist": "irwin4"}):
         eq = pde.DiffusionPDE(diffusivity=0.01, noise=0.5, bc=bc,
                               rng=np.random.default_rng(5))
@@ -342,17 +395,10 @@ def test_fused_sde_kernel_noise_bc_side_inputs(rng, monkeypatch):
     eqr = pde.DiffusionPDE(diffusivity=0.01, noise=0.5, bc=bc,
                            rng=np.random.default_rng(6))
     ref = eqr.solve(state, t_range=0.05, dt=1e-4, tracker=None)
-    # same weak law: variances agree; the deterministic BC-driven mean
-    # profile must match tightly (noise averages out in the mean)
     assert abs(
         float(np.var(np.asarray(out.data)))
         / float(np.var(np.asarray(ref.data))) - 1.0
     ) < 0.1
-    np.testing.assert_allclose(
-        np.asarray(out.data).mean(axis=1),
-        np.asarray(ref.data).mean(axis=1),
-        atol=0.05,
-    )
 
 
 def test_fused_array_factor_bc_parity(rng, monkeypatch):
@@ -392,3 +438,4 @@ def test_fused_3d_space_time_bc_parity(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
+

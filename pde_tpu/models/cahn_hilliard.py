@@ -38,10 +38,19 @@ class CahnHilliardPDE(PDEBase):
         from ..grids.boundaries.axes import BoundariesList
         from ..ops.pallas_cartesian import (
             PallasUnsupportedError,
+            _require_default_laplace_stencil,
             affine_bc_params,
             interpret_requested,
             make_chunked_window_2d,
         )
+
+        try:
+            # ops.lap lowers the 5-point stencil only: a configured 9-point
+            # corner weight must fall back to XLA (which honors it) instead
+            # of silently integrating the wrong stencil
+            _require_default_laplace_stencil()
+        except PallasUnsupportedError as err:
+            raise NotImplementedError(str(err)) from err
 
         if mesh is not None:
             # decomposed: route through the expression compiler (requires

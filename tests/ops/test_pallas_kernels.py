@@ -1179,6 +1179,25 @@ def test_fused_window_corner_weight_falls_back(rng, monkeypatch):
         solver_g.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
         assert solver_g.info.get("fused_step") is True
 
+    # CahnHilliardPDE's dedicated window (direct make_chunked_window_2d
+    # call) must gate too — it used to bypass the sweep and silently
+    # integrate the 5-point stencil (round-3 advisor finding)
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):
+        gridp = pde.UnitGrid([16, 16], periodic=True)
+        statep = pde.ScalarField.random_uniform(gridp, rng=rng)
+        eq_ch = pde.CahnHilliardPDE(interface_width=0.01)
+        solver_ch = EulerSolver(eq_ch)
+        ch_fused, _ = solver_ch.make_stepper(statep, dt=1e-4)(statep, 0.0, 0.01)
+        assert solver_ch.info.get("fused_step") is None  # fell back
+
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+        solver_chx = EulerSolver(eq_ch)
+        ch_ref, _ = solver_chx.make_stepper(statep, dt=1e-4)(statep, 0.0, 0.01)
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+        np.testing.assert_array_equal(
+            np.asarray(ch_fused.data), np.asarray(ch_ref.data)
+        )
+
 
 # -- inhomogeneous / t-dependent BC values through the EXPRESSION compiler ----------
 # (the stencil-helper kernels: staged VMEM side inputs + per-step SMEM consts,
@@ -1365,3 +1384,4 @@ def test_expression_fused_inhomogeneous_bc_gates(rng, monkeypatch):
     out_sde, _ = s_sde.make_stepper(st2, dt=1e-3)(st2, 0.0, 0.01)
     assert s_sde.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out_sde.data)))
+

@@ -140,6 +140,31 @@ class PDEBase:
         """
         raise NotImplementedError
 
+    def _fused_rhs(self) -> tuple[str, Any]:
+        """Return ``(rhs expression string, bc)`` for the expression-routed
+        fused windows/spectral splits, or raise NotImplementedError when the
+        model has no single-expression form (the default)."""
+        raise NotImplementedError(
+            f"{self.__class__.__name__} has no expression form for fused windows"
+        )
+
+    def make_fused_rk4_window(self, state: FieldBase, dt: float, mesh=None):
+        """Fused Pallas fixed-dt RK4 window via the expression stencil
+        lowering (see :meth:`pde_tpu.models.pde.PDE.make_fused_rk4_window`).
+
+        Available on every model defining :meth:`_fused_rhs`; raises
+        NotImplementedError otherwise (solvers then use the XLA window).
+        """
+        from .pde import PDE
+
+        if self.is_sde:
+            raise NotImplementedError(
+                "Deterministic RK4 windows do not support noise"
+            )
+        rhs, bc = self._fused_rhs()
+        eq = PDE({"c": rhs}, bc=bc)
+        return eq.make_fused_rk4_window(state, dt, mesh=mesh)
+
     # -- lowering to raw-data functions ----------------------------------------------------
     def make_pde_rhs(self, state: FieldBase, backend: str = "jax") -> Callable:
         """Return ``rhs(leaves, t) -> leaves`` operating on raw data arrays.

@@ -31,6 +31,16 @@ class CahnHilliardPDE(PDEBase):
         mu = state**3 - state - self.interface_width * c_laplace
         return mu.laplace(bc=self.bc_mu, args={"t": t})
 
+    def _fused_rhs(self):
+        if self.bc_c != self.bc_mu:
+            # the expression routing cannot distinguish the inner from the
+            # outer laplace
+            raise NotImplementedError(
+                "Expression routing requires bc_c == bc_mu"
+            )
+        gamma = float(self.interface_width)
+        return f"laplace(c**3 - c - {gamma!r} * laplace(c))", self.bc_c
+
     def make_fused_euler_window(self, state: ScalarField, dt: float, mesh=None):
         """Temporally-blocked Euler window: the full Cahn-Hilliard step
         (two Laplacians + the cubic chemical potential) runs in VMEM, 4 steps

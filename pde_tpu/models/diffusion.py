@@ -32,6 +32,9 @@ class DiffusionPDE(SDEBase):
             bc=self.bc, label="evolution rate", args={"t": t}
         )
 
+    def _fused_rhs(self):
+        return f"{self.diffusivity!r} * laplace(c)", self.bc
+
     def make_fused_euler_window(self, state: ScalarField, dt: float, mesh=None):
         """Temporally-blocked Euler window (8 steps per HBM pass, Pallas).
 

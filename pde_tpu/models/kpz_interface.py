@@ -35,17 +35,21 @@ class KPZInterfacePDE(SDEBase):
         result.label = "evolution rate"
         return result
 
+    def _fused_rhs(self):
+        rhs = f"{self.nu!r} * laplace(c) + {self.lmbda!r} * gradient_squared(c)"
+        return rhs, self.bc
+
     def make_fused_euler_window(self, state, dt: float, mesh=None):
         """Fused Pallas Euler window via the expression stencil lowering."""
         from .base import make_fused_window_via_expression
 
-        rhs = f"{self.nu!r} * laplace(c) + {self.lmbda!r} * gradient_squared(c)"
+        rhs, bc = self._fused_rhs()
         return make_fused_window_via_expression(self, state, dt, rhs,
-                                                self.bc, mesh=mesh)
+                                                bc, mesh=mesh)
 
     def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
-        rhs = f"{self.nu!r} * laplace(c) + {self.lmbda!r} * gradient_squared(c)"
-        return make_etdrk_parts_via_expression(self, state, rhs, self.bc, rhs_state=rhs_state)
+        rhs, bc = self._fused_rhs()
+        return make_etdrk_parts_via_expression(self, state, rhs, bc, rhs_state=rhs_state)

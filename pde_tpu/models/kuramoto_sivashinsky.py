@@ -39,30 +39,29 @@ class KuramotoSivashinskyPDE(SDEBase):
         result.label = "evolution rate"
         return result
 
-    def make_fused_euler_window(self, state, dt: float, mesh=None):
-        """Fused Pallas Euler window via the expression stencil lowering."""
-        from .base import make_fused_window_via_expression
-
+    def _fused_rhs(self):
         if self.bc_lap != self.bc:
-            raise NotImplementedError("Fused window requires bc_lap == bc")
+            # the expression routes ONE bc to every operator; a distinct
+            # bc_lap would silently integrate different boundary conditions
+            # than evolution_rate
+            raise NotImplementedError("Expression routing requires bc_lap == bc")
         rhs = (
             f"-{self.nu!r} * laplace(laplace(c)) - laplace(c)"
             " - 0.5 * gradient_squared(c)"
         )
+        return rhs, self.bc
+
+    def make_fused_euler_window(self, state, dt: float, mesh=None):
+        """Fused Pallas Euler window via the expression stencil lowering."""
+        from .base import make_fused_window_via_expression
+
+        rhs, bc = self._fused_rhs()
         return make_fused_window_via_expression(self, state, dt, rhs,
-                                                self.bc, mesh=mesh)
+                                                bc, mesh=mesh)
 
     def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
-        if self.bc_lap != self.bc:
-            # the expression below routes ONE bc to every operator; a distinct
-            # bc_lap would silently integrate different boundary conditions
-            # than evolution_rate (same guard as make_fused_euler_window)
-            raise NotImplementedError("Spectral split requires bc_lap == bc")
-        rhs = (
-            f"-{self.nu!r} * laplace(laplace(c)) - laplace(c)"
-            " - 0.5 * gradient_squared(c)"
-        )
-        return make_etdrk_parts_via_expression(self, state, rhs, self.bc, rhs_state=rhs_state)
+        rhs, bc = self._fused_rhs()
+        return make_etdrk_parts_via_expression(self, state, rhs, bc, rhs_state=rhs_state)

@@ -578,20 +578,8 @@ class PDE(SDEBase):
         NotImplementedError when the structure or platform is unsupported, in
         which case solvers use the generic XLA lowering.
         """
-        from ..grids.boundaries.axes import BoundariesList
-        from ..ops.pallas_cartesian import (
-            _HALO,
-            PallasUnsupportedError,
-            affine_bc_specs,
-            collect_bc_side_inputs,
-            interpret_requested,
-            make_chunked_multi_window_2d,
-            make_chunked_sde_window_2d,
-            make_chunked_window_2d,
-        )
+        from ..ops.pallas_cartesian import interpret_requested
 
-        if self.post_step_hook is not None or self.consts or self.user_funcs:
-            raise NotImplementedError("Fused window unsupported for this PDE")
         if self.is_sde:
             # only simple additive noise can fuse: the increments are then
             # state-independent and can be generated outside the kernel with
@@ -631,6 +619,28 @@ class PDE(SDEBase):
                     "XLA path on TPU. Set sde.increment_dist='irwin4' for "
                     "the in-kernel fast path."
                 )
+        return self._emit_fused_window(state, dt, mesh, kind="euler")
+
+    def _fused_stencil_lowering(self, state: FieldBase, mesh):
+        """Shared gates + expression lowering for the fused solver windows
+        (Euler and RK4): validates the state/grid/BC configuration and
+        lowers each variable's rhs through the stencil helpers.
+
+        Returns ``(fields, grid, exprs, var_map, bc_table, bc_inputs,
+        depth, interpret, make_get_bc)``; raises NotImplementedError when
+        the configuration cannot fuse (solvers then use the XLA lowering).
+        """
+        from ..grids.boundaries.axes import BoundariesList
+        from ..ops.pallas_cartesian import (
+            _HALO,
+            PallasUnsupportedError,
+            affine_bc_specs,
+            collect_bc_side_inputs,
+            interpret_requested,
+        )
+
+        if self.post_step_hook is not None or self.consts or self.user_funcs:
+            raise NotImplementedError("Fused window unsupported for this PDE")
         if isinstance(state, FieldCollection):
             fields = list(state)
         elif isinstance(state, DataFieldBase):
@@ -733,28 +743,131 @@ class PDE(SDEBase):
         depth = max(depths)
         if depth == 0 or depth > _HALO:
             raise NotImplementedError(f"stencil depth {depth} out of range")
+        return (
+            fields, grid, exprs, var_map, bc_table, bc_inputs, depth,
+            interpret, make_get_bc,
+        )
 
-        def make_multi_step(ops):
-            # shared by the sharded and single-device fused windows: any
-            # change to the rate-trim/broadcast semantics applies to both,
-            # preserving the sharded-vs-serial bit-identity invariant
-            rhs_fns = [
-                self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
-                for e, v in zip(exprs, self.variables)
-            ]
+    def make_fused_rk4_window(self, state: FieldBase, dt: float, mesh=None):
+        """Emit a fused Pallas temporal-blocking window advancing classic
+        fixed-dt RK4 steps (4 rhs stages per step inside the kernel).
 
-            def step(works):
-                new = []
-                for f, (rhs_fn, d) in enumerate(rhs_fns):
-                    rate = ops.trim(rhs_fn(works), depth - d)
-                    center = ops.trim(works[f], depth)
-                    new.append(
-                        center
-                        + dt * jnp.broadcast_to(jnp.asarray(rate), center.shape)
-                    )
-                return new
+        The same stencil lowering as :meth:`make_fused_euler_window`; each
+        RK4 step consumes ``4*depth`` halo rows per side (one rhs
+        evaluation per stage), so a depth-1 rhs blocks k=2 steps per HBM
+        pass under the default 8-row halo granule. Deterministic only (the
+        reference's native engine compiles every solver's loop,
+        `/root/reference/pde/backends/numba/_solvers.py:469`; RK4 tableau
+        `/root/reference/pde/solvers/runge_kutta.py:29-66`).
 
-            return step
+        Time-dependent BC values do not fuse here: the per-step SMEM const
+        tables hold one row per STEP, while RK4 stages need ghost values at
+        ``t``, ``t + dt/2`` and ``t + dt`` — those configurations fall back
+        to the XLA window. Adaptive RK45 cannot temporally block at all:
+        each step's accept/shrink decision depends on a GLOBAL error
+        reduction over the full state, which a banded kernel cannot see.
+        """
+        if self.is_sde:
+            raise NotImplementedError(
+                "Deterministic RK4 windows do not support noise"
+            )
+        return self._emit_fused_window(state, dt, mesh, kind="rk4")
+
+    def _emit_fused_window(self, state: FieldBase, dt: float, mesh, *, kind):
+        from ..ops.pallas_cartesian import (
+            PallasUnsupportedError,
+            make_chunked_multi_window_2d,
+            make_chunked_sde_window_2d,
+            make_chunked_window_2d,
+        )
+
+        (
+            fields, grid, exprs, var_map, bc_table, bc_inputs, depth,
+            interpret, make_get_bc,
+        ) = self._fused_stencil_lowering(state, mesh)
+
+        if kind == "rk4":
+            if bc_inputs is not None and (
+                bc_inputs.get("t") or bc_inputs.get("xt")
+            ):
+                raise NotImplementedError(
+                    "Fused RK4 windows do not support time-dependent BC "
+                    "values (stage times differ from the per-step tables)"
+                )
+            halo_per_step = 4 * depth
+
+            def make_multi_step(ops):
+                rhs_fns = [
+                    self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
+                    for e, v in zip(exprs, self.variables)
+                ]
+
+                def rhs_all(ys):
+                    rates = []
+                    for f, (rhs_fn, d) in enumerate(rhs_fns):
+                        rate = ops.trim(rhs_fn(ys), depth - d)
+                        tgt = ops.trim(ys[f], depth)
+                        rates.append(
+                            jnp.broadcast_to(
+                                jnp.asarray(rate), jnp.shape(tgt)
+                            )
+                        )
+                    return rates
+
+                def step(works):
+                    t_ = ops.trim
+                    k1 = rhs_all(works)
+                    y2 = [t_(w, depth) + (0.5 * dt) * a
+                          for w, a in zip(works, k1, strict=True)]
+                    k2 = rhs_all(y2)
+                    y3 = [t_(w, 2 * depth) + (0.5 * dt) * b
+                          for w, b in zip(works, k2, strict=True)]
+                    k3 = rhs_all(y3)
+                    y4 = [t_(w, 3 * depth) + dt * c
+                          for w, c in zip(works, k3, strict=True)]
+                    k4 = rhs_all(y4)
+                    return [
+                        t_(w, 4 * depth)
+                        + (dt / 6.0) * (
+                            t_(a, 3 * depth)
+                            + 2.0 * t_(b, 2 * depth)
+                            + 2.0 * t_(c, depth)
+                            + d_
+                        )
+                        for w, a, b, c, d_ in zip(
+                            works, k1, k2, k3, k4, strict=True
+                        )
+                    ]
+
+                return step
+
+        else:
+            halo_per_step = depth
+
+            def make_multi_step(ops):
+                # shared by the sharded and single-device fused windows: any
+                # change to the rate-trim/broadcast semantics applies to
+                # both, preserving the sharded-vs-serial bit-identity
+                # invariant
+                rhs_fns = [
+                    self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
+                    for e, v in zip(exprs, self.variables)
+                ]
+
+                def step(works):
+                    new = []
+                    for f, (rhs_fn, d) in enumerate(rhs_fns):
+                        rate = ops.trim(rhs_fn(works), depth - d)
+                        center = ops.trim(works[f], depth)
+                        new.append(
+                            center
+                            + dt * jnp.broadcast_to(
+                                jnp.asarray(rate), center.shape
+                            )
+                        )
+                    return new
+
+                return step
 
         if mesh is not None:
             # decomposed: all fields share the halo-extended kernel; halos
@@ -766,7 +879,7 @@ class PDE(SDEBase):
 
             try:
                 window = make_fused_multi_window_sharded(
-                    mesh, make_multi_step, depth, len(fields),
+                    mesh, make_multi_step, halo_per_step, len(fields),
                     dtype=fields[0].dtype, interpret=interpret,
                     bc_inputs=bc_inputs, dt=dt,
                 )
@@ -786,7 +899,7 @@ class PDE(SDEBase):
 
             try:
                 window = make_chunked_multi_window_3d(
-                    grid, make_multi_step, depth, len(fields),
+                    grid, make_multi_step, halo_per_step, len(fields),
                     dtype=fields[0].dtype, interpret=interpret,
                     bc_inputs=bc_inputs, dt=dt,
                 )
@@ -795,7 +908,7 @@ class PDE(SDEBase):
             window.multi_field = True
             return window
 
-        if len(fields) == 1:
+        if kind == "euler" and len(fields) == 1:
 
             def make_step(ops):
                 rhs_fn, d = self._lower_stencil_expr(
@@ -848,7 +961,7 @@ class PDE(SDEBase):
 
         try:
             window = make_chunked_multi_window_2d(
-                grid, make_multi_step, depth, len(fields),
+                grid, make_multi_step, halo_per_step, len(fields),
                 dtype=fields[0].dtype, interpret=interpret,
                 bc_inputs=bc_inputs, dt=dt,
             )

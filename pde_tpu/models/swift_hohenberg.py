@@ -47,31 +47,29 @@ class SwiftHohenbergPDE(PDEBase):
         result.label = "evolution rate"
         return result
 
-    def make_fused_euler_window(self, state, dt: float, mesh=None):
-        """Fused Pallas Euler window via the expression stencil lowering."""
-        from .base import make_fused_window_via_expression
-
+    def _fused_rhs(self):
         if self.bc_lap != self.bc:
-            raise NotImplementedError("Fused window requires bc_lap == bc")
+            # the expression routes one bc everywhere, so a distinct bc_lap
+            # must not silently vanish
+            raise NotImplementedError("Expression routing requires bc_lap == bc")
         rhs = (
             f"({self.rate!r} - {self.kc2!r}**2) * c"
             f" - 2 * {self.kc2!r} * laplace(c) - laplace(laplace(c))"
             f" + {self.delta!r} * c**2 - c**3"
         )
+        return rhs, self.bc
+
+    def make_fused_euler_window(self, state, dt: float, mesh=None):
+        """Fused Pallas Euler window via the expression stencil lowering."""
+        from .base import make_fused_window_via_expression
+
+        rhs, bc = self._fused_rhs()
         return make_fused_window_via_expression(self, state, dt, rhs,
-                                                self.bc, mesh=mesh)
+                                                bc, mesh=mesh)
 
     def make_etdrk_parts(self, state, rhs_state=None):
         """Spectral linear/nonlinear split for the ETDRK4 solver."""
         from .base import make_etdrk_parts_via_expression
 
-        if self.bc_lap != self.bc:
-            # same guard as make_fused_euler_window: the expression routes one
-            # bc everywhere, so a distinct bc_lap must not silently vanish
-            raise NotImplementedError("Spectral split requires bc_lap == bc")
-        rhs = (
-            f"({self.rate!r} - {self.kc2!r}**2) * c"
-            f" - 2 * {self.kc2!r} * laplace(c) - laplace(laplace(c))"
-            f" + {self.delta!r} * c**2 - c**3"
-        )
-        return make_etdrk_parts_via_expression(self, state, rhs, self.bc, rhs_state=rhs_state)
+        rhs, bc = self._fused_rhs()
+        return make_etdrk_parts_via_expression(self, state, rhs, bc, rhs_state=rhs_state)

@@ -54,6 +54,12 @@ class SolverBase:
     name: str | None = None
     dt_default: float = 1e-3
 
+    #: PDE method name providing a fused Pallas temporal-blocking window for
+    #: this solver's fixed-dt scheme (None = no fused path; the reference's
+    #: fastest engine compiles every solver's loop,
+    #: `/root/reference/pde/backends/numba/_solvers.py:469`)
+    _fused_window_hook: str | None = None
+
     _subclasses: dict[str, type[SolverBase]] = {}
 
     def __init__(self, pde: PDEBase, *, backend: str = "auto", decomposition=None):
@@ -73,6 +79,17 @@ class SolverBase:
                 f"Unknown backend `{backend}`; registered backends: "
                 f"{registered_backends()}"
             ) from None
+        if (
+            self._backend_obj.fused_windows == "require"
+            and self._fused_window_hook is None
+        ):
+            # construction-time check: solvers overriding the stepper
+            # builders (Adams-Bashforth, scipy, ...) would otherwise
+            # silently run their XLA loops under backend='pallas'
+            raise RuntimeError(
+                f"backend='pallas' is not supported by "
+                f"{self.__class__.__name__}: no fused kernel path"
+            )
         self.decomposition = decomposition  # device-mesh domain decomposition
         self._mesh = None
         self.info: dict[str, Any] = {
@@ -189,18 +206,166 @@ class SolverBase:
             return [f.rank for f in state]
         return [state.rank]  # type: ignore[list-item]
 
+    # -- fused Pallas windows -----------------------------------------------------------------------
+    def _try_fused_window_stepper(self, state: FieldBase, dt: float):
+        """Return a fused-window stepper, or None to use the XLA loop.
+
+        The backend sets the policy: "auto" tries the PDE's fused window and
+        falls back, "require" (backend='pallas') makes failure an error,
+        "never" (backend='numpy') skips it.
+        """
+        import os
+
+        fused_mode = self._backend_obj.fused_windows
+        if os.environ.get("PDE_TPU_DISABLE_FUSED") == "1":
+            if fused_mode == "require":
+                raise RuntimeError(
+                    "backend='pallas' requested but PDE_TPU_DISABLE_FUSED=1"
+                )
+            fused_mode = "never"
+        if fused_mode == "never":
+            return None
+        hook = self._fused_window_hook
+        if hook is None:
+            if fused_mode == "require":
+                raise RuntimeError(
+                    f"backend='pallas' is not supported by "
+                    f"{self.__class__.__name__}: no fused kernel path"
+                )
+            return None
+        if not hasattr(self.pde, hook):
+            if fused_mode == "require":
+                raise RuntimeError(
+                    f"backend='pallas' requires a fused Pallas window, but "
+                    f"{self.pde.__class__.__name__} does not provide one"
+                )
+            return None
+        try:
+            self.pde.make_post_step_hook(state)
+            has_hook = True
+        except NotImplementedError:
+            has_hook = False
+        window = None if has_hook else self._build_fused_window(state, dt)
+        if window is not None:
+            return self._wrap_fused_window(state, dt, window)
+        if fused_mode == "require":
+            raise RuntimeError(
+                "backend='pallas' requires the fused Pallas window, but "
+                "this configuration does not support it"
+                + (" (the PDE has a post-step hook)" if has_hook else "")
+                + f": {self.info.get('fused_unsupported', 'see logs')}"
+            )
+        return None
+
+    def _build_fused_window(self, state: FieldBase, dt: float):
+        """Try the PDE's fused Pallas window; None when unsupported."""
+        import inspect
+
+        make_window = getattr(self.pde, self._fused_window_hook)
+        mesh = self._get_mesh(state)
+        try:
+            if mesh is None:
+                return make_window(state, dt)
+            # sharded variant: only PDEs whose hook accepts `mesh` support it
+            sig = inspect.signature(make_window)
+            if "mesh" not in sig.parameters:
+                self.info["fused_unsupported"] = (
+                    "PDE has no sharded fused window"
+                )
+                return None
+            return make_window(state, dt, mesh=mesh)
+        except NotImplementedError as err:
+            self.info["fused_unsupported"] = str(err)
+            return None
+
+    def _wrap_fused_window(self, state: FieldBase, dt: float, window) -> Callable:
+        from ..models.base import state_from_leaves, state_leaves
+
+        mesh = self._get_mesh(state)
+        n_leaves = len(state_leaves(state))
+        multi = getattr(window, "multi_field", False)
+        needs_key = getattr(window, "needs_key", False)
+        needs_t = getattr(window, "needs_t", False)
+        if mesh is None:
+            self._logger.info("Using fused Pallas %s window", self.name)
+            run = jax.jit(window)
+            sharding = None
+        else:
+            # reference equivalent: fastest kernel under MPI with halos inside
+            # the compiled loop (`numba_mpi/backend.py:163-195`); here the
+            # kernel runs per shard with ppermute halos once per k-step call
+            from jax.sharding import PartitionSpec as P
+
+            self._logger.info("Using sharded fused Pallas %s window", self.name)
+            if multi:
+                data_spec = [mesh.partition_spec(0)] * n_leaves
+            else:
+                data_spec = mesh.partition_spec(0)
+            # needs_key/needs_t windows take replicated extra args
+            # (key and/or t0) before the step count
+            n_extra = 1 + int(needs_key) + int(needs_t)
+            run = jax.jit(
+                jax.shard_map(
+                    window,
+                    mesh=mesh.jax_mesh,
+                    in_specs=(data_spec,) + (P(),) * n_extra,
+                    out_specs=data_spec,
+                    check_vma=False,
+                )
+            )
+            sharding = mesh.sharding(0)
+        self.info["fused_step"] = True
+
+        def fused_stepper(state_obj, t_start, t_end):
+            steps = max(1, round((t_end - t_start) / dt))
+            leaves = state_leaves(state_obj)
+            if sharding is not None:
+                leaves = [jax.device_put(x, sharding) for x in leaves]
+            if needs_key:
+                # same per-window key handling as the unfused SDE stepper
+                self._init_key()
+                self._key, key = jax.random.split(self._key)
+                (data,) = leaves
+                if needs_t:
+                    # SDE window with t-dependent BC consts: (key, t0, steps)
+                    leaves = [
+                        run(data, key, jnp.asarray(t_start),
+                            jnp.asarray(steps))
+                    ]
+                else:
+                    leaves = [run(data, key, jnp.asarray(steps))]
+            elif needs_t:
+                # time-dependent BC values: the window rebuilds its per-step
+                # const table from t_start
+                if multi:
+                    leaves = list(
+                        run(leaves, jnp.asarray(t_start), jnp.asarray(steps))
+                    )
+                else:
+                    (data,) = leaves
+                    leaves = [
+                        run(data, jnp.asarray(t_start), jnp.asarray(steps))
+                    ]
+            elif multi:
+                leaves = list(run(leaves, jnp.asarray(steps)))
+            else:
+                (data,) = leaves
+                leaves = [run(data, jnp.asarray(steps))]
+            self.info["steps"] += steps
+            return (
+                state_from_leaves(state_obj, leaves),
+                t_start + steps * dt,
+            )
+
+        return fused_stepper
+
     # -- compiled window steppers -------------------------------------------------------------------
     def _make_fixed_stepper(self, state: FieldBase, dt: float) -> Callable:
         """Compile a device loop performing N fixed steps per call."""
         mesh = self._get_mesh(state)
-        if self._backend_obj.fused_windows == "require":
-            # solvers with a fused path (EulerSolver) never reach this point
-            # in "require" mode — they either return the fused stepper or
-            # raise with the reason
-            raise RuntimeError(
-                f"backend='pallas' is not supported by "
-                f"{self.__class__.__name__}: no fused kernel path"
-            )
+        fused = self._try_fused_window_stepper(state, dt)
+        if fused is not None:
+            return fused
         if not self._backend_obj.compiled_steppers:
             if mesh is not None:
                 raise RuntimeError(

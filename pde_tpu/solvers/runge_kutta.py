@@ -16,9 +16,17 @@ from .base import AdaptiveSolverBase
 
 
 class RungeKuttaSolver(AdaptiveSolverBase):
-    """Explicit Runge-Kutta solver of order 5(4)."""
+    """Explicit Runge-Kutta solver of order 5(4).
+
+    Fixed-dt runs take the PDE's fused Pallas RK4 window when available
+    (``make_fused_rk4_window``: all four stages evaluated in VMEM, k steps
+    per HBM pass). Adaptive RK45 cannot temporally block — each step's
+    accept/shrink decision is a GLOBAL error reduction over the whole
+    state, so it always runs the XLA window.
+    """
 
     name = "runge-kutta"
+    _fused_window_hook = "make_fused_rk4_window"
 
     def _make_single_step_fixed_dt(self, state: FieldBase, dt: float) -> Callable:
         if getattr(self.pde, "is_sde", False):

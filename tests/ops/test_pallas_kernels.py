@@ -1385,3 +1385,119 @@ def test_expression_fused_inhomogeneous_bc_gates(rng, monkeypatch):
     assert s_sde.info.get("fused_step") is True
     assert np.all(np.isfinite(np.asarray(out_sde.data)))
 
+# -- fused fixed-dt RK4 windows ------------------------------------------------------
+# (all four tableau stages evaluated in VMEM, halo_per_step = 4*depth; the
+# reference's fastest engine compiles every solver's loop,
+# `/root/reference/pde/backends/numba/_solvers.py:469`, RK4 tableau
+# `/root/reference/pde/solvers/runge_kutta.py:29-66`)
+
+
+def _rk4_pair(eq, state, t_range, dt, monkeypatch, decomposition=None):
+    from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    solver = RungeKuttaSolver(eq, adaptive=False, decomposition=decomposition)
+    res, _ = solver.make_stepper(state, dt=dt)(state, 0.0, t_range)
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref_solver = RungeKuttaSolver(eq, adaptive=False)
+    ref, _ = ref_solver.make_stepper(state, dt=dt)(state, 0.0, t_range)
+    assert ref_solver.info.get("fused_step") is None
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    return res, ref, solver.info
+
+
+@pytest.mark.parametrize(
+    "make_eq, bc",
+    [
+        (lambda bc: pde.DiffusionPDE(0.2, bc=bc), "periodic"),
+        (lambda bc: pde.PDE({"c": "0.1 * laplace(c) - c**3 + c"}, bc=bc),
+         "periodic"),
+        # depth-2: nested laplacian consumes 8 halo rows per RK4 step (k=1)
+        (lambda bc: pde.CahnHilliardPDE(interface_width=0.5,
+                                        bc_c=bc, bc_mu=bc), "periodic"),
+        # physical BCs as ghost fixups inside every stage
+        (lambda bc: pde.DiffusionPDE(0.1, bc=bc), {"derivative": 0}),
+        # static per-boundary-point array values stage into the stages too
+        (lambda bc: pde.DiffusionPDE(0.01, bc=bc),
+         {"x-": {"value": np.linspace(-1.0, 1.0, 16)}, "x+": {"derivative": 0},
+          "y": {"derivative": 0}}),
+    ],
+)
+def test_fused_rk4_window_parity(make_eq, bc, rng, monkeypatch):
+    """Fused RK4 windows match the XLA RK4 stepper (fp64 interpret mode)."""
+    periodic = bc == "periodic"
+    grid = pde.UnitGrid([16, 16], periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = make_eq(bc)
+    res, ref, info = _rk4_pair(eq, state, 0.02, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_rk4_multi_field_parity(rng, monkeypatch):
+    """Coupled two-field system through the RK4 multi-field window."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng)
+    v = pde.ScalarField.random_uniform(grid, rng=rng)
+    u.label, v.label = "u", "v"
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "0.1 * laplace(u) + 1 - 2 * u + u**2 * v",
+        "v": "0.05 * laplace(v) + u - u**2 * v",
+    })
+    res, ref, info = _rk4_pair(eq, state, 0.02, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    for a, b in zip(res, ref, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_fused_rk4_3d_parity(rng, monkeypatch):
+    """RK4 through the 3D multi-field window (bands over x, rolls on y/z)."""
+    grid = pde.UnitGrid([8, 8, 8], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.05)
+    res, ref, info = _rk4_pair(eq, state, 0.02, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_rk4_gating(rng, monkeypatch):
+    """Principled RK4 fallbacks: t-dependent BC values need per-STAGE ghost
+    times the per-step SMEM tables cannot represent; SDEs never take the
+    deterministic RK4 window; adaptive RK45's accept/shrink decision is a
+    global error reduction, so it never fuses."""
+    from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc_t = {"x": {"derivative": 0},
+            "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}}
+    solver = RungeKuttaSolver(pde.DiffusionPDE(0.01, bc=bc_t), adaptive=False)
+    out, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
+    assert solver.info.get("fused_step") is None
+    assert "time-dependent BC" in solver.info.get("fused_unsupported", "")
+    assert np.all(np.isfinite(np.asarray(out.data)))
+
+    # SDE: the fused hook refuses, then the XLA stepper raises (reference
+    # behavior: deterministic RK does not support stochastic equations)
+    eq_sde = pde.DiffusionPDE(0.1, noise=0.1)
+    solver_sde = RungeKuttaSolver(eq_sde, adaptive=False)
+    with pytest.raises(RuntimeError, match="stochastic"):
+        solver_sde.make_stepper(state, dt=1e-3)
+
+    # adaptive RK45 never consults the fused hook
+    grid_p = pde.UnitGrid([16, 16], periodic=True)
+    state_p = pde.ScalarField.random_uniform(grid_p, rng=rng)
+    solver_a = RungeKuttaSolver(pde.DiffusionPDE(0.1), adaptive=True)
+    solver_a.make_stepper(state_p, dt=1e-3)(state_p, 0.0, 0.01)
+    assert solver_a.info.get("fused_step") is None
+

@@ -1026,3 +1026,27 @@ def test_sharded_expression_space_time_bc_parity(decomposition, rng,
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
     )
+
+
+@pytest.mark.parametrize("decomposition", [[2, 1], [1, 2], [2, 2]])
+def test_sharded_fused_rk4_parity(decomposition, rng, monkeypatch):
+    """Fused RK4 windows under shard_map (all four stages per step inside
+    the halo-extended kernel) vs the serial XLA RK4 stepper."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
+
+    grid = pde.CartesianGrid([(0, 2), (0, 1)], (16, 16), periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(diffusivity=0.1)
+    solver = RungeKuttaSolver(eq, adaptive=False, decomposition=decomposition)
+    res, _ = solver.make_stepper(state, dt=1e-2)(state, 0.0, 0.2)
+    assert solver.info.get("fused_step") is True
+    assert solver.info["decomposition"] == decomposition
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref_solver = RungeKuttaSolver(eq, adaptive=False)
+    ref, _ = ref_solver.make_stepper(state, dt=1e-2)(state, 0.0, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )

@@ -277,10 +277,25 @@ def test_solve_backend_pallas_forces_fused(rng, monkeypatch):
     with pytest.raises(RuntimeError, match="pallas"):
         solver_bad.make_stepper(state1d, dt=1e-3)
 
-    # solvers without any fused path reject it outright
-    solver_rk = pde.solvers.RungeKuttaSolver(eq, backend="pallas")
+    # fixed-dt RK4 has a fused window since round 4 — it must engage
+    solver_rk = pde.solvers.RungeKuttaSolver(
+        eq, backend="pallas", adaptive=False
+    )
+    solver_rk.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
+    assert solver_rk.info.get("fused_step") is True
+
+    # adaptive RK45 cannot temporally block: hard error under 'pallas'
+    solver_rk45 = pde.solvers.RungeKuttaSolver(
+        eq, backend="pallas", adaptive=True
+    )
     with pytest.raises(RuntimeError, match="pallas"):
-        solver_rk.make_stepper(state, dt=1e-3)
+        solver_rk45.make_stepper(state, dt=1e-3)
+
+    # solvers without any fused path reject it outright (at construction —
+    # they override the stepper builders and would otherwise silently run
+    # their XLA loops)
+    with pytest.raises(RuntimeError, match="pallas"):
+        pde.solvers.AdamsBashforthSolver(eq, backend="pallas")
 
     # contradictory request: pallas + explicitly disabled fusion
     monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")

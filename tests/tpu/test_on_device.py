@@ -439,3 +439,49 @@ def test_fused_3d_space_time_bc_parity(rng, monkeypatch):
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
 
+def test_fused_rk4_parity(rng, monkeypatch):
+    """The fused fixed-dt RK4 window (4 rhs stages per step in VMEM) must
+    Mosaic-compile and match the XLA RK4 stepper on silicon."""
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.UnitGrid([256, 256], periodic=True)
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.1)
+    solver = RungeKuttaSolver(eq, adaptive=False)
+    res = Controller(solver, t_range=1.0, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref_solver = RungeKuttaSolver(eq, adaptive=False)
+    ref = Controller(ref_solver, t_range=1.0, tracker=None).run(state, dt=1e-3)
+    for f in (res, ref):
+        assert np.isfinite(np.asarray(f.data)).all()
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_fused_rk4_noflux_parity(rng, monkeypatch):
+    """Fused RK4 with physical-BC ghost fixups in every stage, on silicon."""
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.CartesianGrid([(0, 1), (0, 1)], (128, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.01, bc={"derivative": 0})  # stability 0.33
+    solver = RungeKuttaSolver(eq, adaptive=False)
+    res = Controller(solver, t_range=0.5, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref_solver = RungeKuttaSolver(eq, adaptive=False)
+    ref = Controller(ref_solver, t_range=0.5, tracker=None).run(state, dt=1e-3)
+    for f in (res, ref):
+        assert np.isfinite(np.asarray(f.data)).all()
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+

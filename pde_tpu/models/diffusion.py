@@ -93,6 +93,7 @@ class DiffusionPDE(SDEBase):
             # runs sympy differentiation per expression side)
             from ..ops.pallas_cartesian import (
                 _specs_have_array_factors,
+                _specs_have_t_factors,
                 _specs_have_xt,
                 affine_bc_specs,
             )
@@ -102,7 +103,8 @@ class DiffusionPDE(SDEBase):
             except PallasUnsupportedError:
                 specs = None
             reroute = (
-                # sin(x - t)-style BC values and array-valued factors:
+                # sin(x - t)-style BC values, array-valued factors, and
+                # t-dependent ghost coefficients (mixed gamma varying in t):
                 # only the expression-compiled stencil kernels stage them
                 # (sharded runs included for xt; the sharded windows gate
                 # factors and fall back from the rerouted path cleanly)
@@ -110,6 +112,7 @@ class DiffusionPDE(SDEBase):
                 and (
                     _specs_have_xt(specs)
                     or _specs_have_array_factors(specs)
+                    or _specs_have_t_factors(specs)
                 )
             ) or (
                 # 3D array/t-dependent BC values: the specialized affine 3D

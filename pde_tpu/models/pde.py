@@ -711,11 +711,13 @@ class PDE(SDEBase):
             exprs.append(expr)
 
         # inhomogeneous per-boundary-point arrays, array-valued Robin
-        # factors, t-dependent and (2D/SDE) space-and-time-dependent
+        # factors, t-dependent consts AND t-dependent ghost coefficients
+        # (mixed gamma varying in t), and space-and-time-dependent
         # expression consts become kernel side inputs across the 2D, 3D,
-        # SDE, and sharded windows; the only remaining fallbacks are 3D
-        # space-and-time values (collect_bc_side_inputs_3d raises) and
-        # the inherently non-affine forms (affine_bc_specs raises)
+        # SDE, and sharded windows; the only remaining fallback is the
+        # inherently non-affine forms — values nonlinear in the adjacent
+        # value or coefficients varying in SPACE via an expression
+        # (affine_bc_specs raises; arrays from the mixed BC class lower)
         if grid.num_axes == 3:
             from ..ops.pallas_cartesian import collect_bc_side_inputs_3d
 

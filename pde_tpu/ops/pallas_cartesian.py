@@ -263,11 +263,20 @@ class _BCSideSpec:
     ``f1``/``f2`` may be per-boundary-point arrays too (e.g. Robin with
     spatially varying gamma); the 2D stencil-helper kernels stage them
     like array consts, every other kernel rejects them (XLA fallback).
+    ``f1_t`` is an optional traceable ``t -> scalar`` for TIME-dependent
+    ghost coefficients (mixed BCs whose gamma varies in t): the
+    stencil-helper kernels evaluate it into the same per-step SMEM table
+    as ``const_t`` (``f1`` then holds the t=0 value for diagnostics and is
+    never read by those kernels); the specialized affine kernels reject it.
+    The reference compiles these through its per-point virtual-point data
+    arrays, re-evaluated per step
+    (`/root/reference/pde/grids/boundaries/local.py:1541-2104`).
     """
 
-    __slots__ = ("f1", "f2", "const_static", "const_t", "const_xt")
+    __slots__ = ("f1", "f2", "const_static", "const_t", "const_xt", "f1_t")
 
-    def __init__(self, f1, f2, const_static, const_t=None, const_xt=None):
+    def __init__(self, f1, f2, const_static, const_t=None, const_xt=None,
+                 f1_t=None):
         self.f1 = (
             float(f1) if np.ndim(f1) == 0 else np.asarray(f1, dtype=float)
         )
@@ -277,6 +286,7 @@ class _BCSideSpec:
         self.const_static = const_static
         self.const_t = const_t
         self.const_xt = const_xt
+        self.f1_t = f1_t
 
     @property
     def is_scalar(self) -> bool:
@@ -286,6 +296,7 @@ class _BCSideSpec:
             and np.ndim(self.f2) == 0
             and self.const_t is None
             and self.const_xt is None
+            and self.f1_t is None
         )
 
     def scalar_triplet(self):
@@ -333,17 +344,36 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
             "Callable expression BCs are not supported in fused kernels"
         )
     value_sym = sympy.Symbol("value")
+    t_sym = sympy.Symbol("t")
     dx_val = float(bc.grid.discretization[bc.axis])
     sexpr = expr._sympy_expr.subs(sympy.Symbol("dx"), sympy.Float(dx_val))
     dcoeff = sympy.diff(sexpr, value_sym)
     if dcoeff.free_symbols:
         dcoeff = sympy.simplify(dcoeff)
-    if dcoeff.free_symbols or not sympy.im(dcoeff).is_zero:
+    f1_t = None
+    if dcoeff.free_symbols == {t_sym}:
+        # TIME-dependent ghost coefficient (mixed BC with gamma varying in
+        # t): evaluated into the per-step SMEM table alongside const_t by
+        # the stencil-helper kernels (reference: per-step re-evaluated
+        # virtual-point factors, `local.py:1541-2104`)
+        fn = sympy.lambdify(t_sym, dcoeff, modules="jax")
+        try:
+            f1 = float(fn(0.0))
+        except Exception as err:  # non-lowerable coefficient expression
+            raise PallasUnsupportedError(
+                f"Adjacent-value coefficient does not lower to jax: {err}"
+            ) from err
+
+        def f1_t(t, _fn=fn):
+            return jnp.asarray(_fn(t))
+
+    elif dcoeff.free_symbols or not sympy.im(dcoeff).is_zero:
         raise PallasUnsupportedError(
-            "Expression BCs whose adjacent-value coefficient varies (or is "
-            "complex) are not supported in fused kernels"
+            "Expression BCs whose adjacent-value coefficient varies in "
+            "space (or is complex) are not supported in fused kernels"
         )
-    f1 = float(dcoeff)
+    else:
+        f1 = float(dcoeff)
     const_expr = sympy.expand(sexpr - dcoeff * value_sym)
     if value_sym in const_expr.free_symbols:
         const_expr = sympy.simplify(const_expr)
@@ -372,17 +402,19 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
             val = _f(jnp.zeros(()), _dx, *_c, t)
             return jnp.broadcast_to(jnp.asarray(val), _shape).reshape(-1)
 
-        return _BCSideSpec(f1, 0.0, 0.0, const_xt=const_xt)
+        return _BCSideSpec(f1, 0.0, 0.0, const_xt=const_xt, f1_t=f1_t)
     if has_t:
         zeros = tuple(np.zeros(()) for _ in coord_arrays)
 
         def const_t(t, _f=func, _dx=dx, _z=zeros):
             return _f(jnp.zeros(()), _dx, *_z, t)
 
-        return _BCSideSpec(f1, 0.0, 0.0, const_t)
+        return _BCSideSpec(f1, 0.0, 0.0, const_t, f1_t=f1_t)
     const = np.asarray(func(np.zeros(()), dx, *coord_arrays, 0.0), dtype=float)
     scalar = _uniform_scalar(const)
-    return _BCSideSpec(f1, 0.0, scalar if scalar is not None else const)
+    return _BCSideSpec(
+        f1, 0.0, scalar if scalar is not None else const, f1_t=f1_t
+    )
 
 
 def affine_bc_specs(grid, bcs):
@@ -459,18 +491,19 @@ def collect_bc_side_inputs(bc_table):
 
     Returns ``None`` when every const is a plain scalar (the kernels then
     need no side inputs), else ``{"arrays": [('row'|'col', spec), ...],
-    "t": [spec, ...], "xt": [('row'|'col', spec), ...], "factors":
-    [('row'|'col', spec, 'f1'|'f2'), ...]}`` with each distinct
+    "t": [(spec, 'const_t'|'f1_t'), ...], "xt": [('row'|'col', spec), ...],
+    "factors": [('row'|'col', spec, 'f1'|'f2'), ...]}`` with each distinct
     :class:`_BCSideSpec` appearing once (the expression compiler
     resolves BCs per ``(var, operator)``, so the same side may carry
     several independent spec objects — each gets its own staged slot).
     ``xt`` entries are space-AND-time-dependent consts, lowered as
     per-chunk ``(k, n)`` value tables; ``factors`` are per-point
     ghost-formula coefficients (Robin with array gamma), staged like
-    array consts.
+    array consts; ``t`` slots are scalar ``t -> value`` functions (consts
+    AND ghost coefficients) evaluated into one per-step SMEM table.
     """
     arrays: list = []
-    t_specs: list = []
+    t_slots: list = []
     xt: list = []
     factors: list = []
     seen: set = set()
@@ -488,16 +521,18 @@ def collect_bc_side_inputs(bc_table):
                 for attr in ("f1", "f2"):
                     if np.ndim(getattr(spec, attr)) != 0:
                         factors.append((kind, spec, attr))
+                if spec.f1_t is not None:
+                    t_slots.append((spec, "f1_t"))
                 if spec.const_xt is not None:
                     xt.append((kind, spec))
                     continue
                 if np.ndim(spec.const_static) != 0:
                     arrays.append((kind, spec))
                 if spec.const_t is not None:
-                    t_specs.append(spec)
-    if not arrays and not t_specs and not xt and not factors:
+                    t_slots.append((spec, "const_t"))
+    if not arrays and not t_slots and not xt and not factors:
         return None
-    return {"arrays": arrays, "t": t_specs, "xt": xt, "factors": factors}
+    return {"arrays": arrays, "t": t_slots, "xt": xt, "factors": factors}
 
 
 def collect_bc_side_inputs_3d(bc_table):
@@ -516,7 +551,7 @@ def collect_bc_side_inputs_3d(bc_table):
     tables (one extra leading ``k`` dim on each layout).
     """
     arrays: list = []
-    t_specs: list = []
+    t_slots: list = []
     xt: list = []
     seen: set = set()
     for specs in bc_table.values():
@@ -532,16 +567,40 @@ def collect_bc_side_inputs_3d(bc_table):
                 for attr in ("f1", "f2"):
                     if np.ndim(getattr(spec, attr)) != 0:
                         arrays.append((ax, spec, attr))
+                if spec.f1_t is not None:
+                    t_slots.append((spec, "f1_t"))
                 if spec.const_xt is not None:
                     xt.append((ax, spec))
                     continue
                 if np.ndim(spec.const_static) != 0:
                     arrays.append((ax, spec, "const_static"))
                 if spec.const_t is not None:
-                    t_specs.append(spec)
-    if not arrays and not t_specs and not xt:
+                    t_slots.append((spec, "const_t"))
+    if not arrays and not t_slots and not xt:
         return None
-    return {"arrays": arrays, "t": t_specs, "xt": xt}
+    return {"arrays": arrays, "t": t_slots, "xt": xt}
+
+
+def _t_slot_funcs(t_slots):
+    """Per-slot scalar ``t -> value`` functions for the per-step SMEM
+    table (column order = the ``bc_inputs["t"]`` slot order)."""
+    return [getattr(spec, attr) for spec, attr in t_slots]
+
+
+def _set_t_slots(helpers, t_slots, t_tab, s):
+    """Bind step ``s``'s row of the SMEM t-table into the stencil helpers:
+    const slots feed ``helpers.t_consts[id(spec)]`` (added to the ghost
+    const), factor slots feed ``helpers.t_factors[(id(spec), 'f1')]``
+    (replacing the adjacent-value coefficient)."""
+    consts: dict = {}
+    factors: dict = {}
+    for j, (spec, attr) in enumerate(t_slots):
+        if attr == "const_t":
+            consts[id(spec)] = t_tab[s, j]
+        else:
+            factors[(id(spec), "f1")] = t_tab[s, j]
+    helpers.t_consts = consts
+    helpers.t_factors = factors
 
 
 def _specs_have_xt(specs) -> bool:
@@ -571,6 +630,20 @@ def _specs_have_array_factors(specs) -> bool:
     )
 
 
+def _specs_have_t_factors(specs) -> bool:
+    """True when any side carries a TIME-dependent ghost coefficient
+    (mixed gamma varying in t; only the stencil-helper kernels evaluate
+    those into the per-step SMEM table)."""
+    if specs is None:
+        return False
+    return any(
+        side.f1_t is not None
+        for pair in specs
+        if pair is not None
+        for side in pair
+    )
+
+
 def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
     """Preconditions of the fused kernel with physical (const-affine) BCs
     (incl. inhomogeneous arrays and t-dependent expression values)."""
@@ -578,7 +651,11 @@ def supports_affine_laplace_bc(grid, bcs, dtype, k: int = 1) -> bool:
         specs = affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
         return False
-    if _specs_have_xt(specs) or _specs_have_array_factors(specs):
+    if (
+        _specs_have_xt(specs)
+        or _specs_have_array_factors(specs)
+        or _specs_have_t_factors(specs)
+    ):
         return False
     # bf16 needs the MXU lane path, which requires periodic columns
     cols_periodic = specs is None or (len(specs) > 1 and specs[1] is None)
@@ -714,6 +791,13 @@ def make_affine_laplace_2d(
                 )
         if spec.const_t is not None:
             t_slots[slot] = spec.const_t
+        if spec.f1_t is not None:
+            # the slot table holds additive consts only; a t-dependent
+            # ghost COEFFICIENT needs the stencil-helper kernels
+            raise PallasUnsupportedError(
+                "Time-dependent BC coefficients are not supported by the "
+                "specialized affine kernel"
+            )
 
     if bc_rows is not None:
         _register(0, bc_rows[0])
@@ -1361,9 +1445,13 @@ def _make_stencil_helpers(
         return c
 
     def factor_of(spec, attr, shape, axis_side):
-        """Ghost-formula coefficient for one side: the scalar, or the staged
+        """Ghost-formula coefficient for one side: the scalar, the staged
         per-point vector (``helpers.bc_factors[(id(spec), attr)]``) matched
-        to the work geometry like :func:`const_of`'s array branch."""
+        to the work geometry like :func:`const_of`'s array branch, or the
+        CURRENT step's scalar from the SMEM t-table for time-dependent
+        coefficients (``helpers.t_factors``)."""
+        if attr == "f1" and spec.f1_t is not None:
+            return helpers.t_factors[(id(spec), "f1")]
         f = getattr(spec, attr)
         if np.ndim(f) == 0:
             return f
@@ -1467,6 +1555,7 @@ def _make_stencil_helpers(
             bc_arrays: dict = {}
             bc_factors: dict = {}
             t_consts: dict = {}
+            t_factors: dict = {}
             stage_row_halo = 0
             stage_col_halo = 0
             step_idx = 0
@@ -1533,6 +1622,7 @@ def _make_stencil_helpers(
         bc_arrays: dict = {}
         bc_factors: dict = {}
         t_consts: dict = {}
+        t_factors: dict = {}
         stage_row_halo = 0
         stage_col_halo = 0
         step_idx = 0
@@ -1687,9 +1777,12 @@ def _make_stencil_helpers_3d(
         return c
 
     def factor_of(spec, attr, shape, ax):
-        """Ghost-formula coefficient: the scalar, or the staged per-face
+        """Ghost-formula coefficient: the scalar, the staged per-face
         vector (``helpers.bc_factors[(id(spec), attr)]``) matched to the
-        geometry like :func:`const_of`'s array branch."""
+        geometry like :func:`const_of`'s array branch, or the CURRENT
+        step's scalar from the SMEM t-table (``helpers.t_factors``)."""
+        if attr == "f1" and spec.f1_t is not None:
+            return helpers.t_factors[(id(spec), "f1")]
         f = getattr(spec, attr)
         if np.ndim(f) == 0:
             return f
@@ -1824,6 +1917,7 @@ def _make_stencil_helpers_3d(
         bc_arrays: dict = {}
         bc_factors: dict = {}
         t_consts: dict = {}
+        t_factors: dict = {}
         stage_x_halo = 0
         stage_y_halo = 0
         stage_z_halo = 0
@@ -2175,9 +2269,7 @@ def make_fused_multi_stencil_window_3d(
         for s in range(k):
             helpers.step_idx = s
             if has_t:
-                helpers.t_consts = {
-                    id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
-                }
+                _set_t_slots(helpers, t_specs, t_tab, s)
             works = step(works)
         for f in range(F):
             outs[f][:, :, :] = works[f]
@@ -2309,7 +2401,7 @@ def make_chunked_multi_window_3d(
     if dt is None:
         raise ValueError("dt is required for time-dependent BC windows")
     kernels = _binary_kernel_ladder(build, k)
-    t_funcs = [spec.const_t for spec in t_specs]
+    t_funcs = _t_slot_funcs(t_specs)
     xt_info = []
     for ax, spec in xt_entries:
         face = tuple(n for d, n in enumerate(grid.shape) if d != ax)
@@ -2559,9 +2651,7 @@ def make_fused_multi_ext_window_3d(
         for s in range(k):
             helpers.step_idx = s
             if has_t:
-                helpers.t_consts = {
-                    id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
-                }
+                _set_t_slots(helpers, t_specs, t_tab, s)
             works = step(works)
         for f in range(F):
             outs[f][:, :, :] = works[f]
@@ -2898,9 +2988,7 @@ def make_fused_multi_stencil_window_2d(
         for s in range(k):
             helpers.step_idx = s
             if has_t:
-                helpers.t_consts = {
-                    id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
-                }
+                _set_t_slots(helpers, t_specs, t_tab, s)
             works = step(works)
         for f in range(F):
             outs[f][:, :] = works[f]
@@ -3194,9 +3282,7 @@ def make_fused_multi_ext_window_2d(
         for s in range(k):
             helpers.step_idx = s
             if has_t:
-                helpers.t_consts = {
-                    id(spec): t_tab[s, j] for j, spec in enumerate(t_specs)
-                }
+                _set_t_slots(helpers, t_specs, t_tab, s)
             works = step(works)
         for f in range(F):
             outs[f][:, :] = works[f]
@@ -3502,9 +3588,7 @@ class _BCSideStager2D:
     def set_step(self, helpers, t_tab, s):
         helpers.step_idx = s
         if self.has_t:
-            helpers.t_consts = {
-                id(spec): t_tab[s, j] for j, spec in enumerate(self.t_specs)
-            }
+            _set_t_slots(helpers, self.t_specs, t_tab, s)
 
     def vmem_check(self, band, itemsize, interpret):
         """Raise when the staged side inputs would overflow the scoped-VMEM
@@ -3929,7 +4013,7 @@ def make_chunked_sde_window_2d(
     needs_runtime = bool(has_t or xt_entries)
     if needs_runtime and dt is None:
         raise ValueError("dt is required for time-dependent BC windows")
-    t_funcs = [spec.const_t for spec in t_specs]
+    t_funcs = _t_slot_funcs(t_specs)
     xt_funcs = [spec.const_xt for _, spec in xt_entries]
 
     def make_t_tab(ts):
@@ -4116,7 +4200,7 @@ def make_chunked_multi_window_2d(
     if dt is None:
         raise ValueError("dt is required for time-dependent BC windows")
     kernels = _binary_kernel_ladder(build, k)
-    t_funcs = [spec.const_t for spec in t_specs]
+    t_funcs = _t_slot_funcs(t_specs)
     xt_funcs = [spec.const_xt for _, spec in xt_entries]
 
     def make_t_tab(ts):
@@ -4326,7 +4410,11 @@ def supports_affine_laplace_cyl(grid, bcs, dtype, k: int = 1) -> bool:
         specs = affine_bc_specs(grid, bcs)
     except PallasUnsupportedError:
         return False
-    if _specs_have_xt(specs) or _specs_have_array_factors(specs):
+    if (
+        _specs_have_xt(specs)
+        or _specs_have_array_factors(specs)
+        or _specs_have_t_factors(specs)
+    ):
         return False
     cols_periodic = specs is None or (len(specs) > 1 and specs[1] is None)
     return _supports_fused_shape_2d(

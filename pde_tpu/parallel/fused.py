@@ -133,6 +133,18 @@ def make_fused_euler_window_sharded(
                 "Non-periodic grids require explicit boundary conditions"
             )
         bc_specs = affine_bc_specs(grid, bcs)
+        if any(
+            side.f1_t is not None
+            for pair in bc_specs or ()
+            if pair is not None
+            for side in pair
+        ):
+            # t-dependent ghost coefficients stage only through the
+            # stencil-helper kernels (expression-compiled path)
+            raise PallasUnsupportedError(
+                "Time-dependent BC coefficients are not supported by the "
+                "specialized sharded kernel"
+            )
     local_shape = tuple(mesh.subgrid.shape)
     # columns stay locally periodic (lane rolls) unless the column axis is
     # cut or carries physical BCs (which need the extended representation
@@ -371,6 +383,7 @@ def make_fused_multi_window_sharded(
         PallasUnsupportedError,
         _binary_kernel_ladder,
         _make_binary_chunked_window,
+        _t_slot_funcs,
         ext_halo_width,
         make_fused_multi_ext_window_2d,
     )
@@ -470,7 +483,7 @@ def make_fused_multi_window_sharded(
                 extra.append(tab)
             if step.t_specs is not None:
                 cols = [jax.vmap(fn)(ts) for fn in
-                        [sp.const_t for sp in step.t_specs]]
+                        _t_slot_funcs(step.t_specs)]
                 extra.append(jnp.stack(cols, axis=1))
             return tuple(
                 step([pad(d) for d in datas], edge_flags(), *extra)
@@ -560,6 +573,7 @@ def _make_fused_multi_window_sharded_3d(
         PallasUnsupportedError,
         _binary_kernel_ladder,
         _make_binary_chunked_window,
+        _t_slot_funcs,
         make_fused_multi_ext_window_3d,
     )
 
@@ -693,7 +707,7 @@ def _make_fused_multi_window_sharded_3d(
                 extra.append(slice_side(dims, pads, tab, lead=1))
             if step.t_specs is not None:
                 cols = [jax.vmap(fn)(ts) for fn in
-                        [sp.const_t for sp in step.t_specs]]
+                        _t_slot_funcs(step.t_specs)]
                 extra.append(jnp.stack(cols, axis=1))
             return tuple(
                 step([pad(d) for d in datas], edge_flags(), *extra)

@@ -1501,3 +1501,116 @@ def test_fused_rk4_gating(rng, monkeypatch):
     solver_a.make_stepper(state_p, dt=1e-3)(state_p, 0.0, 0.01)
     assert solver_a.info.get("fused_step") is None
 
+# -- TIME-dependent ghost coefficients (mixed gamma varying in t) --------------------
+# (evaluated into the per-step SMEM t-table alongside const slots; the
+# reference re-evaluates its virtual-point factor arrays per step,
+# `/root/reference/pde/grids/boundaries/local.py:1541-2104`)
+
+T_GAMMA_BC = {
+    "x-": {"type": "mixed_expression", "value": "1 + 0.5*sin(3*t)",
+           "const": 0.2},
+    "x+": {"derivative": 0},
+    "y-": {"type": "mixed_expression", "value": "2 - cos(t)",
+           "const": "0.1*t"},
+    "y+": {"derivative": 0},
+}
+
+
+def _euler_pair(eq, state, monkeypatch, dec=None, t_end=0.02, dt=1e-3):
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    solver = EulerSolver(eq, decomposition=dec)
+    out, _ = solver.make_stepper(state, dt=dt)(state, 0.0, t_end)
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref_solver = EulerSolver(eq)
+    ref, _ = ref_solver.make_stepper(state, dt=dt)(state, 0.0, t_end)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    return solver, out, ref
+
+
+def test_fused_time_dependent_gamma_2d(rng, monkeypatch):
+    """Mixed BCs whose gamma varies in TIME fuse: the ghost coefficient
+    reads the per-step SMEM table (round-3 verdict: the last lowerable BC
+    fallback)."""
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.01, bc=T_GAMMA_BC)
+    solver, out, ref = _euler_pair(eq, state, monkeypatch)
+    assert solver.info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+@pytest.mark.parametrize("decomposition", [[2, 1], [1, 2], [2, 2]])
+def test_fused_time_dependent_gamma_sharded(decomposition, rng, monkeypatch):
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.01, bc=T_GAMMA_BC)
+    solver, out, ref = _euler_pair(eq, state, monkeypatch, dec=decomposition)
+    assert solver.info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_time_dependent_gamma_3d(rng, monkeypatch):
+    grid = pde.CartesianGrid([(0, 1)] * 3, (8, 8, 8))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"x-": {"type": "mixed_expression", "value": "1 + 0.5*sin(3*t)",
+                 "const": 0.2},
+          "x+": {"derivative": 0},
+          "y": {"derivative": 0}, "z": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.005, bc=bc)
+    solver, out, ref = _euler_pair(eq, state, monkeypatch)
+    assert solver.info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_time_dependent_gamma_sde(rng, monkeypatch):
+    """The external-noise SDE window stages t-dependent gamma too; fused
+    and unfused trajectories are identical (same key folding)."""
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.01, bc=T_GAMMA_BC, noise=0.1,
+                          rng=np.random.default_rng(3))
+    solver = EulerSolver(eq)
+    out, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.02)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    eq2 = pde.DiffusionPDE(0.01, bc=T_GAMMA_BC, noise=0.1,
+                           rng=np.random.default_rng(3))
+    ref_solver = EulerSolver(eq2)
+    ref, _ = ref_solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.02)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(ref.data), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_space_varying_gamma_expression_still_falls_back(rng, monkeypatch):
+    """A ghost coefficient varying in SPACE via an expression stays a
+    principled fallback (the affine form would need per-point coefficient
+    arrays the expression lowering does not extract; the mixed BC CLASS
+    with an array gamma lowers via bc_factors instead)."""
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    bc = {"x-": {"type": "mixed_expression", "value": "1 + y", "const": 0.2},
+          "x+": {"derivative": 0}, "y": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.01, bc=bc)
+    solver = EulerSolver(eq)
+    out, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
+    assert solver.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out.data)))

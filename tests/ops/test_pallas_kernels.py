@@ -675,11 +675,18 @@ def test_fused_expression_cylindrical(rng, monkeypatch):
         np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-12
     )
 
-    # gradient/divergence compositions must NOT fuse on cylindrical grids
+    # gradient/divergence compositions fuse since round 4 (the v_r/r term
+    # comes from helpers.divergence) and must match the XLA lowering
     eq2 = pde.PDE({"u": "divergence(gradient(u))"}, bc_ops={"u:*": bc})
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref2, _ = EulerSolver(eq2).make_stepper(field, 5e-5)(field, 0.0, 5e-4)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
     solver2 = EulerSolver(eq2)
-    solver2.make_stepper(field, 5e-5)(field, 0.0, 5e-4)
-    assert not solver2.info.get("fused_step", False)
+    res2, _ = solver2.make_stepper(field, 5e-5)(field, 0.0, 5e-4)
+    assert solver2.info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res2.data), np.asarray(ref2.data), rtol=1e-12, atol=1e-12
+    )
 
 
 def test_cylindrical_benchmark_config_stays_fused(monkeypatch):
@@ -1639,3 +1646,38 @@ def test_corner_weight_cylindrical_exempt(rng, monkeypatch):
         np.asarray(out.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
     )
 
+@pytest.mark.parametrize(
+    "rhs, bc",
+    [
+        # divergence(gradient(c)) on cylindrical grids carries the extra
+        # v_r/r term (helpers.divergence) — the round-3 fallback, closed
+        ("0.01 * divergence(gradient(c))", {"derivative": 0}),
+        ("0.01 * laplace(c) - 0.05 * divergence(gradient(c**2))",
+         {"derivative": 0}),
+        ("0.02 * dot(gradient(c), gradient(c)) + 0.01 * laplace(c)",
+         {"value": 0.1}),
+    ],
+)
+def test_cylindrical_divergence_gradient_fuses(rhs, bc, rng, monkeypatch):
+    """Cylindrical vector-calculus compositions fuse: gradient has no
+    radial term in its (r, z) components, divergence adds v_r/r from the
+    in-kernel global row index (reference compiles all cylindrical ops
+    natively, `numba/operators/cylindrical_sym.py:32-363`)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.CylindricalSymGrid(1.0, (0, 1), (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.PDE({"c": rhs}, bc=bc)
+    solver = EulerSolver(eq)
+    out, _ = solver.make_stepper(state, dt=1e-4)(state, 0.0, 0.002)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    solver_x = EulerSolver(eq)
+    ref, _ = solver_x.make_stepper(state, dt=1e-4)(state, 0.0, 0.002)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )

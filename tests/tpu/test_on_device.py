@@ -543,3 +543,25 @@ def test_pallas_operator_registry_on_chip(rng, monkeypatch):
         np.asarray(ref_n), rtol=1e-5, atol=1e-5,
     )
 
+def test_cylindrical_divergence_gradient_parity(rng, monkeypatch):
+    """Cylindrical divergence(gradient(...)) composition (v_r/r from the
+    in-kernel global row index) on silicon."""
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.CylindricalSymGrid(1.0, (0, 1), (128, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.PDE({"c": "0.005 * divergence(gradient(c))"},
+                 bc={"derivative": 0})
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.2, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.2, dt=1e-3, tracker=None)
+    for f in (res, ref):
+        assert np.isfinite(np.asarray(f.data)).all()
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )

@@ -9,10 +9,14 @@ scheme, so movies written by either implementation read back in the other).
 Exact time stamps go to a ``<filename>.times`` sidecar text file (one float
 per line), matching the reference's ``write_times`` behavior.
 
-When the ``ffmpeg`` binary is unavailable the frames are written
-uncompressed ("raw" backend) with identical quantization semantics and a
-JSON sidecar, so stored series remain readable and the format logic stays
-exercised in environments without ffmpeg.
+Three encode backends, in preference order: ``native`` (the in-process C++
+codec ``pde_tpu/native/movie_codec.cpp`` linking libavformat directly — no
+binary dependency, same on-disk format), ``ffmpeg`` (the external binary,
+driven like the reference does), and ``raw`` (uncompressed frames with a
+JSON sidecar, identical quantization semantics) when neither libav nor the
+binary is present.  Files written by any backend read back through any
+other — they are the same container/codec bytes for the first two, and the
+raw fallback keeps the format logic exercised.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ import numpy as np
 from ..fields.base import FieldBase
 from ..trackers.base import InfoDict
 from ..utils import ffmpeg as ffmpeg_formats
+from ..utils import movie_native
 from .base import StorageBase
 
 
@@ -48,13 +53,17 @@ class MovieStorage(StorageBase):
         write_times: bool = True,
     ):
         super().__init__(info=info, write_mode=write_mode)
-        self._backend = "ffmpeg" if shutil.which("ffmpeg") else "raw"
-        if self._backend == "raw":
+        if movie_native.is_available():
+            self._backend = "native"
+        elif shutil.which("ffmpeg"):
+            self._backend = "ffmpeg"
+        else:
+            self._backend = "raw"
             import logging
 
             logging.getLogger(__name__).warning(
-                "ffmpeg not found: MovieStorage falls back to uncompressed "
-                "raw frames"
+                "neither libav nor ffmpeg found: MovieStorage falls back to "
+                "uncompressed raw frames"
             )
         self.filename = str(filename)
         self.vmin = float(vmin)
@@ -67,13 +76,14 @@ class MovieStorage(StorageBase):
         self.write_times = write_times
         self._times: list[float] = []
         self._proc = None
+        self._writer = None
         self._shape: tuple[int, ...] | None = None
         self._meta_loaded = False
 
         if os.path.exists(self.filename):
             if os.path.exists(self._meta_path):
                 self._load_meta()  # raw backend / legacy JSON sidecar
-            elif self._backend == "ffmpeg":
+            elif self._backend != "raw":
                 self._read_metadata()
 
     @property
@@ -126,6 +136,21 @@ class MovieStorage(StorageBase):
             self._raw_fh = open(self.filename, "wb")
             return
         fmt = self._format
+        if self._backend == "native":
+            if fmt.codec == "ffv1" and fmt.channels == 1:
+                # the tag value is the shlex-QUOTED json, matching the
+                # reference's ffmpeg-python invocation (unquoted on read)
+                self._writer = movie_native.MovieWriter(
+                    self.filename, w0, h0, bits=fmt.bits_per_channel,
+                    comment=shlex.quote(self._get_metadata()),
+                )
+                return
+            if not shutil.which("ffmpeg"):  # exotic format, no binary
+                raise NotImplementedError(
+                    f"video_format {self.video_format!r} requires the "
+                    "ffmpeg binary"
+                )
+            self._backend = "ffmpeg"
         cmd = [
             "ffmpeg", "-y",
             "-f", "rawvideo", "-vcodec", "rawvideo",
@@ -153,24 +178,38 @@ class MovieStorage(StorageBase):
         return normalized * (self.vmax - self.vmin) + self.vmin
 
     def append(self, field: FieldBase, time: float | None = None) -> None:
-        if self._proc is None and getattr(self, "_raw_fh", None) is None:
+        if (
+            self._proc is None
+            and getattr(self, "_writer", None) is None
+            and getattr(self, "_raw_fh", None) is None
+        ):
             self.start_writing(field)
         data = np.asarray(field.data)
         payload = self._quantize(data).tobytes()
         if self._backend == "raw":
             self._raw_fh.write(payload)
+        elif self._backend == "native":
+            self._writer.write(payload)
         else:
             self._proc.stdin.write(payload)
         self._times.append(float(time) if time is not None else len(self._times))
 
+    def _write_times_sidecar(self) -> None:
+        if self.write_times:
+            with open(self._times_path, "w") as fh:
+                fh.writelines(f"{t}\n" for t in self._times)
+
     def end_writing(self) -> None:
+        if getattr(self, "_writer", None) is not None:
+            self._writer.close()
+            self._writer = None
+            self._write_times_sidecar()
+            return
         if self._proc is not None:
             self._proc.stdin.close()
             self._proc.wait()
             self._proc = None
-            if self.write_times:
-                with open(self._times_path, "w") as fh:
-                    fh.writelines(f"{t}\n" for t in self._times)
+            self._write_times_sidecar()
             return
         if getattr(self, "_raw_fh", None) is not None:
             self._raw_fh.close()
@@ -220,16 +259,29 @@ class MovieStorage(StorageBase):
 
         Understands movies written by this class AND by the reference
         implementation (same version-1 comment scheme)."""
-        probe = subprocess.run(
-            [
-                "ffprobe", "-v", "quiet", "-print_format", "json",
-                "-show_format", "-show_streams", self.filename,
-            ],
-            stdout=subprocess.PIPE, check=True,
-        )
-        info = json.loads(probe.stdout)
-        tags = info.get("format", {}).get("tags", {})
-        raw_comment = tags.get("comment", tags.get("COMMENT", "{}"))
+        if self._backend == "native":
+            decoded = movie_native.MovieInfo(self.filename)
+            raw_comment = decoded.comment or "{}"
+            width, height = decoded.width, decoded.height
+            pix = "gray16le" if decoded.bits == 16 else "gray"
+            n_frames = decoded.n_frames
+        else:
+            probe = subprocess.run(
+                [
+                    "ffprobe", "-v", "quiet", "-print_format", "json",
+                    "-show_format", "-show_streams", self.filename,
+                ],
+                stdout=subprocess.PIPE, check=True,
+            )
+            info = json.loads(probe.stdout)
+            tags = info.get("format", {}).get("tags", {})
+            raw_comment = tags.get("comment", tags.get("COMMENT", "{}"))
+            stream = info.get("streams", [{}])[0]
+            width = stream.get("width")
+            height = stream.get("height")
+            pix = stream.get("pix_fmt")
+            n = stream.get("nb_frames")
+            n_frames = int(n) if n is not None else None
         try:
             metadata = json.loads(shlex.split(raw_comment)[0])
         except (ValueError, IndexError):
@@ -237,17 +289,13 @@ class MovieStorage(StorageBase):
         self.vmin = metadata.get("vmin", 0)
         self.vmax = metadata.get("vmax", 1)
         self.write_times = metadata.get("write_times", self.write_times)
-        stream = info.get("streams", [{}])[0]
         # the video pixel grid is the transposed field (see start_writing)
-        width = stream.get("width")
-        height = stream.get("height")
         if width is None:
             width = metadata.get("width")
             height = metadata.get("height", 1)
         self._shape = (int(width),) if height in (1, None) else (
             int(width), int(height)
         )
-        pix = stream.get("pix_fmt")
         for name, fmt in ffmpeg_formats.formats.items():
             if fmt.pix_fmt_file == pix:
                 self.video_format = name
@@ -258,8 +306,9 @@ class MovieStorage(StorageBase):
             with open(self._times_path) as fh:
                 self._times = [float(line) for line in fh if line.strip()]
         else:
-            n = stream.get("nb_frames")
-            count = int(n) if n is not None else len(self._read_frames())
+            count = (
+                n_frames if n_frames is not None else len(self._read_frames())
+            )
             self._times = [float(i) for i in range(count)]
         self._apply_field_attributes(metadata.get("field_attributes"))
         self._meta_loaded = True
@@ -282,6 +331,11 @@ class MovieStorage(StorageBase):
         fmt = self._format
         if self._backend == "raw":
             raw = open(self.filename, "rb").read()
+        elif self._backend == "native":
+            # decoded as (n, h0, w0) rows; the byte stream is the C-order
+            # field payload, so a plain reshape below recovers it exactly
+            frames = movie_native.MovieInfo(self.filename).frames
+            raw = frames.tobytes()
         else:
             cmd = [
                 "ffmpeg", "-i", self.filename,

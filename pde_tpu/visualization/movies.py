@@ -1,6 +1,10 @@
-"""Movie output via ffmpeg.
+"""Movie output of rendered figures (H.264).
 
-Reference: `/root/reference/pde/visualization/movies.py:29,151-279`.
+Frames are encoded in-process by the native codec
+(``pde_tpu/native/movie_codec.cpp``, rgb24 → yuv420p via swscale + libx264)
+when libav is linkable, falling back to an ``ffmpeg`` subprocess pipe driven
+exactly like the reference (`/root/reference/pde/visualization/movies.py:29,
+151-279`).
 """
 
 from __future__ import annotations
@@ -11,9 +15,11 @@ from typing import Any
 
 import numpy as np
 
+from ..utils import movie_native
+
 
 class Movie:
-    """Writes matplotlib figures as frames into a movie file via an ffmpeg pipe."""
+    """Writes matplotlib figures as frames into an H.264 movie file."""
 
     def __init__(self, filename: str, framerate: float = 30, dpi: float | None = None,
                  **kwargs):
@@ -22,15 +28,18 @@ class Movie:
         self.dpi = dpi
         self.kwargs = kwargs
         self._proc = None
+        self._writer = None
         self._frame_shape: tuple[int, int] | None = None
-        if shutil.which("ffmpeg") is None:
+        self._native = movie_native.is_available()
+        if not self._native and shutil.which("ffmpeg") is None:
             raise RuntimeError(
-                "Making movies requires the `ffmpeg` binary, which was not found"
+                "Making movies requires libav or the `ffmpeg` binary, "
+                "neither of which was found"
             )
 
     @classmethod
     def is_available(cls) -> bool:
-        return shutil.which("ffmpeg") is not None
+        return movie_native.is_available() or shutil.which("ffmpeg") is not None
 
     def __enter__(self):
         return self
@@ -40,23 +49,29 @@ class Movie:
         return False
 
     def _start(self, width: int, height: int) -> None:
-        cmd = [
-            "ffmpeg", "-y",
-            "-f", "rawvideo",
-            "-vcodec", "rawvideo",
-            "-s", f"{width}x{height}",
-            "-pix_fmt", "rgb24",
-            "-r", str(self.framerate),
-            "-i", "-",
-            "-an",
-            "-vcodec", "libx264",
-            "-pix_fmt", "yuv420p",
-            self.filename,
-        ]
-        self._proc = subprocess.Popen(
-            cmd, stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
+        if self._native:
+            self._writer = movie_native.MovieWriter(
+                self.filename, width, height, fps=int(self.framerate),
+                codec="libx264", pix_fmt_in="rgb24", pix_fmt_out="yuv420p",
+            )
+        else:
+            cmd = [
+                "ffmpeg", "-y",
+                "-f", "rawvideo",
+                "-vcodec", "rawvideo",
+                "-s", f"{width}x{height}",
+                "-pix_fmt", "rgb24",
+                "-r", str(self.framerate),
+                "-i", "-",
+                "-an",
+                "-vcodec", "libx264",
+                "-pix_fmt", "yuv420p",
+                self.filename,
+            ]
+            self._proc = subprocess.Popen(
+                cmd, stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
         self._frame_shape = (width, height)
 
     def add_figure(self, fig=None) -> None:
@@ -74,13 +89,20 @@ class Movie:
         height -= height % 2
         width -= width % 2
         buf = buf[:height, :width]
-        if self._proc is None:
+        if self._frame_shape is None:
             self._start(width, height)
         elif (width, height) != self._frame_shape:
             raise ValueError("All frames must have the same size")
-        self._proc.stdin.write(np.ascontiguousarray(buf).tobytes())
+        payload = np.ascontiguousarray(buf).tobytes()
+        if self._writer is not None:
+            self._writer.write(payload)
+        else:
+            self._proc.stdin.write(payload)
 
     def save(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
         if self._proc is not None:
             self._proc.stdin.close()
             self._proc.wait()

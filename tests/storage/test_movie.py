@@ -1,7 +1,9 @@
-"""MovieStorage encode→decode round-trips (raw backend; ffmpeg when present).
+"""MovieStorage encode→decode round-trips.
 
-Reference behavior: `/root/reference/pde/storage/movie.py:83` — quantized
-frames + JSON sidecar with reconstruction metadata.
+Runs against whichever encode backend the environment provides (native
+libav codec > ffmpeg binary > raw frames) — the round-trip semantics are
+identical. Reference behavior: `/root/reference/pde/storage/movie.py:83` —
+quantized FFV1 frames + version-1 comment-tag metadata.
 """
 
 import json
@@ -11,6 +13,7 @@ import pytest
 
 import pde_tpu as pde
 from pde_tpu.storage.movie import MovieStorage
+from pde_tpu.utils import movie_native
 
 
 @pytest.mark.parametrize("bits", [8, 16])
@@ -27,7 +30,11 @@ def test_movie_storage_roundtrip(bits, rng, tmp_path):
         storage.append(f, time=0.5 * i)
     storage.end_writing()
     assert path.exists()
-    assert json.load(open(str(path) + ".json"))["bits_per_channel"] == bits
+    if storage._backend == "raw":
+        assert json.load(open(str(path) + ".json"))["bits_per_channel"] == bits
+    else:  # encoded: metadata lives in the container's comment tag
+        assert not (tmp_path / "movie.avi.json").exists()
+        assert (tmp_path / "movie.avi.times").exists()
 
     # read back through a fresh instance (reconstructs field from the sidecar)
     loaded = MovieStorage(str(path))
@@ -106,6 +113,84 @@ def test_movie_storage_1d_roundtrip(tmp_path, rng):
 def test_movie_storage_invalid_bits(tmp_path):
     with pytest.raises(ValueError):
         MovieStorage(str(tmp_path / "x.avi"), bits_per_channel=12)
+
+
+@pytest.mark.skipif(
+    not movie_native.is_available(), reason="native movie codec unavailable"
+)
+class TestNativeCodecFormat:
+    """The native codec writes the reference's exact on-disk format.
+
+    Checked structurally (FFV1 in a standard container, shlex-quoted
+    version-1 JSON in the comment tag) and via an INDEPENDENT decoder:
+    OpenCV bundles its own FFmpeg build, so a cv2 read proves the file is
+    a standard movie, not something only our codec understands."""
+
+    def test_comment_tag_is_reference_format(self, tmp_path, rng):
+        import shlex
+
+        path = str(tmp_path / "x.avi")
+        grid = pde.UnitGrid([12, 6])
+        storage = MovieStorage(path, vmin=-2.0, vmax=3.0)
+        storage.append(pde.ScalarField(grid, rng.random((12, 6))), time=0.0)
+        storage.end_writing()
+
+        info = movie_native.MovieInfo(path)
+        meta = json.loads(shlex.split(info.comment)[0])
+        assert meta["version"] == 1
+        assert meta["vmin"] == -2.0 and meta["vmax"] == 3.0
+        assert meta["field_attributes"]["class"] == "ScalarField"
+
+    @pytest.mark.parametrize("bits", [8, 16])
+    def test_cv2_reads_native_movie(self, tmp_path, rng, bits):
+        cv2 = pytest.importorskip("cv2")
+        path = str(tmp_path / "x.avi")
+        grid = pde.UnitGrid([16, 8])
+        storage = MovieStorage(path, vmin=0, vmax=1, bits_per_channel=bits)
+        fields = [
+            pde.ScalarField(grid, rng.random((16, 8))) for _ in range(3)
+        ]
+        for t, f in enumerate(fields):
+            storage.append(f, time=float(t))
+        storage.end_writing()
+
+        cap = cv2.VideoCapture(path)
+        assert cap.isOpened()
+        n = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            # cv2 converts to BGR; all three channels equal for grayscale
+            gray = frame[..., 0].astype(float) / 255.0
+            expect = np.asarray(fields[n].data).reshape(8, 16)
+            np.testing.assert_allclose(gray, expect, atol=1.5 / 255)
+            n += 1
+        cap.release()
+        assert n == 3
+
+    def test_write_times_false_skips_sidecar(self, tmp_path, rng):
+        path = tmp_path / "x.avi"
+        grid = pde.UnitGrid([8, 8])
+        storage = MovieStorage(str(path), write_times=False)
+        storage.append(pde.ScalarField(grid, rng.random((8, 8))), time=0.0)
+        storage.end_writing()
+        assert not (tmp_path / "x.avi.times").exists()
+        loaded = MovieStorage(str(path))  # frame count from the container
+        assert len(loaded) == 1
+
+    def test_container_from_extension(self, tmp_path, rng):
+        """.mkv selects a different container; the format logic is unchanged."""
+        path = str(tmp_path / "x.mkv")
+        grid = pde.UnitGrid([8, 8])
+        storage = MovieStorage(path, vmin=0, vmax=1)
+        data = rng.random((8, 8))
+        storage.append(pde.ScalarField(grid, data), time=0.0)
+        storage.end_writing()
+        loaded = MovieStorage(path)
+        np.testing.assert_allclose(
+            np.asarray(loaded.data[0]), data, atol=2 / 65535
+        )
 
 
 @pytest.mark.skipif(

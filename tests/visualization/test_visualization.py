@@ -106,25 +106,32 @@ def test_field_plots(rng):
     plt.close("all")
 
 
-def test_movie_requires_ffmpeg():
+def test_movie_requires_encoder():
     import shutil
 
+    from pde_tpu.utils import movie_native
     from pde_tpu.visualization import Movie
 
-    if shutil.which("ffmpeg") is None:
+    if movie_native.is_available() or shutil.which("ffmpeg"):
+        assert Movie.is_available()
+    else:
         with pytest.raises(RuntimeError, match="ffmpeg"):
             Movie("/tmp/test.mp4")
-    else:
-        assert Movie.is_available()
 
 
 def test_movie_storage_backend_selection(tmp_path):
     import shutil
 
     from pde_tpu.storage.movie import MovieStorage
+    from pde_tpu.utils import movie_native
 
     storage = MovieStorage(str(tmp_path / "movie.avi"), vmin=0, vmax=1)
-    expected = "ffmpeg" if shutil.which("ffmpeg") else "raw"
+    if movie_native.is_available():
+        expected = "native"
+    elif shutil.which("ffmpeg"):
+        expected = "ffmpeg"
+    else:
+        expected = "raw"
     assert storage._backend == expected
     grid = pde.UnitGrid([16, 16])
     field = pde.ScalarField.random_uniform(grid, rng=np.random.default_rng(0))

@@ -95,16 +95,33 @@ def test_collection_plot(rng, tmp_path):
     plt.close("all")
 
 
-def test_movie_class_unavailable_without_ffmpeg(tmp_path):
-    from pde_tpu.visualization import Movie
-
+def test_movie_class_encodes_figures(tmp_path, rng):
+    """Movie writes rendered figures through whatever encoder is present
+    (native libav codec preferred; ffmpeg subprocess; else unavailable)."""
     import shutil
 
-    if shutil.which("ffmpeg"):
-        pytest.skip("ffmpeg present")
-    assert not Movie.is_available()
-    with pytest.raises(RuntimeError):
-        Movie(str(tmp_path / "m.mp4"))
+    from pde_tpu.utils import movie_native
+    from pde_tpu.visualization import Movie
+
+    if not (movie_native.is_available() or shutil.which("ffmpeg")):
+        assert not Movie.is_available()
+        with pytest.raises(RuntimeError):
+            Movie(str(tmp_path / "m.mp4"))
+        return
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    path = tmp_path / "m.mp4"
+    with Movie(str(path), framerate=10) as writer:
+        for i in range(3):
+            fig = plt.figure(figsize=(2, 2), dpi=50)
+            plt.imshow(rng.random((8, 8)))
+            writer.add_figure(fig)
+            plt.close(fig)
+    assert path.exists() and path.stat().st_size > 500
 
 
 # -- live-updating plot infrastructure (reference tools/plotting.py:175-708) -----------

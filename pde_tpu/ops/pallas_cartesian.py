@@ -1454,15 +1454,58 @@ def make_fused_euler_window_3d(
 ) -> Callable:
     """3D analogue of :func:`make_fused_euler_window_2d`. (No corner-weight
     gate: the ``laplacian_2d_corner_weight`` config only alters 2D stencils.)
+
+    Large (y, z) planes route through the y-chunked multi-stencil window
+    (:func:`_make_ychunk_multi_window_3d`) — deeper temporal blocks than the
+    plane-resident roll kernel once a plane exceeds 96 KB (measured 9.78e10
+    vs 6.77e10 updates/s at 256³, scripts/experiment_3d_ychunk.py).
     """
+    b = dt * diffusivity
+    if (
+        not interpret
+        and isinstance(grid, CartesianGrid)
+        and grid.num_axes == 3
+        and jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.dtype(np.float32)
+        and grid.shape[1] * grid.shape[2] * np.dtype(dtype).itemsize
+        > 96 * 1024
+        and _pick_ychunk_3d(grid.shape, np.dtype(dtype).itemsize, 1, 1)
+        is not None
+    ):
+        specs = None if bcs is None else affine_bc_specs(grid, bcs)
+        scalar_ok = specs is None or all(
+            axis is None or (axis[0].is_scalar and axis[1].is_scalar)
+            for axis in specs
+        )
+        if bcs is None and not all(grid.periodic):
+            raise PallasUnsupportedError(
+                "Non-periodic grids require explicit boundary conditions"
+            )
+        if scalar_ok:
+
+            def make_step(h):
+                def step(works):
+                    (w,) = works
+                    return [h.trim(w, 1) + b * h.lap(w, bc=specs)]
+
+                return step
+
+            inner = make_chunked_multi_window_3d(
+                grid, make_step, 1, 1, dtype=dtype, interpret=interpret,
+            )
+
+            def window(data, steps):
+                return inner([data], steps)[0]
+
+            return window
+
     _, k = make_affine_laplace_3d(
-        grid, a=1.0, b=dt * diffusivity, dtype=dtype, bcs=bcs,
-        interpret=interpret,
+        grid, a=1.0, b=b, dtype=dtype, bcs=bcs, interpret=interpret,
     )
 
     def build(kk):
         step, _ = make_affine_laplace_3d(
-            grid, a=1.0, b=dt * diffusivity, k=kk, dtype=dtype, bcs=bcs,
+            grid, a=1.0, b=b, k=kk, dtype=dtype, bcs=bcs,
             interpret=interpret,
         )
         return step
@@ -2224,10 +2267,221 @@ def _side_input_extra_3d(shape, bc_inputs, band, k, halo_per_step, itemsize):
     ) * itemsize
 
 
+_YCHUNK_VMEM_LIMIT = 100 * 1024 * 1024  # raised compiler limit for the
+# y-chunked 3D kernels (v5e has 128 MB physical VMEM; the default 16 MB
+# scoped limit is what capped the roll-path kernels at k=2 on 256 KB planes)
+_YCHUNK_VMEM_BUDGET = 80 * 1024 * 1024  # picker headroom under the limit
+
+
+def _pick_ychunk_3d(shape, itemsize: int, halo_per_step: int, n_fields: int):
+    """Choose (band, ny_c, k) for the y-chunked 3D kernel, or None.
+
+    The roll-path kernel (:func:`_pick_band_k_3d`) keeps whole (y, z) planes
+    in VMEM, which caps the temporal block at k=2 once a plane exceeds 96 KB
+    and rules the kernel out entirely past 256 KB. Chunking y (a second
+    pallas-grid dim, halo-extended y via shifted slices) shrinks the working
+    set so large volumes run deep temporal blocks: measured 9.78e10 vs
+    6.77e10 cell-updates/s at 256³ f32 (band=64, ny_c=128, k=8 — see
+    scripts/experiment_3d_ychunk.py and docs/BENCHMARKS.md).
+    """
+    nx, ny, nz = shape
+    if nx % 8 or ny % 8 or nz % 128:
+        return None
+
+    def footprint(band, ny_c, kk):
+        halo = kk * halo_per_step
+        yh = -(-halo // _HALO) * _HALO
+        ext = (band + 2 * halo) * (ny_c + 2 * yh) * nz
+        outs = 2 * band * ny_c * nz  # double-buffered output block
+        return (n_fields * (ext + outs) + 4 * ext) * itemsize
+
+    for band in (64, 32, 16, 8):
+        if nx % band:
+            continue
+        for ny_c in (128, 64, 32, 16, 8):
+            if ny % ny_c or ny_c >= ny:
+                continue
+            for kk in (8, 4, 2, 1):
+                halo = kk * halo_per_step
+                yh = -(-halo // _HALO) * _HALO
+                if halo > band or yh > ny_c:
+                    continue
+                if footprint(band, ny_c, kk) <= _YCHUNK_VMEM_BUDGET:
+                    return band, ny_c, kk
+    return None
+
+
+def _ychunk_interpret_cfg(shape, halo_per_step: int, k: int | None):
+    """(band, ny_c, k) for interpret-mode tests of the y-chunked kernel."""
+    nx, ny, nz = shape
+    band = nx if nx <= 8 or nx % 8 else 8
+    while band > 1 and nx % band:
+        band //= 2
+    ny_c = max(
+        (d for d in range(8, ny, 8) if ny % d == 0), default=None
+    )
+    if ny_c is None:
+        raise PallasUnsupportedError(
+            "No y-chunk size divides this grid (need a proper multiple-of-8 "
+            "divisor of the y extent)"
+        )
+    if k is None:
+        k = max(1, 4 // halo_per_step)
+    halo = k * halo_per_step
+    yh = -(-halo // _HALO) * _HALO
+    if band < 1 or halo > band or yh > ny_c:
+        raise PallasUnsupportedError("Grid too small for the y-chunked window")
+    return band, ny_c, k
+
+
+def _make_ychunk_multi_window_3d(
+    grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
+    band: int, ny_c: int, k: int, dtype, interpret: bool, t_specs,
+) -> tuple[Callable, int]:
+    """Y-chunked 3D temporal-blocking kernel over ``n_fields`` volumes.
+
+    A 2D pallas grid (x bands × y chunks); both x AND y are halo-extended
+    (nine wrapped halo DMAs per field fill a ``(band+2·halo, ny_c+2·yh, nz)``
+    VMEM block), y neighbors come from shifted slices instead of sublane
+    rolls, and z stays locally periodic via lane rolls. Ghost fixups reuse
+    the sharded-kernel machinery (:func:`_make_stencil_helpers_3d` with
+    ``ext_y``): ``helpers.flags`` gates the y fixups on the chunks holding
+    the global y edges. Scalar-affine and t-dependent BC consts lower;
+    array-valued and space-time BC values do not (the dispatcher keeps those
+    on the roll path). The wrapped halo data is correct for periodic axes
+    and overwritten by the per-step ghost rewrites otherwise — garbage
+    beyond the ghost layer stays outside the shrinking light cone, exactly
+    as in the x-banded kernels.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = grid.shape
+    halo = k * halo_per_step
+    yh = -(-halo // _HALO) * _HALO  # y halo rounded to the sublane granule
+    n_xp = nx // band
+    n_yp = ny // ny_c
+    helpers = _make_stencil_helpers_3d(
+        grid, pl, pltpu, band, n_xp, ext_y=True, ny=ny_c
+    )
+    step = make_step(helpers)
+    F = n_fields
+    has_t = bool(t_specs)
+
+    def kernel(*refs):
+        pos = 0
+        if has_t:
+            t_tab = refs[pos]
+            pos += 1
+        ins = refs[pos : pos + F]
+        outs = refs[pos + F : pos + 2 * F]
+        pos += 2 * F
+        blks = refs[pos : pos + F]
+        sem = refs[pos + F]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        x0 = i * band
+        y0 = j * ny_c
+        # nine DMAs per field: 3 x-regions × 3 y-regions, wrapped
+        xs = [
+            (jax.lax.rem(x0 + np.int32(nx - halo), np.int32(nx)), halo, 0),
+            (pl.multiple_of(x0, 8), band, halo),
+            (jax.lax.rem(x0 + np.int32(band), np.int32(nx)), halo,
+             halo + band),
+        ]
+        ys = [
+            (pl.multiple_of(
+                jax.lax.rem(y0 + np.int32(ny - yh), np.int32(ny)), 8
+            ), yh, 0),
+            (pl.multiple_of(y0, 8), ny_c, yh),
+            (pl.multiple_of(
+                jax.lax.rem(y0 + np.int32(ny_c), np.int32(ny)), 8
+            ), yh, yh + ny_c),
+        ]
+        copies = []
+        for f in range(F):
+            for xg, xl, xd in xs:
+                for yg, yl, yd in ys:
+                    cp = pltpu.make_async_copy(
+                        ins[f].at[pl.ds(xg, xl), pl.ds(yg, yl), :],
+                        blks[f].at[pl.ds(xd, xl), pl.ds(yd, yl), :],
+                        sem.at[len(copies)],
+                    )
+                    cp.start()
+                    copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        one = np.int32(1)
+        helpers.flags = jnp.stack([
+            one, one,
+            jnp.where(j == 0, one, 0), jnp.where(j == n_yp - 1, one, 0),
+            one, one,
+        ])
+        works = [blks[f][:, :, :] for f in range(F)]
+        for s in range(k):
+            helpers.step_idx = s
+            if has_t:
+                _set_t_slots(helpers, t_specs, t_tab, s)
+            works = step(works)
+        off = yh - halo
+        for f in range(F):
+            outs[f][:, :, :] = works[f][:, off : off + ny_c, :]
+
+    params = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=_YCHUNK_VMEM_LIMIT
+        )
+    }
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * F,
+        grid=(n_xp, n_yp),
+        in_specs=(
+            ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+            + [pl.BlockSpec(memory_space=pl.ANY)] * F
+        ),
+        out_specs=[
+            pl.BlockSpec(
+                (band, ny_c, nz), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * F,
+        scratch_shapes=(
+            [pltpu.VMEM((band + 2 * halo, ny_c + 2 * yh, nz), dtype)] * F
+            + [pltpu.SemaphoreType.DMA((9 * F,))]
+        ),
+        interpret=interpret,
+        **params,
+    )
+
+    if has_t:
+
+        def window_k_t(datas, xt_ops, t_tab=None):
+            assert not xt_ops, "y-chunked kernels take no xt side inputs"
+            out = call(
+                jnp.asarray(t_tab, dtype=dtype),
+                *[jnp.asarray(d, dtype=dtype) for d in datas],
+            )
+            return list(out)
+
+        window_k_t.t_specs = tuple(t_specs)
+        window_k_t.xt_entries = ()
+        return window_k_t, k
+
+    def window_k(datas):
+        out = call(*[jnp.asarray(d, dtype=dtype) for d in datas])
+        return list(out)
+
+    window_k.t_specs = None
+    window_k.xt_entries = ()
+    return window_k, k
+
+
 def make_fused_multi_stencil_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, k: int | None = None, interpret: bool = False,
-    bc_inputs=None,
+    bc_inputs=None, ychunk: bool | None = None,
 ) -> tuple[Callable, int]:
     """3D temporal-blocking kernel over ``n_fields`` coupled field volumes.
 
@@ -2256,6 +2510,59 @@ def make_fused_multi_stencil_window_3d(
         raise PallasUnsupportedError("3D Cartesian grid required")
     nx, ny, nz = grid.shape
     itemsize = np.dtype(dtype).itemsize
+
+    # y-chunked dispatch: array-valued / space-time BC side inputs stay on
+    # the roll path (their staged layouts are not y-sliced); scalar-affine
+    # and t-dependent consts lower into the chunked kernel
+    _arrs = [] if bc_inputs is None else bc_inputs["arrays"]
+    _xts = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
+    _ts = [] if bc_inputs is None else list(bc_inputs["t"])
+    if ychunk is None or ychunk:
+        chunkable = not (_arrs or _xts)
+        if ychunk and not chunkable:
+            raise PallasUnsupportedError(
+                "y-chunked 3D kernels take no array/space-time BC side inputs"
+            )
+        cfg = None
+        if interpret:
+            if ychunk:
+                cfg = _ychunk_interpret_cfg(grid.shape, halo_per_step, k)
+        elif (
+            chunkable
+            and jax.default_backend() == "tpu"
+            and np.dtype(dtype) == np.dtype(np.float32)
+        ):
+            cfg = _pick_ychunk_3d(
+                grid.shape, itemsize, halo_per_step, n_fields
+            )
+            if cfg is not None and ychunk is None:
+                # auto mode: only chunk where the roll path degrades (plane
+                # past the 96 KB k=4 threshold) — small planes keep the
+                # cheaper single-grid kernel
+                if (
+                    ny * nz * n_fields * itemsize <= 96 * 1024
+                    and _pick_band_k_3d((nx, ny, nz * n_fields), itemsize)
+                    is not None
+                ):
+                    cfg = None
+        if cfg is not None:
+            c_band, c_nyc, c_k = cfg
+            if k is not None:
+                if not 1 <= k * halo_per_step <= c_k * halo_per_step:
+                    raise PallasUnsupportedError(
+                        f"k={k} unsupported for the y-chunked window"
+                    )
+                c_k = k
+            return _make_ychunk_multi_window_3d(
+                grid, make_step, halo_per_step, n_fields, band=c_band,
+                ny_c=c_nyc, k=c_k, dtype=dtype, interpret=interpret,
+                t_specs=_ts,
+            )
+        if ychunk:
+            raise PallasUnsupportedError(
+                "No y-chunked configuration fits this grid"
+            )
+
     if interpret:
         if k is None:
             k = max(1, 4 // halo_per_step)
@@ -2548,6 +2855,7 @@ def make_fused_multi_stencil_window_3d(
 def make_chunked_multi_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, interpret: bool = False, bc_inputs=None, dt=None,
+    ychunk: bool | None = None,
 ) -> Callable:
     """Return ``window(datas, steps)`` chunking steps into 3D kernel calls.
 
@@ -2557,13 +2865,13 @@ def make_chunked_multi_window_3d(
     :func:`make_chunked_multi_window_2d`)."""
     _, k = make_fused_multi_stencil_window_3d(
         grid, make_step, halo_per_step, n_fields, dtype=dtype,
-        interpret=interpret, bc_inputs=bc_inputs,
+        interpret=interpret, bc_inputs=bc_inputs, ychunk=ychunk,
     )
 
     def build(kk):
         step, _ = make_fused_multi_stencil_window_3d(
             grid, make_step, halo_per_step, n_fields, dtype=dtype, k=kk,
-            interpret=interpret, bc_inputs=bc_inputs,
+            interpret=interpret, bc_inputs=bc_inputs, ychunk=ychunk,
         )
         if step.t_specs is None and not step.xt_entries:
             return lambda d: tuple(step(list(d)))

@@ -763,3 +763,205 @@ def test_3d_array_factor_parity(ax, rng, monkeypatch):
     res2 = Controller(solver2, t_range=0.01, tracker=None).run(state, dt=2e-4)
     assert solver2.info.get("fused_step") is True
     np.testing.assert_array_equal(np.asarray(res2.data), np.asarray(res.data))
+
+
+# ---------------------------------------------------------------------------
+# y-chunked 3D kernels (large planes: 2D pallas grid, halo-extended y)
+# ---------------------------------------------------------------------------
+
+
+def _euler_lap_step(specs, b):
+    def make_step(h):
+        def step(works):
+            (w,) = works
+            return [h.trim(w, 1) + b * h.lap(w, bc=specs)]
+
+        return step
+
+    return make_step
+
+
+@pytest.mark.parametrize(
+    "periodic, bc",
+    [
+        (True, None),
+        (False, {"value": 1.5}),
+        (False, {"derivative": 0.25}),
+        (
+            [True, False, False],
+            {"x": "periodic", "y": {"value": 2.0}, "z": {"derivative": -0.5}},
+        ),
+    ],
+    ids=["periodic", "dirichlet", "neumann", "mixed"],
+)
+def test_ychunk_window_3d_parity(periodic, bc, rng):
+    """The y-chunked kernel matches the roll-path kernel AND the XLA oracle
+    for every scalar-affine BC class (the y-edge ghost fixups run on the
+    edge chunks only, gated by ``helpers.flags``)."""
+    from pde_tpu.ops.pallas_cartesian import (
+        affine_bc_specs,
+        make_fused_multi_stencil_window_3d,
+    )
+
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 16, 16), periodic=periodic)
+    specs = None
+    if bc is not None:
+        specs = affine_bc_specs(grid, grid.get_boundary_conditions(bc))
+    make_step = _euler_lap_step(specs, 1e-3)
+    data = jnp.asarray(rng.random((16, 16, 16)), dtype=jnp.float64)
+
+    wy, k = make_fused_multi_stencil_window_3d(
+        grid, make_step, 1, 1, dtype=np.float64, interpret=True, ychunk=True
+    )
+    wr, _ = make_fused_multi_stencil_window_3d(
+        grid, make_step, 1, 1, dtype=np.float64, interpret=True,
+        ychunk=False, k=k,
+    )
+    out_y = np.asarray(wy([data])[0])
+    out_r = np.asarray(wr([data])[0])
+    np.testing.assert_allclose(out_y, out_r, rtol=1e-13, atol=1e-13)
+
+    lap = grid.make_operator(
+        "laplace", bc="periodic" if bc is None else bc
+    )
+    ref = data
+    for _ in range(k):
+        ref = ref + 1e-3 * lap(ref)
+    np.testing.assert_allclose(
+        out_y, np.asarray(ref), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_ychunk_window_3d_multifield_and_hps2(rng):
+    """Coupled two-field systems and two-halo steps (Cahn-Hilliard-like
+    lap∘lap) run through the y-chunked kernel bit-identically to the
+    roll-path kernel."""
+    from pde_tpu.ops.pallas_cartesian import (
+        affine_bc_specs,
+        make_fused_multi_stencil_window_3d,
+    )
+
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 16, 16), periodic=True)
+
+    def make_step2(h):
+        def step(works):
+            u, v = works
+            cu, cv = h.trim(u, 1), h.trim(v, 1)
+            return [
+                cu + 1e-3 * h.lap(u) + 1e-4 * cv,
+                cv + 2e-3 * h.lap(v) - 1e-4 * cu,
+            ]
+
+        return step
+
+    datas = [
+        jnp.asarray(rng.random((16, 16, 16)), dtype=jnp.float64)
+        for _ in range(2)
+    ]
+    wy, k = make_fused_multi_stencil_window_3d(
+        grid, make_step2, 1, 2, dtype=np.float64, interpret=True, ychunk=True
+    )
+    wr, _ = make_fused_multi_stencil_window_3d(
+        grid, make_step2, 1, 2, dtype=np.float64, interpret=True,
+        ychunk=False, k=k,
+    )
+    for a, b in zip(wy(list(datas)), wr(list(datas))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    grid2 = pde.CartesianGrid([(0, 1)] * 3, (16, 16, 16))
+    specs = affine_bc_specs(
+        grid2, grid2.get_boundary_conditions({"derivative": 0.0})
+    )
+
+    def make_step_ch(h):
+        def step(works):
+            (w,) = works
+            inner = h.lap(w, bc=specs)
+            return [h.trim(w, 2) - 1e-6 * h.lap(inner, bc=specs)]
+
+        return step
+
+    data = jnp.asarray(rng.random((16, 16, 16)), dtype=jnp.float64)
+    wy, k = make_fused_multi_stencil_window_3d(
+        grid2, make_step_ch, 2, 1, dtype=np.float64, interpret=True,
+        ychunk=True,
+    )
+    wr, _ = make_fused_multi_stencil_window_3d(
+        grid2, make_step_ch, 2, 1, dtype=np.float64, interpret=True,
+        ychunk=False, k=k,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(wy([data])[0]), np.asarray(wr([data])[0])
+    )
+
+
+def test_ychunk_window_3d_t_dependent_bc(rng, monkeypatch):
+    """Time-dependent BC consts lower into the y-chunked kernel via the
+    per-step SMEM table (solver path, forced through ychunk)."""
+    import functools
+
+    from pde_tpu.ops import pallas_cartesian as pc
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(
+        pc, "make_chunked_multi_window_3d",
+        functools.partial(pc.make_chunked_multi_window_3d, ychunk=True),
+    )
+    grid = pde.CartesianGrid(
+        [(0, 1)] * 3, (16, 16, 16), periodic=[False, False, True]
+    )
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.PDE(
+        {"c": "0.01 * laplace(c)"},
+        bc={
+            "x-": {"value_expression": "sin(3 * t)"},
+            "x+": {"value": 1.0},
+            "y": {"derivative": 0.0},
+            "z": "periodic",
+        },
+    )
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.1, tracker=None).run(state, dt=0.01)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.1, dt=0.01, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_ychunk_gating():
+    """Array-valued BC side inputs refuse the y-chunked mode; the hardware
+    picker prefers the measured-best config at 256³ and declines unaligned
+    shapes; interpret-mode auto stays on the roll path."""
+    from pde_tpu.ops.pallas_cartesian import (
+        PallasUnsupportedError,
+        _pick_ychunk_3d,
+        collect_bc_side_inputs_3d,
+        make_fused_multi_stencil_window_3d,
+    )
+
+    assert _pick_ychunk_3d((256, 256, 256), 4, 1, 1) == (64, 128, 8)
+    assert _pick_ychunk_3d((64, 256, 128), 4, 1, 1) == (64, 128, 8)
+    # bigger volumes than the roll path supports still get a config
+    assert _pick_ychunk_3d((512, 512, 512), 4, 1, 1) is not None
+    assert _pick_ychunk_3d((250, 256, 256), 4, 1, 1) is None  # unaligned x
+
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 16, 16))
+    from pde_tpu.ops.pallas_cartesian import affine_bc_specs
+
+    vals = np.linspace(0.0, 1.0, 16 * 16).reshape(16, 16)
+    bcs = grid.get_boundary_conditions(
+        {"x-": {"value": vals}, "x+": {"value": 0}, "y": {"derivative": 0},
+         "z": {"derivative": 0}}
+    )
+    specs = affine_bc_specs(grid, bcs)
+    bc_inputs = collect_bc_side_inputs_3d({"c": specs})
+    assert bc_inputs["arrays"]
+    with pytest.raises(PallasUnsupportedError, match="side input"):
+        make_fused_multi_stencil_window_3d(
+            grid, _euler_lap_step(specs, 1e-3), 1, 1, dtype=np.float64,
+            interpret=True, ychunk=True, bc_inputs=bc_inputs,
+        )

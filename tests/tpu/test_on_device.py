@@ -565,3 +565,65 @@ def test_cylindrical_divergence_gradient_parity(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
+
+
+@pytest.mark.parametrize(
+    "periodic, bc",
+    [
+        (True, None),
+        (
+            [True, False, True],
+            {"x": "periodic", "y-": {"value": 0.2},
+             "y+": {"derivative": 0.0}, "z": "periodic"},
+        ),
+    ],
+    ids=["periodic", "mixed"],
+)
+def test_fused_3d_ychunk_parity(periodic, bc, rng, monkeypatch):
+    """Large (y, z) planes auto-route to the y-chunked kernel (2D pallas
+    grid, nine wrapped halo DMAs, shifted-slice y neighbors) — its Mosaic
+    lowering and edge-flag fixups only the chip validates."""
+    import pde_tpu.ops.pallas_cartesian as pc
+
+    calls = []
+    orig = pc._make_ychunk_multi_window_3d
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("band"))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pc, "_make_ychunk_multi_window_3d", spy)
+    # (y, z) plane = 128*256*4 B = 128 KB > the 96 KB auto threshold
+    grid = pde.CartesianGrid([(0, 1)] * 3, (64, 128, 256), periodic=periodic)
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.01, **({} if bc is None else {"bc": bc}))
+    res, ref, info = _solve_pair(eq, state, 0.1, 2e-4, monkeypatch)
+    assert info.get("fused_step") is True
+    assert calls, "y-chunked kernel never engaged"
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_fused_3d_ychunk_expression_parity(rng, monkeypatch):
+    """The expression compiler's 3D route (make_chunked_multi_window_3d)
+    also auto-chunks; Allen-Cahn is the benchmark config."""
+    import pde_tpu.ops.pallas_cartesian as pc
+
+    calls = []
+    orig = pc._make_ychunk_multi_window_3d
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("band"))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pc, "_make_ychunk_multi_window_3d", spy)
+    grid = pde.UnitGrid([64, 128, 256], periodic=True)
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng) - 0.5)
+    eq = pde.PDE({"u": "laplace(u) + u - u**3"})
+    res, ref, info = _solve_pair(eq, state, 5.0, 0.05, monkeypatch)
+    assert info.get("fused_step") is True
+    assert calls, "y-chunked kernel never engaged"
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )

@@ -49,6 +49,40 @@ _OPERATOR_FOURIER_MAPPING = {
 _SPECIAL_OPERATORS = {"dot", "inner", "outer", "integral"}
 
 
+def _wrap_vector_planes(window, slots):
+    """Adapt a plane-list fused window to stacked rank-1 state leaves.
+
+    The multi-field kernels operate on flat lists of scalar planes; state
+    leaves keep the reference's layout (a VectorField leaf is one
+    ``(dim, *grid.shape)`` array). Splits vector leaves into component
+    planes on the way in and restacks on the way out, preserving the
+    window's per-step side-input protocol attributes.
+    """
+
+    def wrapped(datas, *rest):
+        planes = []
+        for data, slot in zip(datas, slots, strict=True):
+            if isinstance(slot, tuple):
+                planes.extend(data[j] for j in range(len(slot)))
+            else:
+                planes.append(data)
+        out = window(planes, *rest)
+        result, pos = [], 0
+        for slot in slots:
+            if isinstance(slot, tuple):
+                result.append(jnp.stack(list(out[pos:pos + len(slot)])))
+                pos += len(slot)
+            else:
+                result.append(out[pos])
+                pos += 1
+        return result
+
+    for attr in ("t_specs", "xt_entries", "needs_t"):
+        if hasattr(window, attr):
+            setattr(wrapped, attr, getattr(window, attr))
+    return wrapped
+
+
 class PDE(SDEBase):
     """A partial differential equation defined by expression strings."""
 
@@ -353,17 +387,26 @@ class PDE(SDEBase):
         "Abs": "abs",
     }
 
-    def _lower_stencil_expr(self, expr, var_map, helpers, get_bc=None):
+    def _lower_stencil_expr(
+        self, expr, var_map, helpers, get_bc=None, vector_components=None
+    ):
         """Recursively lower a sympy rhs to an in-VMEM evaluator.
 
-        ``var_map`` maps field symbols to indices into the work list. Returns
-        ``(fn, depth)`` where ``fn(works) -> array`` produces the value on the
-        work arrays shrunk by `depth` rows per side. Supported nodes: field
-        symbols, numbers, Add/Mul/Pow, common pointwise functions, and the
-        stencil operators ``laplace`` / ``gradient_squared`` / ``gradient`` /
-        ``divergence`` / ``dot`` (arbitrarily composed — each derivative
-        application consumes one halo row per side; vector intermediates are
-        component tuples).
+        ``var_map`` maps field symbols to indices into the work list — an
+        int for scalar fields, a tuple of plane indices for rank-1 states
+        (each component is one work plane). Returns ``(fn, depth)`` where
+        ``fn(works) -> array`` produces the value on the work arrays shrunk
+        by `depth` rows per side. Supported nodes: field symbols, numbers,
+        Add/Mul/Pow, common pointwise functions, and the stencil operators
+        ``laplace`` / ``vector_laplace`` / ``gradient_squared`` /
+        ``gradient`` / ``divergence`` / ``dot`` (arbitrarily composed —
+        each derivative application consumes one halo row per side; vector
+        intermediates are component tuples).
+
+        With ``vector_components`` set the rhs belongs to a rank-1
+        variable: ``fn`` returns a component tuple of that length (a
+        scalar-valued rhs is replicated across components, matching the
+        XLA path's broadcast to the field shape).
         """
         from sympy.core.function import AppliedUndef
 
@@ -387,6 +430,12 @@ class PDE(SDEBase):
             """Returns (fn, depth, is_vector)."""
             if e in var_map:
                 idx = var_map[e]
+                if isinstance(idx, tuple):  # rank-1 state: component planes
+                    return (
+                        (lambda ws, _i=idx: tuple(ws[j] for j in _i)),
+                        0,
+                        True,
+                    )
                 return (lambda ws, _i=idx: ws[_i]), 0, False
             if e.is_Number:
                 if not e.is_real:
@@ -398,9 +447,27 @@ class PDE(SDEBase):
                 if name == "laplace" and len(e.args) == 1:
                     fn, d, vec = lower(e.args[0])
                     if vec:
-                        raise NotImplementedError("vector laplace unsupported")
+                        raise NotImplementedError(
+                            "`laplace` takes a scalar; use `vector_laplace` "
+                            "for rank-1 arguments (reference naming)"
+                        )
                     bc = get_bc("laplace")
                     return (lambda ws: helpers.lap(fn(ws), bc=bc)), d + 1, False
+                if name == "vector_laplace" and len(e.args) == 1:
+                    # component-wise on Cartesian grids (the only grids the
+                    # vector gate admits; curvilinear vector Laplacians
+                    # carry coupling terms the helpers do not model)
+                    fn, d, vec = lower(e.args[0])
+                    if not vec:
+                        raise NotImplementedError(
+                            "`vector_laplace` needs a vector argument"
+                        )
+                    bc = get_bc("vector_laplace")
+
+                    def vlap_fn(ws, _fn=fn, _bc=bc):
+                        return tuple(helpers.lap(c, bc=_bc) for c in _fn(ws))
+
+                    return vlap_fn, d + 1, True
                 if name == "gradient_squared" and len(e.args) == 1:
                     fn, d, vec = lower(e.args[0])
                     if vec:
@@ -538,9 +605,17 @@ class PDE(SDEBase):
             raise NotImplementedError(f"no stencil lowering for `{e}`")
 
         fn, depth, vec = lower(expr)
+        if vector_components is None:
+            if vec:
+                raise NotImplementedError("rhs must be a scalar expression")
+            return fn, depth
         if vec:
-            raise NotImplementedError("rhs must be a scalar expression")
-        return fn, depth
+            return fn, depth
+        # scalar rhs for a vector variable (e.g. "0"): replicate across
+        # components, matching the XLA path's broadcast to the field shape
+        return (
+            lambda ws, _fn=fn, _n=vector_components: (_fn(ws),) * _n
+        ), depth
 
     def _sde_kernel_noise_spec(self, grid, dt: float, interpret: bool):
         """Spec for in-kernel hardware-PRNG noise in the fused SDE window,
@@ -579,11 +654,14 @@ class PDE(SDEBase):
         halos move via ppermute once per kernel call).
 
         The expression compiler lowers arbitrary compositions of ``laplace``,
-        ``gradient``, ``divergence``, ``dot``, and ``gradient_squared`` with
-        pointwise math (covers diffusion, KPZ, Allen-Cahn, Cahn-Hilliard,
-        Kuramoto-Sivashinsky, Swift-Hohenberg, Brusselator, wave, ...) into a
-        single kernel advancing several Euler steps per HBM pass; coupled
-        multi-field systems (FieldCollection states) share the pass, and the
+        ``vector_laplace``, ``gradient``, ``divergence``, ``dot``, and
+        ``gradient_squared`` with pointwise math (covers diffusion, KPZ,
+        Allen-Cahn, Cahn-Hilliard, Kuramoto-Sivashinsky, Swift-Hohenberg,
+        Brusselator, wave, ...) into a single kernel advancing several Euler
+        steps per HBM pass; coupled multi-field systems (FieldCollection
+        states) share the pass, rank-1 states lower as component planes
+        (Cartesian grids, scalar BC values — the reference's rank-generic
+        operators, ``numba/operators/cartesian.py:962-1076``), and the
         composition depth determines the halo consumed per step. Raises
         NotImplementedError when the structure or platform is unsupported, in
         which case solvers use the generic XLA lowering.
@@ -658,12 +736,15 @@ class PDE(SDEBase):
         else:
             raise NotImplementedError("Fused window unsupported for this state")
         if len(fields) != len(self.variables) or any(
-            f.rank != 0 for f in fields
+            f.rank not in (0, 1) for f in fields
         ):
-            raise NotImplementedError("Fused window requires scalar fields")
+            raise NotImplementedError(
+                "Fused window requires scalar or vector fields"
+            )
         if len({f.dtype for f in fields}) != 1:
             raise NotImplementedError("Fused window requires uniform dtypes")
         grid = fields[0].grid
+        has_vector = any(f.rank == 1 for f in fields)
         interpret = interpret_requested()
         from ..grids.cylindrical import CylindricalSymGrid
 
@@ -687,8 +768,9 @@ class PDE(SDEBase):
             # per-row factor), the gradient (no radial term in its r/z
             # components), and the divergence (extra v_r/r via
             # helpers.divergence — round-4, closing the round-3 fallback);
-            # vector_gradient/vector_laplace/tensor ops are rank>0-state
-            # operators the expression compiler does not lower anyway
+            # vector_laplace stays excluded here (its cylindrical form has
+            # component coupling — the rank-1 gate above already rejects
+            # vector states on this grid class)
             safe = {
                 "laplace", "gradient_squared", "gradient", "divergence",
                 "dot", "inner",
@@ -704,12 +786,38 @@ class PDE(SDEBase):
                     "Sharded fused windows do not support cylindrical grids"
                 )
 
-        var_map = {
-            sympy.Symbol(v): i for i, v in enumerate(self.variables)
-        }
+        if has_vector:
+            # rank-1 states lower as component planes through the
+            # multi-field windows (the reference's rank-generic native
+            # operators, `numba/operators/cartesian.py:962-1076`);
+            # component-wise stencils are only valid on Cartesian grids
+            if isinstance(grid, CylindricalSymGrid):
+                raise NotImplementedError(
+                    "Fused vector windows require Cartesian grids"
+                )
+            if self.is_sde:
+                raise NotImplementedError(
+                    "Fused vector windows do not support noise"
+                )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "Sharded fused windows require scalar fields"
+                )
+
+        var_map = {}
+        _pos = 0
+        for v, f in zip(self.variables, fields, strict=True):
+            if f.rank == 0:
+                var_map[sympy.Symbol(v)] = _pos
+                _pos += 1
+            else:
+                var_map[sympy.Symbol(v)] = tuple(
+                    range(_pos, _pos + grid.dim)
+                )
+                _pos += grid.dim
         exprs = []
         bc_table: dict[tuple[str, str], object] = {}
-        for var in self.variables:
+        for var, field in zip(self.variables, fields, strict=True):
             expr = sympy.expand(self._rhs_expr[var]._sympy_expr)
             if expr.has(sympy.Symbol("t")) or any(
                 expr.has(sympy.Symbol(ax)) for ax in grid.axes
@@ -724,9 +832,21 @@ class PDE(SDEBase):
                 if not isinstance(bcs, BoundariesList):
                     raise NotImplementedError("Fused window requires per-axis BCs")
                 try:
-                    bc_table[(var, func)] = affine_bc_specs(grid, bcs)
+                    specs = affine_bc_specs(grid, bcs)
                 except PallasUnsupportedError as err:
                     raise NotImplementedError(str(err)) from err
+                if field.rank == 1 and specs is not None and any(
+                    axis is not None
+                    and not (axis[0].is_scalar and axis[1].is_scalar)
+                    for axis in specs
+                ):
+                    # a per-boundary-point array on a vector state is
+                    # ambiguous between "per component" and "along the
+                    # boundary" — only scalar-valued BCs lower
+                    raise NotImplementedError(
+                        "Fused vector windows require scalar BC values"
+                    )
+                bc_table[(var, func)] = specs
             exprs.append(expr)
 
         # inhomogeneous per-boundary-point arrays, array-valued Robin
@@ -760,7 +880,13 @@ class PDE(SDEBase):
             derivatives = (d_row,) * grid.num_axes
             trim = staticmethod(lambda x, amount: x)
 
-        depths = [self._lower_stencil_expr(e, var_map, _Probe)[1] for e in exprs]
+        depths = [
+            self._lower_stencil_expr(
+                e, var_map, _Probe,
+                vector_components=grid.dim if f.rank == 1 else None,
+            )[1]
+            for e, f in zip(exprs, fields, strict=True)
+        ]
         depth = max(depths)
         if depth == 0 or depth > _HALO:
             raise NotImplementedError(f"stencil depth {depth} out of range")
@@ -807,6 +933,39 @@ class PDE(SDEBase):
             interpret, make_get_bc,
         ) = self._fused_stencil_lowering(state, mesh)
 
+        # work-plane layout: rank-1 states occupy grid.dim consecutive
+        # planes of the multi-field window (their components), scalars one
+        slots = [var_map[sympy.Symbol(v)] for v in self.variables]
+        n_planes = sum(
+            len(s) if isinstance(s, tuple) else 1 for s in slots
+        )
+        has_vector = n_planes != len(fields)
+
+        def lower_rhs_fns(ops):
+            return [
+                self._lower_stencil_expr(
+                    e, var_map, ops, make_get_bc(v),
+                    vector_components=(
+                        len(s) if isinstance(s, tuple) else None
+                    ),
+                )
+                for e, v, s in zip(exprs, self.variables, slots, strict=True)
+            ]
+
+        def plane_rates(ops, rhs_fns, ys):
+            """Per-plane rates, broadcast to the trimmed plane shapes."""
+            rates = []
+            for (rhs_fn, d), slot in zip(rhs_fns, slots, strict=True):
+                rate = ops.trim(rhs_fn(ys), depth - d)
+                comps = rate if isinstance(slot, tuple) else (rate,)
+                planes = slot if isinstance(slot, tuple) else (slot,)
+                for comp, p in zip(comps, planes, strict=True):
+                    tgt = ops.trim(ys[p], depth)
+                    rates.append(
+                        jnp.broadcast_to(jnp.asarray(comp), jnp.shape(tgt))
+                    )
+            return rates
+
         if kind == "rk4":
             if bc_inputs is not None and (
                 bc_inputs.get("t") or bc_inputs.get("xt")
@@ -818,22 +977,10 @@ class PDE(SDEBase):
             halo_per_step = 4 * depth
 
             def make_multi_step(ops):
-                rhs_fns = [
-                    self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
-                    for e, v in zip(exprs, self.variables)
-                ]
+                rhs_fns = lower_rhs_fns(ops)
 
                 def rhs_all(ys):
-                    rates = []
-                    for f, (rhs_fn, d) in enumerate(rhs_fns):
-                        rate = ops.trim(rhs_fn(ys), depth - d)
-                        tgt = ops.trim(ys[f], depth)
-                        rates.append(
-                            jnp.broadcast_to(
-                                jnp.asarray(rate), jnp.shape(tgt)
-                            )
-                        )
-                    return rates
+                    return plane_rates(ops, rhs_fns, ys)
 
                 def step(works):
                     t_ = ops.trim
@@ -870,23 +1017,14 @@ class PDE(SDEBase):
                 # change to the rate-trim/broadcast semantics applies to
                 # both, preserving the sharded-vs-serial bit-identity
                 # invariant
-                rhs_fns = [
-                    self._lower_stencil_expr(e, var_map, ops, make_get_bc(v))
-                    for e, v in zip(exprs, self.variables)
-                ]
+                rhs_fns = lower_rhs_fns(ops)
 
                 def step(works):
-                    new = []
-                    for f, (rhs_fn, d) in enumerate(rhs_fns):
-                        rate = ops.trim(rhs_fn(works), depth - d)
-                        center = ops.trim(works[f], depth)
-                        new.append(
-                            center
-                            + dt * jnp.broadcast_to(
-                                jnp.asarray(rate), center.shape
-                            )
-                        )
-                    return new
+                    rates = plane_rates(ops, rhs_fns, works)
+                    return [
+                        ops.trim(w, depth) + dt * rate
+                        for w, rate in zip(works, rates, strict=True)
+                    ]
 
                 return step
 
@@ -920,16 +1058,18 @@ class PDE(SDEBase):
 
             try:
                 window = make_chunked_multi_window_3d(
-                    grid, make_multi_step, halo_per_step, len(fields),
+                    grid, make_multi_step, halo_per_step, n_planes,
                     dtype=fields[0].dtype, interpret=interpret,
                     bc_inputs=bc_inputs, dt=dt,
                 )
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err
+            if has_vector:
+                window = _wrap_vector_planes(window, slots)
             window.multi_field = True
             return window
 
-        if kind == "euler" and len(fields) == 1:
+        if kind == "euler" and n_planes == 1:
 
             def make_step(ops):
                 rhs_fn, d = self._lower_stencil_expr(
@@ -982,12 +1122,14 @@ class PDE(SDEBase):
 
         try:
             window = make_chunked_multi_window_2d(
-                grid, make_multi_step, halo_per_step, len(fields),
+                grid, make_multi_step, halo_per_step, n_planes,
                 dtype=fields[0].dtype, interpret=interpret,
                 bc_inputs=bc_inputs, dt=dt,
             )
         except PallasUnsupportedError as err:
             raise NotImplementedError(str(err)) from err
+        if has_vector:
+            window = _wrap_vector_planes(window, slots)
         window.multi_field = True
         return window
 

@@ -627,3 +627,31 @@ def test_fused_3d_ychunk_expression_parity(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
+
+
+def test_vector_state_expression_parity(rng, monkeypatch):
+    """Rank-1 state through the multi-field kernel (component planes) on
+    silicon: vector Ginzburg-Landau with coupling via dot()."""
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.UnitGrid([128, 128], periodic=True)
+    state = pde.VectorField(
+        grid,
+        np.asarray(
+            rng.uniform(-0.5, 0.5, size=(2, 128, 128)), dtype=np.float32
+        ),
+    )
+    eq = pde.PDE({"u": "0.2 * vector_laplace(u) + u - dot(u, u) * u"})
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=1.0, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=1.0, dt=1e-3, tracker=None)
+    for f in (res, ref):
+        assert np.isfinite(np.asarray(f.data)).all()
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )

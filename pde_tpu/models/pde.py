@@ -907,12 +907,13 @@ class PDE(SDEBase):
         `/root/reference/pde/backends/numba/_solvers.py:469`; RK4 tableau
         `/root/reference/pde/solvers/runge_kutta.py:29-66`).
 
-        Time-dependent BC values do not fuse here: the per-step SMEM const
-        tables hold one row per STEP, while RK4 stages need ghost values at
-        ``t``, ``t + dt/2`` and ``t + dt`` — those configurations fall back
-        to the XLA window. Adaptive RK45 cannot temporally block at all:
-        each step's accept/shrink decision depends on a GLOBAL error
-        reduction over the full state, which a banded kernel cannot see.
+        Time-dependent BC values fuse on serial 2D grids: the t/xt tables
+        carry one row per (step, stage) and the step rebinds ghost values at
+        ``t``, ``t + dt/2`` and ``t + dt`` between stages (the 3D/sharded
+        kernels still bind one row per step and fall back). Adaptive RK45
+        cannot temporally block at all: each step's accept/shrink decision
+        depends on a GLOBAL error reduction over the full state, which a
+        banded kernel cannot see.
         """
         if self.is_sde:
             raise NotImplementedError(
@@ -967,17 +968,28 @@ class PDE(SDEBase):
             return rates
 
         if kind == "rk4":
-            if bc_inputs is not None and (
+            has_td_bc = bc_inputs is not None and (
                 bc_inputs.get("t") or bc_inputs.get("xt")
-            ):
+            )
+            if has_td_bc and (mesh is not None or grid.num_axes == 3):
                 raise NotImplementedError(
-                    "Fused RK4 windows do not support time-dependent BC "
-                    "values (stage times differ from the per-step tables)"
+                    "Fused RK4 windows support time-dependent BC values "
+                    "only on serial 2D grids (the 3D/sharded kernels bind "
+                    "one table row per step, not per stage)"
                 )
             halo_per_step = 4 * depth
 
             def make_multi_step(ops):
                 rhs_fns = lower_rhs_fns(ops)
+                # per-stage ghost times: the 2D kernel's t/xt tables carry
+                # (step, stage) rows; stages read t, t+dt/2, t+dt/2, t+dt,
+                # matching the unfused tableau (solvers/runge_kutta.py).
+                # Resolved lazily — the kernel assigns ops.bind_stage right
+                # before tracing step(works), after make_step(ops) ran.
+                def bind(j):
+                    fn = getattr(ops, "bind_stage", None)
+                    if fn is not None:
+                        fn(j)
 
                 def rhs_all(ys):
                     return plane_rates(ops, rhs_fns, ys)
@@ -987,12 +999,14 @@ class PDE(SDEBase):
                     k1 = rhs_all(works)
                     y2 = [t_(w, depth) + (0.5 * dt) * a
                           for w, a in zip(works, k1, strict=True)]
+                    bind(1)
                     k2 = rhs_all(y2)
                     y3 = [t_(w, 2 * depth) + (0.5 * dt) * b
                           for w, b in zip(works, k2, strict=True)]
                     k3 = rhs_all(y3)
                     y4 = [t_(w, 3 * depth) + dt * c
                           for w, c in zip(works, k3, strict=True)]
+                    bind(2)
                     k4 = rhs_all(y4)
                     return [
                         t_(w, 4 * depth)
@@ -1125,6 +1139,7 @@ class PDE(SDEBase):
                 grid, make_multi_step, halo_per_step, n_planes,
                 dtype=fields[0].dtype, interpret=interpret,
                 bc_inputs=bc_inputs, dt=dt,
+                stage_offsets=(0.0, 0.5, 1.0) if kind == "rk4" else None,
             )
         except PallasUnsupportedError as err:
             raise NotImplementedError(str(err)) from err

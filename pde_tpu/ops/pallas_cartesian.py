@@ -63,7 +63,38 @@ def _require_default_laplace_stencil():
         )
 
 
-_VMEM_BUDGET = 15 * 1024 * 1024  # 16 MB scoped VMEM minus 1 MB headroom
+_VMEM_LIMIT = 100 * 1024 * 1024  # raised Mosaic scoped-VMEM limit for every
+# banded kernel. The ~16 MB default is a COMPILER default, not hardware
+# (v5e has 128 MB physical VMEM per core): the y-chunked 3D kernel proved in
+# round 4 that a 100 MB limit compiles and runs on silicon, so the whole
+# family now compiles under the raised limit and the band picker's budget
+# (below) decides the actual working set.
+
+_VMEM_BUDGET = 15 * 1024 * 1024  # default band-picker budget; larger bands
+# fit under the raised compiler limit — the round-5 hardware sweep
+# (docs/BENCHMARKS.md, scripts/experiment_2d_band.py) decides whether the
+# default grows
+
+
+def _vmem_budget() -> int:
+    """Band-picker VMEM budget; ``PDE_TPU_VMEM_BUDGET_MB`` overrides (sweeps)."""
+    mb = os.environ.get("PDE_TPU_VMEM_BUDGET_MB")
+    return int(mb) * 1024 * 1024 if mb else _VMEM_BUDGET
+
+
+def _pallas_call(pl, pltpu, *args, interpret: bool, **kwargs):
+    """``pl.pallas_call`` with the raised scoped-VMEM compiler limit.
+
+    Interpret mode takes no TPU compiler params; an explicit
+    ``compiler_params`` kwarg wins over the module default.
+    """
+    if interpret:
+        kwargs.pop("compiler_params", None)
+        return pl.pallas_call(*args, interpret=True, **kwargs)
+    kwargs.setdefault(
+        "compiler_params", pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    )
+    return pl.pallas_call(*args, **kwargs)
 
 
 def _pick_band(n_rows: int, n_cols: int, itemsize: int, k: int) -> int:
@@ -74,15 +105,22 @@ def _pick_band(n_rows: int, n_cols: int, itemsize: int, k: int) -> int:
     band=128 fits, which this model reproduces): the band input buffer, the
     pipelined output block (double-buffered), two DMA halo buffers, and ~3
     live work-region temporaries of (band + 2k) rows inside the step loop.
+
+    ``PDE_TPU_FORCE_BAND`` pins the band for hardware sweeps (the caller is
+    responsible for divisibility; geometry gates still apply).
     """
+    forced = os.environ.get("PDE_TPU_FORCE_BAND")
+    if forced and n_rows % int(forced) == 0:
+        return int(forced)
     halo = -(-k // _HALO) * _HALO
+    budget = _vmem_budget()
 
     def footprint(band):
         rows = 2 * band + 2 * halo + 3 * (band + 2 * k)
         return rows * n_cols * itemsize
 
-    for candidate in (256, 128, 64, 32, 16, 8):
-        if footprint(candidate) <= _VMEM_BUDGET and n_rows % candidate == 0:
+    for candidate in (512, 256, 128, 64, 32, 16, 8):
+        if footprint(candidate) <= budget and n_rows % candidate == 0:
             return candidate
     # nothing divides n_rows: one program over the whole array (interpret mode
     # only — the TPU path requires n_rows % 8 == 0, so a candidate matched)
@@ -101,7 +139,7 @@ def _fused_geometry_ok(
     stencil). ``n_cols_eff`` must match what the kernel passes to
     :func:`_pick_band` (e.g. ``n_cols * n_fields`` for multi-field kernels).
     """
-    if not 1 <= k_total <= 2 * _HALO:
+    if not 1 <= k_total <= 4 * _HALO:
         return False
     band = _pick_band(n_rows, n_cols_eff, itemsize, k_total)
     halo = -(-k_total // _HALO) * _HALO  # rounded up to the DMA granule
@@ -327,10 +365,11 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
     t)``; the fused kernels need the AFFINE form ``ghost = const + f1*adj``.
     ``f1`` is extracted by differentiating the sympy expression w.r.t. the
     adjacent value (with ``dx`` substituted so e.g. the mixed target's
-    ``(2 - gamma*dx)/(gamma*dx + 2)`` coefficient evaluates to a number);
-    any expression whose adjacent-value coefficient is non-constant (e.g.
-    nonlinear in ``value``, or a mixed BC with space-dependent gamma) falls
-    back to XLA. The const is then just ``func(adjacent=0)``.
+    ``(2 - gamma*dx)/(gamma*dx + 2)`` coefficient evaluates to a number,
+    a per-point array for space-dependent gamma, or a per-step SMEM slot
+    for t-dependent gamma); expressions nonlinear in the adjacent value,
+    or whose coefficient varies in space AND time, fall back to XLA. The
+    const is then just ``func(adjacent=0)``.
     """
     import sympy
 
@@ -345,7 +384,12 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
         )
     value_sym = sympy.Symbol("value")
     t_sym = sympy.Symbol("t")
+    axis_syms = {sympy.Symbol(ax) for ax in bc.grid.axes}
     dx_val = float(bc.grid.discretization[bc.axis])
+    bc_coords = bc.grid._boundary_coordinates(bc.axis, bc.upper)
+    coord_arrays = tuple(
+        np.asarray(bc_coords[..., i]) for i in range(bc.grid.num_axes)
+    )
     sexpr = expr._sympy_expr.subs(sympy.Symbol("dx"), sympy.Float(dx_val))
     dcoeff = sympy.diff(sexpr, value_sym)
     if dcoeff.free_symbols:
@@ -355,7 +399,16 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
         # TIME-dependent ghost coefficient (mixed BC with gamma varying in
         # t): evaluated into the per-step SMEM table alongside const_t by
         # the stencil-helper kernels (reference: per-step re-evaluated
-        # virtual-point factors, `local.py:1541-2104`)
+        # virtual-point factors, `local.py:1541-2104`). The SMEM table is
+        # real-valued: reject coefficients with an imaginary part (e.g.
+        # 'I*t*value') like the constant case below.
+        if sympy.simplify(
+            sympy.im(dcoeff.subs(t_sym, sympy.Symbol("t", real=True)))
+        ) != 0:
+            raise PallasUnsupportedError(
+                "Complex adjacent-value coefficients are not supported in "
+                "fused kernels"
+            )
         fn = sympy.lambdify(t_sym, dcoeff, modules="jax")
         try:
             f1 = float(fn(0.0))
@@ -367,10 +420,37 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
         def f1_t(t, _fn=fn):
             return jnp.asarray(_fn(t))
 
+    elif dcoeff.free_symbols and dcoeff.free_symbols <= axis_syms:
+        # SPACE-only ghost coefficient (mixed BC with gamma varying along
+        # the boundary): evaluate once on the boundary coordinates at
+        # factory time — this is exactly the per-point ARRAY factor case
+        # the stencil-helper kernels already stage (the reference compiles
+        # these like any other virtual-point factor, `local.py:1781,2064`)
+        syms = [sympy.Symbol(ax) for ax in bc.grid.axes]
+        fn = sympy.lambdify(syms, dcoeff, modules="numpy")
+        try:
+            arr = np.asarray(fn(*coord_arrays))
+        except Exception as err:
+            raise PallasUnsupportedError(
+                f"Adjacent-value coefficient does not lower to numpy: {err}"
+            ) from err
+        if np.iscomplexobj(arr):
+            if np.any(np.imag(arr)):
+                raise PallasUnsupportedError(
+                    "Complex adjacent-value coefficients are not supported "
+                    "in fused kernels"
+                )
+            arr = np.real(arr)
+        arr = np.broadcast_to(
+            arr.astype(float), coord_arrays[0].shape
+        ).reshape(-1)
+        scalar_f1 = _uniform_scalar(arr)
+        f1 = scalar_f1 if scalar_f1 is not None else arr
     elif dcoeff.free_symbols or not sympy.im(dcoeff).is_zero:
         raise PallasUnsupportedError(
             "Expression BCs whose adjacent-value coefficient varies in "
-            "space (or is complex) are not supported in fused kernels"
+            "time AND space (or is complex) are not supported in fused "
+            "kernels"
         )
     else:
         f1 = float(dcoeff)
@@ -385,10 +465,6 @@ def _expression_bc_spec(bc) -> _BCSideSpec:
     has_t = "t" in free
     has_coords = bool(free & set(bc.grid.axes))
     dx = float(bc.grid.discretization[bc.axis])
-    bc_coords = bc.grid._boundary_coordinates(bc.axis, bc.upper)
-    coord_arrays = tuple(
-        np.asarray(bc_coords[..., i]) for i in range(bc.grid.num_axes)
-    )
     func = bc._func
     if has_t and has_coords:
         # space-AND-time dependence: the const is a per-point array rebuilt
@@ -1028,7 +1104,8 @@ def make_affine_laplace_2d(
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_col_in
         + [pl.BlockSpec(memory_space=pl.ANY)]
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         grid=(n_rows // band,),
@@ -1239,7 +1316,8 @@ def make_stencil_op_pallas(
         for out_ref, val in zip(outs, fn(works)):
             out_ref[:, :] = val
 
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=[jax.ShapeDtypeStruct((n_rows, n_cols), dtype)] * n_out,
         grid=(n_rows // band,),
@@ -1425,7 +1503,8 @@ def make_affine_laplace_3d(
                 work = a * center + b * lap
         out_ref[:, :, :] = work
 
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=jax.ShapeDtypeStruct((nx, ny, nz), dtype),
         grid=(nx // band,),
@@ -2433,7 +2512,8 @@ def _make_ychunk_multi_window_3d(
             vmem_limit_bytes=_YCHUNK_VMEM_LIMIT
         )
     }
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * F,
         grid=(n_xp, n_yp),
@@ -2777,7 +2857,8 @@ def make_fused_multi_stencil_window_3d(
         + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_xy + n_z + n_xz)
         + [pl.BlockSpec(memory_space=pl.ANY)] * F
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * F,
         grid=(nx // band,),
@@ -3161,7 +3242,8 @@ def make_fused_multi_ext_window_3d(
         + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_xy + n_z + n_xz)
         + [pl.BlockSpec(memory_space=pl.ANY)] * F
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=[jax.ShapeDtypeStruct((lx, ly, lz), dtype)] * F,
         grid=(lx // band,),
@@ -3256,7 +3338,7 @@ def make_fused_multi_ext_window_3d(
 def make_fused_multi_stencil_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, k: int | None = None, interpret: bool = False,
-    bc_inputs=None,
+    bc_inputs=None, stages_per_step: int = 1,
 ) -> tuple[Callable, int]:
     """Temporal-blocking kernel over ``n_fields`` coupled field planes.
 
@@ -3277,6 +3359,14 @@ def make_fused_multi_stencil_window_2d(
     vector broadcast across one 128-lane tile, t-consts via an SMEM
     ``(k, n_t)`` table (column order = ``bc_inputs["t"]``). With t entries
     the returned callable is ``window_k(datas, t_tab)``.
+
+    ``stages_per_step`` sizes the t/xt tables for multi-stage steppers
+    (fused RK4 needs ghost values at ``t``, ``t + dt/2`` and ``t + dt``,
+    matching the unfused tableau — the reference re-evaluates every BC per
+    rhs call, `/root/reference/pde/backends/numba/_solvers.py:67-120`):
+    tables carry ``k * stages_per_step`` rows and ``step(works)`` may call
+    ``helpers.bind_stage(j)`` between its internal rhs evaluations to bind
+    stage ``j``'s row; each step implicitly starts bound to stage 0.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -3322,7 +3412,7 @@ def make_fused_multi_stencil_window_2d(
             return _side_input_extra_2d(
                 bc_inputs, n_cols,
                 _pick_band(n_rows, n_cols * n_fields, itemsize, ht),
-                -(-ht // _HALO) * _HALO, kk, itemsize,
+                -(-ht // _HALO) * _HALO, kk * stages_per_step, itemsize,
             )
 
         while k > 1 and _extra(k) > _SIDE_INPUT_BUDGET:
@@ -3370,15 +3460,16 @@ def make_fused_multi_stencil_window_2d(
     xt_row_specs = [spec for kind, spec in xt_entries if kind == "row"]
     xt_col_specs = [spec for kind, spec in xt_entries if kind == "col"]
     n_xtr, n_xtc = len(xt_row_specs), len(xt_col_specs)
+    S = stages_per_step  # t/xt tables carry one row per (step, stage)
     if not interpret and (n_row_in or n_col_in or n_xtr or n_xtc):
         # side inputs live OUTSIDE the _pick_band footprint model: bound
         # them so a value-heavy config falls back instead of hard-failing
         # at Mosaic compile (the clean-fallback invariant)
         extra = (
             n_row_in * n_cols
-            + n_xtr * k * n_cols
+            + n_xtr * k * S * n_cols
             + n_col_in * (band + 2 * halo) * 128
-            + n_xtc * k * (band + 2 * halo) * 128
+            + n_xtc * k * S * (band + 2 * halo) * 128
         ) * itemsize
         if extra > 2 * 1024 * 1024:
             raise PallasUnsupportedError(
@@ -3474,10 +3565,18 @@ def make_fused_multi_stencil_window_2d(
             )
             for f in range(F)
         ]
-        for s in range(k):
-            helpers.step_idx = s
+
+        def _bind(idx):
+            helpers.step_idx = idx
             if has_t:
-                _set_t_slots(helpers, t_specs, t_tab, s)
+                _set_t_slots(helpers, t_specs, t_tab, idx)
+
+        for s in range(k):
+            # multi-stage steppers (fused RK4) rebind mid-step through
+            # helpers.bind_stage(j); stage 0 is bound before each step call
+            # (S == 1 reduces to the plain per-step binding)
+            helpers.bind_stage = lambda j, _s=s: _bind(_s * S + j)
+            helpers.bind_stage(0)
             works = step(works)
         for f in range(F):
             outs[f][:, :] = works[f]
@@ -3488,12 +3587,15 @@ def make_fused_multi_stencil_window_2d(
             pl.BlockSpec((1, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ] * n_row_in
         + [
-            pl.BlockSpec((k, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (k * S, n_cols), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
         ] * n_xtr
         + [pl.BlockSpec(memory_space=pl.ANY)] * (n_col_in + n_xtc)
         + [pl.BlockSpec(memory_space=pl.ANY)] * F
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=[jax.ShapeDtypeStruct((n_rows, n_cols), dtype)] * F,
         grid=(n_rows // band,),
@@ -3505,7 +3607,7 @@ def make_fused_multi_stencil_window_2d(
             [pltpu.VMEM((band, n_cols), dtype)] * F
             + [pltpu.VMEM((halo, n_cols), dtype)] * (2 * F)
             + [pltpu.VMEM((band + 2 * halo, 128), dtype)] * n_col_in
-            + [pltpu.VMEM((k, band + 2 * halo, 128), dtype)] * n_xtc
+            + [pltpu.VMEM((k * S, band + 2 * halo, 128), dtype)] * n_xtc
             + [pltpu.SemaphoreType.DMA((3 * F + n_col_in + n_xtc,))]
         ),
         interpret=interpret,
@@ -3788,7 +3890,8 @@ def make_fused_multi_ext_window_2d(
         + [pl.BlockSpec(memory_space=pl.ANY)] * (n_col_in + n_xtc)
         + [pl.BlockSpec(memory_space=pl.ANY)] * F
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=[jax.ShapeDtypeStruct((local_rows, n_cols), dtype)] * F,
         grid=(local_rows // band,),
@@ -4246,7 +4349,8 @@ def make_fused_sde_kernel_noise_window_2d(
             work = work + noise_ref[halo - margin : halo + band + margin, :]
         out_ref[:, :] = work
 
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         grid=(n_rows // band,),
@@ -4264,6 +4368,8 @@ def make_fused_sde_kernel_noise_window_2d(
         ] + stager.scratch(pltpu, band, dtype) + [
             pltpu.SemaphoreType.DMA((3 + stager.n_scratch,)),
         ],
+        # no interpret-mode lowering exists for the hardware PRNG
+        interpret=False,
     )
 
     consts = stager.host_operands(dtype)
@@ -4421,7 +4527,8 @@ def make_fused_sde_stencil_window_2d(
             work = work + noise_slab
         out_ref[:, :] = work
 
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         grid=(n_rows // band,),
@@ -4652,6 +4759,7 @@ def _make_binary_chunked_window(build_step, k: int):
 def make_chunked_multi_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, interpret: bool = False, bc_inputs=None, dt=None,
+    stage_offsets=None,
 ) -> Callable:
     """Return ``window(datas, steps)`` chunking steps into k-step kernel calls.
 
@@ -4660,17 +4768,24 @@ def make_chunked_multi_window_2d(
     rebuilds the per-step SMEM const table from ``t0`` per chunk — ``dt`` is
     then required (ghost values at inner step s use ``t0 + s*dt``, matching
     the unfused stepper's t).
+
+    ``stage_offsets`` (fractions of dt, e.g. ``(0.0, 0.5, 1.0)`` for RK4)
+    sizes the tables for multi-stage steppers: inner step s's stage j reads
+    ghost values at ``t0 + s*dt + stage_offsets[j]*dt``, and ``step(works)``
+    selects the stage via ``helpers.bind_stage(j)``.
     """
+    offsets = tuple(stage_offsets) if stage_offsets is not None else (0.0,)
+    S = len(offsets)
     # probe the largest supported k, then build one kernel per power of two
     _, k = make_fused_multi_stencil_window_2d(
         grid, make_step, halo_per_step, n_fields, dtype=dtype,
-        interpret=interpret, bc_inputs=bc_inputs,
+        interpret=interpret, bc_inputs=bc_inputs, stages_per_step=S,
     )
 
     def build(kk):
         step, _ = make_fused_multi_stencil_window_2d(
             grid, make_step, halo_per_step, n_fields, dtype=dtype, k=kk,
-            interpret=interpret, bc_inputs=bc_inputs,
+            interpret=interpret, bc_inputs=bc_inputs, stages_per_step=S,
         )
         if step.t_specs is None and not step.xt_entries:
             return lambda d: tuple(step(list(d)))
@@ -4697,6 +4812,8 @@ def make_chunked_multi_window_2d(
             return None
         return jnp.stack([jax.vmap(fn)(ts) for fn in t_funcs], axis=1)
 
+    stage_frac = jnp.asarray(offsets)
+
     def window_td(datas, t0, steps):
         state = tuple(datas)
         index = jnp.asarray(0, jnp.int32)
@@ -4706,7 +4823,10 @@ def make_chunked_multi_window_2d(
 
             def body(c, carry, _kk=kk, _step=step_fn):
                 d, idx = carry
-                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                # (step, stage)-major rows: kernel stage j of inner step s
+                # reads row s*S + j (S == 1: the plain per-step table)
+                base = t0 + (idx + jnp.arange(_kk)) * dt
+                ts = (base[:, None] + stage_frac[None, :] * dt).reshape(-1)
                 xt_ops = [jax.vmap(fn)(ts) for fn in xt_funcs]
                 return (_step(d, xt_ops, make_t_tab(ts)), idx + _kk)
 
@@ -5137,7 +5257,8 @@ def make_affine_laplace_ext_3d(
                 work = a * center + b * lap
         out_ref[:, :, :] = work
 
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=jax.ShapeDtypeStruct((nx, ny, nz), dtype),
         grid=(nx // band,),
@@ -5228,8 +5349,12 @@ def _pick_band_ext(n_rows: int, n_cols_ext: int, itemsize: int, halo: int) -> in
         rows = (band + 2 * halo) + 2 * band + 3 * (band + 2 * halo)
         return rows * n_cols_ext * itemsize
 
-    for candidate in (256, 128, 64, 32, 16, 8, 4, 2, 1):
-        if footprint(candidate) <= _VMEM_BUDGET and n_rows % candidate == 0:
+    forced = os.environ.get("PDE_TPU_FORCE_BAND")
+    if forced and n_rows % int(forced) == 0:
+        return int(forced)
+    budget = _vmem_budget()
+    for candidate in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if footprint(candidate) <= budget and n_rows % candidate == 0:
             return candidate
     return n_rows
 
@@ -5528,7 +5653,8 @@ def make_affine_laplace_ext_2d(
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_col_in
         + [pl.BlockSpec(memory_space=pl.ANY)]
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
+        pl, pltpu,
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         grid=(n_rows // band,),

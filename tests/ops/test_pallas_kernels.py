@@ -969,18 +969,19 @@ def test_fused_window_array_factor_gates(rng, monkeypatch):
 
 
 def test_fused_window_unsupported_bc_values_fall_back(rng, monkeypatch):
-    """Expressions nonlinear in the adjacent value and mixed BCs with a
-    space-dependent gamma break the affine ghost structure and fall back;
-    space-AND-time-dependent VALUES reroute through the expression-compiled
-    kernels instead (see test_fused_window_space_time_bc_parity)."""
+    """Expressions nonlinear in the adjacent value break the affine ghost
+    structure and fall back, as do coefficients varying in space AND time;
+    space-ONLY gammas lower as per-point factor arrays (see
+    test_space_varying_gamma_expression_fuses) and space-AND-time VALUES
+    reroute through the expression-compiled kernels (see
+    test_fused_window_space_time_bc_parity)."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     from pde_tpu.solvers.euler import EulerSolver
 
     for bc in (
         {"x": "periodic", "y": {"virtual_point": "value**2"}},
         {"x": "periodic", "y": {"virtual_point": "sin(value)"}},
-        {"x": "periodic", "y": {"virtual_point": "x * value"}},
-        {"x": "periodic", "y": {"mixed_expression": "x"}},
+        {"x": "periodic", "y": {"virtual_point": "x * t * value"}},
     ):
         grid = pde.UnitGrid([16, 16], periodic=[True, False])
         state = pde.ScalarField.random_uniform(grid, rng=rng)
@@ -1475,18 +1476,52 @@ def test_fused_rk4_3d_parity(rng, monkeypatch):
     )
 
 
+@pytest.mark.parametrize(
+    "bc_t",
+    [
+        # Dirichlet value varying in t: stage ghost values at t, t+dt/2,
+        # t+dt through the (step, stage) SMEM table
+        {"x": {"derivative": 0},
+         "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}},
+        # space-AND-time value: per-chunk (k*stages, n) tables
+        {"x": {"derivative": 0},
+         "y-": {"value_expression": "cos(x) * sin(3 * t)"},
+         "y+": {"value": 0.1}},
+        # mixed BC with gamma varying in t (per-stage ghost COEFFICIENTS)
+        {"x": {"derivative": 0},
+         "y-": {"type": "mixed_expression", "value": "1 + 0.5*sin(3*t)",
+                "const": 0.2},
+         "y+": {"derivative": 0}},
+    ],
+    ids=["t-value", "xt-value", "t-gamma"],
+)
+def test_fused_rk4_t_dependent_bc_parity(bc_t, rng, monkeypatch):
+    """t-dependent BC values fuse under fixed-dt RK4: the t/xt tables carry
+    one row per (step, stage), so ghost values track the tableau times t,
+    t+dt/2, t+dt (the reference re-evaluates BCs per rhs call,
+    `/root/reference/pde/backends/numba/_solvers.py:67-120`)."""
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.01, bc=bc_t)
+    res, ref, info = _rk4_pair(eq, state, 0.02, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
 def test_fused_rk4_gating(rng, monkeypatch):
-    """Principled RK4 fallbacks: t-dependent BC values need per-STAGE ghost
-    times the per-step SMEM tables cannot represent; SDEs never take the
+    """Principled RK4 fallbacks: 3D kernels bind one t-table row per STEP,
+    so t-dependent BC values fall back there; SDEs never take the
     deterministic RK4 window; adaptive RK45's accept/shrink decision is a
     global error reduction, so it never fuses."""
     from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
 
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
-    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 1)], (8, 8, 8))
     state = pde.ScalarField.random_uniform(grid, rng=rng)
-    bc_t = {"x": {"derivative": 0},
+    bc_t = {"x": {"derivative": 0}, "z": {"derivative": 0},
             "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}}
     solver = RungeKuttaSolver(pde.DiffusionPDE(0.01, bc=bc_t), adaptive=False)
     out, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
@@ -1603,24 +1638,42 @@ def test_fused_time_dependent_gamma_sde(rng, monkeypatch):
     )
 
 
-def test_space_varying_gamma_expression_still_falls_back(rng, monkeypatch):
-    """A ghost coefficient varying in SPACE via an expression stays a
-    principled fallback (the affine form would need per-point coefficient
-    arrays the expression lowering does not extract; the mixed BC CLASS
-    with an array gamma lowers via bc_factors instead)."""
+@pytest.mark.parametrize(
+    "bc",
+    [
+        {"x": "periodic", "y": {"virtual_point": "x * value"}},
+        {"x": "periodic", "y": {"mixed_expression": "x"}},
+        {"x-": {"type": "mixed_expression", "value": "1 + y", "const": 0.2},
+         "x+": {"derivative": 0}, "y": {"derivative": 0}},
+        {"x-": {"type": "mixed_expression", "value": "y**2", "const": "x**2"},
+         "x+": {"derivative": 0}, "y": {"derivative": 0}},
+    ],
+    ids=["virtual-point", "mixed-col", "mixed-row", "mixed-row-xconst"],
+)
+def test_space_varying_gamma_expression_fuses(bc, rng, monkeypatch):
+    """A ghost coefficient varying ONLY in space via an expression lowers:
+    it is evaluated once on the boundary coordinates at factory time,
+    producing exactly the per-point ARRAY factor case the kernels already
+    stage (reference `local.py:1781,2064`; round-5 bridge closing the
+    round-4 fallback)."""
+    from pde_tpu.solvers.controller import Controller
     from pde_tpu.solvers.euler import EulerSolver
 
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
-    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    periodic = [bc.get(ax) == "periodic" for ax in "xy"]
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16), periodic=periodic)
     state = pde.ScalarField.random_uniform(grid, rng=rng)
-    bc = {"x-": {"type": "mixed_expression", "value": "1 + y", "const": 0.2},
-          "x+": {"derivative": 0}, "y": {"derivative": 0}}
     eq = pde.DiffusionPDE(0.01, bc=bc)
     solver = EulerSolver(eq)
-    out, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
-    assert solver.info.get("fused_step") is None
-    assert np.all(np.isfinite(np.asarray(out.data)))
+    res = Controller(solver, t_range=0.05, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.05, dt=1e-3, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
 
 
 def test_corner_weight_cylindrical_exempt(rng, monkeypatch):

@@ -796,8 +796,13 @@ def test_sharded_fused_time_dependent_bc_parity(decomposition, bc, rng, monkeypa
          "y+": {"value": 0}},
         {"x-": {"virtual_point": "sin(y - t)"}, "x+": {"derivative": 0},
          "y": {"derivative": 0}},
+        # gamma varying in SPACE via an expression: factory-time evaluation
+        # on the boundary coordinates feeds the array-factor staging
+        # (round-5 bridge)
+        {"x-": {"type": "mixed_expression", "value": "1 + y", "const": 0.2},
+         "x+": {"derivative": 0}, "y": {"derivative": 0}},
     ],
-    ids=["vp-x", "mixed-beta-t", "vp-xt"],
+    ids=["vp-x", "mixed-beta-t", "vp-xt", "mixed-gamma-space"],
 )
 def test_sharded_fused_expression_target_bc_parity(
     decomposition, bc, rng, monkeypatch

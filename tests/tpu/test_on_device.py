@@ -485,6 +485,34 @@ def test_fused_rk4_noflux_parity(rng, monkeypatch):
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
 
+def test_fused_rk4_t_dependent_bc_parity(rng, monkeypatch):
+    """Fused RK4 with a sin(t) Dirichlet value: the (step, stage) SMEM
+    t-table binds ghost values at t, t+dt/2, t+dt on silicon (round-5
+    feature; the reference re-evaluates BCs per rhs call,
+    `/root/reference/pde/backends/numba/_solvers.py:67-120`)."""
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (128, 128))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    bc = {"x": {"derivative": 0},
+          "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}}
+    eq = pde.DiffusionPDE(0.01, bc=bc)  # stability 0.20
+    solver = RungeKuttaSolver(eq, adaptive=False)
+    res = Controller(solver, t_range=0.5, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref_solver = RungeKuttaSolver(eq, adaptive=False)
+    ref = Controller(ref_solver, t_range=0.5, tracker=None).run(state, dt=1e-3)
+    for f in (res, ref):
+        assert np.isfinite(np.asarray(f.data)).all()
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
 def test_fused_time_dependent_gamma_parity(rng, monkeypatch):
     """Mixed BCs with gamma varying in TIME: the ghost coefficient reads
     the per-step SMEM t-table on silicon (round-4 feature closing the last

@@ -105,9 +105,15 @@ static int mcw_drain(MCW* w) {
 // `out_pix` stream out (container from the filename extension).  When the
 // formats differ the conversion runs through swscale in-process — the same
 // conversion `ffmpeg -f rawvideo -pix_fmt <in> -i - -pix_fmt <out>` does.
-MCW* mcw_open2(const char* filename, int width, int height, int fps,
-               const char* comment, const char* codec_name,
+// The frame rate is the rational fps_num/fps_den (fractional rates like
+// 24000/1001 keep their exact timing, matching `ffmpeg -r`).
+MCW* mcw_open3(const char* filename, int width, int height, int fps_num,
+               int fps_den, const char* comment, const char* codec_name,
                const char* in_pix, const char* out_pix) {
+    if (fps_num <= 0 || fps_den <= 0) {
+        set_error("frame rate must be a positive rational");
+        return nullptr;
+    }
     MCW* w = new MCW();
     w->width = width;
     w->height = height;
@@ -148,8 +154,13 @@ MCW* mcw_open2(const char* filename, int width, int height, int fps,
     w->codec->width = width;
     w->codec->height = height;
     w->codec->pix_fmt = out_fmt;
-    w->codec->time_base = AVRational{1, fps};
+    w->codec->time_base = AVRational{fps_den, fps_num};
+    w->codec->framerate = AVRational{fps_num, fps_den};
     w->stream->time_base = w->codec->time_base;
+    // declare the rate explicitly — containers rewrite the stream
+    // time_base to their own timescale, and readers estimating from a
+    // handful of frames mis-derive fractional rates otherwise
+    w->stream->avg_frame_rate = AVRational{fps_num, fps_den};
     if (w->fmt->oformat->flags & AVFMT_GLOBALHEADER)
         w->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     ret = avcodec_open2(w->codec, codec, nullptr);
@@ -220,6 +231,14 @@ MCW* mcw_open2(const char* filename, int width, int height, int fps,
     return w;
 }
 
+// Integer-fps convenience wrapper (kept for ABI stability).
+MCW* mcw_open2(const char* filename, int width, int height, int fps,
+               const char* comment, const char* codec_name,
+               const char* in_pix, const char* out_pix) {
+    return mcw_open3(filename, width, height, fps, 1, comment, codec_name,
+                     in_pix, out_pix);
+}
+
 // Grayscale FFV1 writer — the MovieStorage format.
 MCW* mcw_open(const char* filename, int width, int height, int bits,
               int fps, const char* comment) {
@@ -279,10 +298,54 @@ struct MCR {
     int width = 0, height = 0, bits = 0;
     int64_t n_frames = 0;
     std::string comment;
+    std::string pix_fmt;
     std::vector<uint8_t> data;
 };
 
 void mcr_close(MCR* r) { delete r; }
+
+// Metadata-only probe: container + first-video-stream header, no decode
+// (what `ffprobe -show_format -show_streams` reports).  n_frames is the
+// header's nb_frames, or -1 when the container does not record it.
+MCR* mcr_probe(const char* filename) {
+    AVFormatContext* fmt = nullptr;
+    int ret = avformat_open_input(&fmt, filename, nullptr, nullptr);
+    if (ret < 0) {
+        set_error("avformat_open_input", ret);
+        return nullptr;
+    }
+    ret = avformat_find_stream_info(fmt, nullptr);
+    if (ret < 0) {
+        set_error("avformat_find_stream_info", ret);
+        avformat_close_input(&fmt);
+        return nullptr;
+    }
+    int stream_idx = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                         nullptr, 0);
+    if (stream_idx < 0) {
+        set_error("no video stream", stream_idx);
+        avformat_close_input(&fmt);
+        return nullptr;
+    }
+    AVStream* stream = fmt->streams[stream_idx];
+    MCR* r = new MCR();
+    const AVDictionaryEntry* tag =
+        av_dict_get(fmt->metadata, "comment", nullptr, 0);
+    if (!tag) tag = av_dict_get(stream->metadata, "comment", nullptr, 0);
+    if (tag) r->comment = tag->value;
+    r->width = stream->codecpar->width;
+    r->height = stream->codecpar->height;
+    r->n_frames = stream->nb_frames > 0 ? stream->nb_frames : -1;
+    const char* name =
+        av_get_pix_fmt_name((AVPixelFormat)stream->codecpar->format);
+    if (name) r->pix_fmt = name;
+    if (stream->codecpar->format == AV_PIX_FMT_GRAY8)
+        r->bits = 8;
+    else if (stream->codecpar->format == AV_PIX_FMT_GRAY16LE)
+        r->bits = 16;
+    avformat_close_input(&fmt);
+    return r;
+}
 
 // Opens the file, reads the container metadata, and decodes every frame of
 // the first video stream into a contiguous buffer.  Movies written by
@@ -328,6 +391,8 @@ MCR* mcr_open(const char* filename) {
     if (tag) r->comment = tag->value;
     r->width = cctx->width;
     r->height = cctx->height;
+    const char* pfname = av_get_pix_fmt_name(cctx->pix_fmt);
+    if (pfname) r->pix_fmt = pfname;
 
     AVFrame* frame = av_frame_alloc();
     AVPacket* pkt = av_packet_alloc();
@@ -379,6 +444,7 @@ int mcr_height(MCR* r) { return r->height; }
 int mcr_bits(MCR* r) { return r->bits; }
 int64_t mcr_nframes(MCR* r) { return r->n_frames; }
 const char* mcr_comment(MCR* r) { return r->comment.c_str(); }
+const char* mcr_pixfmt(MCR* r) { return r->pix_fmt.c_str(); }
 const uint8_t* mcr_data(MCR* r) { return r->data.data(); }
 int64_t mcr_data_size(MCR* r) { return (int64_t)r->data.size(); }
 

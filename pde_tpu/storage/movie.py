@@ -232,13 +232,12 @@ class MovieStorage(StorageBase):
     def _apply_field_attributes(self, attrs) -> None:
         if not attrs:
             return
-        field_cls = FieldBase._subclasses[attrs["class"]]
-        kwargs = field_cls.unserialize_attributes(attrs)
-        kwargs.pop("class", None)
-        kwargs.pop("dtype", None)
-        grid = kwargs.pop("grid")
-        self._field = field_cls(grid, **kwargs)  # type: ignore[call-arg]
-        self._grid = grid
+        from ..fields.base import field_from_serialized_attributes
+
+        # handles plain fields AND FieldCollections (multi-channel movies
+        # written by the reference carry collection attributes)
+        self._field = field_from_serialized_attributes(dict(attrs))
+        self._grid = self._field.grid
         self._data_shape = self._shape
         self._dtype = np.dtype(float)
 
@@ -260,11 +259,16 @@ class MovieStorage(StorageBase):
         Understands movies written by this class AND by the reference
         implementation (same version-1 comment scheme)."""
         if self._backend == "native":
-            decoded = movie_native.MovieInfo(self.filename)
-            raw_comment = decoded.comment or "{}"
-            width, height = decoded.width, decoded.height
-            pix = "gray16le" if decoded.bits == 16 else "gray"
-            n_frames = decoded.n_frames
+            # metadata-only probe: works for ANY pixel format (multi-channel
+            # movies read their metadata here and decode via the ffmpeg
+            # binary fallback in _read_frames)
+            probe_info = movie_native.MovieProbe(self.filename)
+            raw_comment = probe_info.comment or "{}"
+            width, height = probe_info.width, probe_info.height
+            pix = probe_info.pix_fmt or (
+                "gray16le" if probe_info.bits == 16 else "gray"
+            )
+            n_frames = probe_info.n_frames
         else:
             probe = subprocess.run(
                 [
@@ -331,11 +335,28 @@ class MovieStorage(StorageBase):
         fmt = self._format
         if self._backend == "raw":
             raw = open(self.filename, "rb").read()
-        elif self._backend == "native":
+        elif self._backend == "native" and fmt.channels == 1:
             # decoded as (n, h0, w0) rows; the byte stream is the C-order
             # field payload, so a plain reshape below recovers it exactly
             frames = movie_native.MovieInfo(self.filename).frames
             raw = frames.tobytes()
+        elif self._backend == "native":
+            # multi-channel formats (rgb24/rgb32/gbrp16le): the native
+            # decoder is grayscale-only — decode via the ffmpeg binary
+            # when present (the reference's own read path)
+            if not shutil.which("ffmpeg"):
+                raise NotImplementedError(
+                    f"decoding video_format {self.video_format!r} requires "
+                    "the ffmpeg binary (the native codec reads gray movies)"
+                )
+            cmd = [
+                "ffmpeg", "-i", self.filename,
+                "-f", "rawvideo", "-pix_fmt", fmt.pix_fmt_data, "-",
+            ]
+            raw = subprocess.run(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                check=True,
+            ).stdout
         else:
             cmd = [
                 "ffmpeg", "-i", self.filename,

@@ -37,10 +37,20 @@ def _lib() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
     ]
+    lib.mcw_open3.restype = ctypes.c_void_p
+    lib.mcw_open3.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p,
+    ]
     lib.mcw_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.mcw_close.argtypes = [ctypes.c_void_p]
     lib.mcr_open.restype = ctypes.c_void_p
     lib.mcr_open.argtypes = [ctypes.c_char_p]
+    lib.mcr_probe.restype = ctypes.c_void_p
+    lib.mcr_probe.argtypes = [ctypes.c_char_p]
+    lib.mcr_pixfmt.restype = ctypes.c_char_p
+    lib.mcr_pixfmt.argtypes = [ctypes.c_void_p]
     for fn in ("mcr_width", "mcr_height", "mcr_bits"):
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.mcr_nframes.restype = ctypes.c_int64
@@ -81,30 +91,36 @@ class MovieWriter:
     """
 
     def __init__(self, filename: str, width: int, height: int,
-                 bits: int | None = None, comment: str = "", fps: int = 30,
-                 codec: str | None = None, pix_fmt_in: str | None = None,
+                 bits: int | None = None, comment: str = "",
+                 fps: float = 30, codec: str | None = None,
+                 pix_fmt_in: str | None = None,
                  pix_fmt_out: str | None = None):
         lib = _lib()
         if lib is None:
             raise NativeMovieError("native movie codec unavailable")
         self._lib = lib
+        # exact rational frame rate (fractional rates like 23.976 resolve
+        # to 24000/1001, matching what `ffmpeg -r 23.976` would set)
+        from fractions import Fraction
+
+        rate = Fraction(fps).limit_denominator(1_000_000)
         if bits is not None:
+            if bits not in (8, 16):
+                raise ValueError("bits_per_channel must be 8 or 16")
+            codec = "ffv1"
+            pix_fmt_in = pix_fmt_out = "gray16le" if bits == 16 else "gray"
             self._frame_bytes = width * height * (bits // 8)
-            self._h = lib.mcw_open(
-                str(filename).encode(), width, height, bits, fps,
-                comment.encode(),
-            )
         else:
             if codec is None or pix_fmt_in is None or pix_fmt_out is None:
                 raise ValueError(
                     "either bits or codec/pix_fmt_in/pix_fmt_out is required"
                 )
             self._frame_bytes = width * height * _PIX_BYTES[pix_fmt_in]
-            self._h = lib.mcw_open2(
-                str(filename).encode(), width, height, fps,
-                comment.encode(), codec.encode(), pix_fmt_in.encode(),
-                pix_fmt_out.encode(),
-            )
+        self._h = lib.mcw_open3(
+            str(filename).encode(), width, height, rate.numerator,
+            rate.denominator, comment.encode(), codec.encode(),
+            pix_fmt_in.encode(), pix_fmt_out.encode(),
+        )
         if not self._h:
             raise NativeMovieError(f"open failed: {_err(lib)}")
 
@@ -130,6 +146,32 @@ class MovieWriter:
             pass
 
 
+class MovieProbe:
+    """Container/stream metadata only — no frames are decoded.
+
+    Works for any pixel format (the decoder only handles gray8/gray16le);
+    ``n_frames`` is None when the container header does not record it.
+    """
+
+    def __init__(self, filename: str):
+        lib = _lib()
+        if lib is None:
+            raise NativeMovieError("native movie codec unavailable")
+        h = lib.mcr_probe(str(filename).encode())
+        if not h:
+            raise NativeMovieError(f"probe failed: {_err(lib)}")
+        try:
+            self.width = lib.mcr_width(h)
+            self.height = lib.mcr_height(h)
+            self.bits = lib.mcr_bits(h)
+            n = int(lib.mcr_nframes(h))
+            self.n_frames = n if n >= 0 else None
+            self.comment = lib.mcr_comment(h).decode(errors="replace")
+            self.pix_fmt = lib.mcr_pixfmt(h).decode(errors="replace")
+        finally:
+            lib.mcr_close(h)
+
+
 class MovieInfo:
     """Decoded movie: metadata + all frames as one contiguous array."""
 
@@ -146,6 +188,7 @@ class MovieInfo:
             self.bits = lib.mcr_bits(h)
             self.n_frames = int(lib.mcr_nframes(h))
             self.comment = lib.mcr_comment(h).decode(errors="replace")
+            self.pix_fmt = lib.mcr_pixfmt(h).decode(errors="replace")
             size = int(lib.mcr_data_size(h))
             buf = ctypes.cast(
                 lib.mcr_data(h), ctypes.POINTER(ctypes.c_uint8 * size)

@@ -50,8 +50,10 @@ class Movie:
 
     def _start(self, width: int, height: int) -> None:
         if self._native:
+            # exact framerate (fractional rates resolve to a rational, the
+            # same timing the ffmpeg fallback's `-r` would set)
             self._writer = movie_native.MovieWriter(
-                self.filename, width, height, fps=int(self.framerate),
+                self.filename, width, height, fps=self.framerate,
                 codec="libx264", pix_fmt_in="rgb24", pix_fmt_out="yuv420p",
             )
         else:

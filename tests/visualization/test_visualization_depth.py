@@ -124,6 +124,36 @@ def test_movie_class_encodes_figures(tmp_path, rng):
     assert path.exists() and path.stat().st_size > 500
 
 
+def test_movie_fractional_framerate(tmp_path, rng):
+    """Fractional rates (23.976 = 24000/1001) keep their exact timing in
+    the native path — the codec takes a rational, not int(framerate)
+    (round-4 advisor finding)."""
+    from pde_tpu.utils import movie_native
+    from pde_tpu.visualization import Movie
+
+    if not movie_native.is_available():
+        pytest.skip("native movie codec unavailable")
+    cv2 = pytest.importorskip("cv2")
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    path = tmp_path / "frac.mp4"
+    with Movie(str(path), framerate=23.976) as writer:
+        for _ in range(3):
+            fig = plt.figure(figsize=(2, 2), dpi=50)
+            plt.imshow(rng.random((8, 8)))
+            writer.add_figure(fig)
+            plt.close(fig)
+    cap = cv2.VideoCapture(str(path))
+    try:
+        assert cap.get(cv2.CAP_PROP_FPS) == pytest.approx(23.976, abs=1e-3)
+    finally:
+        cap.release()
+
+
 # -- live-updating plot infrastructure (reference tools/plotting.py:175-708) -----------
 
 

@@ -38,6 +38,34 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: hardware lane (real chip; skipped on CPU CI)"
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast curated lane (`pytest -m smoke`, <5 min) — one cheap "
+        "module per subsystem; the FULL suite plus the tpu lane remain the "
+        "round-end gate",
+    )
+
+
+# fast lane: one representative (cheap) module per subsystem. Keep the
+# combined `pytest -m smoke` runtime under ~5 minutes — it exists so quick
+# iterations have a meaningful gate between full-suite runs, not instead
+# of them.
+_SMOKE_MODULES = {
+    "tests/grids/test_grids.py",
+    "tests/grids/test_boundaries.py",
+    "tests/fields/test_fields.py",
+    "tests/models/test_pdes.py",
+    "tests/models/test_expression_pde.py",
+    "tests/ops/test_cartesian_ops.py",
+    "tests/ops/test_pallas_vector.py",
+    "tests/solvers/test_solvers.py",
+    "tests/storage/test_storage.py",
+    "tests/trackers/test_trackers.py",
+    "tests/utils/test_utils.py",
+    "tests/visualization/test_visualization.py",
+    "tests/test_backends.py",
+    "tests/test_docs_audit.py",
+}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -48,12 +76,16 @@ def pytest_collection_modifyitems(config, items):
     skip_cpu = pytest.mark.skip(
         reason="CPU-oracle test: not run on the hardware lane"
     )
+    rootdir = str(config.rootpath)
     for item in items:
         has_tpu_mark = "tpu" in item.keywords
         if has_tpu_mark and not on_tpu:
             item.add_marker(skip_tpu)
         elif not has_tpu_mark and on_tpu:
             item.add_marker(skip_cpu)
+        rel = os.path.relpath(str(item.fspath), rootdir).replace(os.sep, "/")
+        if rel in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
 
 
 @pytest.fixture

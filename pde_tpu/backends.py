@@ -234,11 +234,25 @@ def _register_default_pallas_operators():
         CylindricalSymGrid, "laplace", _pallas_laplace_factory
     )
     for op_name in (
-        "gradient", "gradient_squared", "divergence", "vector_laplace"
+        "gradient", "gradient_squared", "divergence", "vector_laplace",
+        "vector_gradient", "tensor_divergence",
     ):
         PallasBackend.register_operator(
             CartesianGrid, op_name, _make_pallas_stencil_factory(op_name)
         )
+    # DELIBERATE SCOPE: PolarSymGrid/SphericalSymGrid are 1-D radial grids
+    # (the reference registers laplace/gradient/divergence/... for them,
+    # `backends/numba/operators/{polar,spherical}_sym.py`). A Pallas kernel
+    # has nothing to win there — a 1-D stencil on at most a few thousand
+    # points is a single VPU pass with no HBM traffic to block or fuse — so
+    # those grids stay unregistered and raise PallasUnsupportedError with
+    # the backend='jax' pointer. CylindricalSymGrid registers only laplace
+    # (per-row radial coefficients): its rank-1/2 operators carry v_r/r
+    # cross terms the standalone stencil kernel does not model, and their
+    # solver-context compositions already fuse through the expression
+    # windows (`ops/cylindrical.py`, round-4). tests/test_backends_depth.py
+    # asserts the full reference registry is either served or documented
+    # here.
 
 
 _register_default_pallas_operators()

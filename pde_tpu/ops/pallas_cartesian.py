@@ -1222,6 +1222,31 @@ _STENCIL_OP_BUILDERS: dict[str, tuple] = {
         True,
         lambda h, bc: lambda w: [h.lap(w[0], bc=bc), h.lap(w[1], bc=bc)],
     ),
+    # out[i, j] = d_j v_i, flattened row-major (reference
+    # `backends/numba/operators/cartesian.py:1026`)
+    "vector_gradient": (
+        2, 4,
+        False,
+        lambda h, bc: lambda w: [
+            h.d_row(w[0], bc=bc), h.d_col(w[0], bc=bc),
+            h.d_row(w[1], bc=bc), h.d_col(w[1], bc=bc),
+        ],
+    ),
+    # out[i] = sum_j d_j t_ij with t flattened row-major (reference
+    # `backends/numba/operators/cartesian.py:1076`)
+    "tensor_divergence": (
+        4, 2,
+        False,
+        lambda h, bc: lambda w: [
+            h.d_row(w[0], bc=bc) + h.d_col(w[1], bc=bc),
+            h.d_row(w[2], bc=bc) + h.d_col(w[3], bc=bc),
+        ],
+    ),
+}
+
+#: rank-2 outputs reshape their stacked planes back to tensor axes
+_STENCIL_OP_OUT_PREFIX: dict[str, tuple[int, ...]] = {
+    "vector_gradient": (2, 2),
 }
 
 
@@ -1231,9 +1256,9 @@ def make_stencil_op_pallas(
 ) -> Callable:
     """Single-application Pallas lowering of a first-order stencil operator
     (2D Cartesian grids): gradient, gradient_squared, divergence,
-    vector_laplace — the `backend="pallas"` operator registry entries
-    beyond laplace (which has its own temporally-blockable kernel,
-    :func:`make_laplace_pallas`).
+    vector_laplace, vector_gradient, tensor_divergence — the
+    `backend="pallas"` operator registry entries beyond laplace (which has
+    its own temporally-blockable kernel, :func:`make_laplace_pallas`).
 
     One banded pass: per program, 3 DMAs per input plane (band + two 8-row
     halos), the helpers' stencil primitives with affine ghost fixups, one
@@ -1333,11 +1358,22 @@ def make_stencil_op_pallas(
         interpret=interpret,
     )
 
+    out_prefix = _STENCIL_OP_OUT_PREFIX.get(op_name)
+
     def op(data, t=0.0, args=None):
         data = jnp.asarray(data, dtype=dtype)
-        planes = [data] if n_in == 1 else [data[f] for f in range(n_in)]
+        if n_in == 1:
+            planes = [data]
+        else:  # rank-1/2 inputs flatten to component planes (row-major)
+            flat = data.reshape((n_in,) + data.shape[-2:])
+            planes = [flat[f] for f in range(n_in)]
         outs = call(*planes)
-        return outs[0] if n_out == 1 else jnp.stack(outs)
+        if n_out == 1:
+            return outs[0]
+        out = jnp.stack(outs)
+        if out_prefix is not None:
+            out = out.reshape(out_prefix + out.shape[1:])
+        return out
 
     return op
 

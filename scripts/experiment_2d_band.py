@@ -114,7 +114,7 @@ def measure(label, win, k):
           flush=True)
 
 
-for band, k, mb in [
+CONFIGS = [
     (128, 16, None),   # production configuration (baseline)
     (256, 16, 48),
     (512, 16, 64),
@@ -122,7 +122,16 @@ for band, k, mb in [
     (256, 32, 64),
     (512, 32, 100),
     (128, 32, 48),
-]:
+]
+
+# remote TPU compiles can wedge for >15 min (CLAUDE.md); run ONE config per
+# process (`experiment_2d_band.py <idx>`) so the driver can bound each with
+# its own timeout instead of losing the whole sweep to one stuck compile
+selected = (
+    [CONFIGS[int(sys.argv[1])]] if len(sys.argv) > 1 else CONFIGS
+)
+
+for band, k, mb in selected:
     try:
         win = make_kernel(band, k, vmem_mb=mb)
         measure(f"band={band} k={k} vmem={mb or 16}M", win, k)

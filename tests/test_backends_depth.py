@@ -256,13 +256,20 @@ def test_pallas_backend_operator_registry(rng, monkeypatch):
         np.asarray(pde.ScalarField.random_uniform(grid, rng=rng).data)
         for _ in range(2)
     ])
-    for op_name in ("divergence", "vector_laplace"):
+    for op_name in ("divergence", "vector_laplace", "vector_gradient"):
         op_p = backend.make_operator(grid, op_name, bc="periodic")
         ref_o = grid.make_operator(op_name, bc="periodic")(vec)
         np.testing.assert_allclose(
             np.asarray(op_p(np.asarray(vec, np.float32))),
             np.asarray(ref_o), rtol=1e-5, atol=1e-6,
         )
+    tens = np.stack([vec, vec[::-1] * 0.5])  # (2, 2, n, n) rank-2 input
+    op_t = backend.make_operator(grid, "tensor_divergence", bc="periodic")
+    ref_t = grid.make_operator("tensor_divergence", bc="periodic")(tens)
+    np.testing.assert_allclose(
+        np.asarray(op_t(np.asarray(tens, np.float32))),
+        np.asarray(ref_t), rtol=1e-5, atol=1e-6,
+    )
     # non-periodic affine BCs lower into the standalone kernels too
     grid_n = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
     fld_n = pde.ScalarField.random_uniform(grid_n, rng=rng)
@@ -277,8 +284,80 @@ def test_pallas_backend_operator_registry(rng, monkeypatch):
 
     # the registry is honest: unregistered operators raise instead of
     # silently serving the XLA factory (round-3 verdict)
-    with pytest.raises(NotImplementedError, match="tensor_divergence"):
-        backend.make_operator(grid, "tensor_divergence", bc="periodic")
+    with pytest.raises(NotImplementedError, match="poisson_solver"):
+        backend.make_operator(grid, "poisson_solver", bc="periodic")
+
+
+def test_pallas_registry_covers_reference_numba_set(monkeypatch):
+    """Every (grid, operator) the reference's native backend registers
+    (`/root/reference/pde/backends/numba/operators/{cartesian,polar_sym,
+    spherical_sym,cylindrical_sym}.py`) is either registered here or raises
+    PallasUnsupportedError for a documented reason (1-D radial grids and
+    cylindrical rank-1/2 operators stay on backend='jax' — see
+    pde_tpu/backends.py:_register_default_pallas_operators)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.backends import PallasBackend
+
+    reference_registry = {
+        pde.CartesianGrid: {
+            "laplace", "gradient", "gradient_squared", "divergence",
+            "vector_gradient", "vector_laplace", "tensor_divergence",
+        },
+        pde.PolarSymGrid: {
+            "laplace", "gradient", "gradient_squared", "divergence",
+            "vector_gradient", "tensor_divergence",
+        },
+        pde.SphericalSymGrid: {
+            "laplace", "gradient", "gradient_squared", "divergence",
+            "vector_gradient", "tensor_divergence",
+            "tensor_double_divergence",
+        },
+        pde.CylindricalSymGrid: {
+            "laplace", "gradient", "gradient_squared", "divergence",
+            "vector_gradient", "vector_laplace", "tensor_divergence",
+        },
+    }
+    # documented deliberate gaps: 1-D radial grids (no HBM traffic for a
+    # Pallas kernel to win) and cylindrical operators beyond laplace (their
+    # solver-context compositions fuse through the expression windows)
+    documented_unregistered = {
+        (pde.PolarSymGrid, op) for op in reference_registry[pde.PolarSymGrid]
+    } | {
+        (pde.SphericalSymGrid, op)
+        for op in reference_registry[pde.SphericalSymGrid]
+    } | {
+        (pde.CylindricalSymGrid, op)
+        for op in reference_registry[pde.CylindricalSymGrid]
+        if op != "laplace"
+    }
+    grids = {
+        pde.CartesianGrid: pde.UnitGrid([16, 16], periodic=True),
+        pde.PolarSymGrid: pde.PolarSymGrid(1.0, 16),
+        pde.SphericalSymGrid: pde.SphericalSymGrid(1.0, 16),
+        pde.CylindricalSymGrid: pde.CylindricalSymGrid(1.0, (0, 1), (16, 16)),
+    }
+    backend = get_backend("pallas")
+    for grid_cls, ops in reference_registry.items():
+        grid = grids[grid_cls]
+        registered = set(PallasBackend.registered_operators(grid))
+        for op_name in sorted(ops):
+            if (grid_cls, op_name) in documented_unregistered:
+                assert op_name not in registered, (
+                    f"{grid_cls.__name__}.{op_name} is documented as "
+                    "unregistered but the registry serves it — update the "
+                    "documented_unregistered set AND the backends.py note"
+                )
+                bc = "periodic" if grid_cls is pde.CartesianGrid else {
+                    "derivative": 0
+                }
+                with pytest.raises(NotImplementedError):
+                    backend.make_operator(grid, op_name, bc=bc)
+            else:
+                assert op_name in registered, (
+                    f"{grid_cls.__name__}.{op_name}: the reference numba "
+                    "backend registers it; register a kernel or document "
+                    "the gap"
+                )
 
 
 def test_pallas_backend_operator_unsupported(monkeypatch):

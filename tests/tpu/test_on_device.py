@@ -551,12 +551,18 @@ def test_pallas_operator_registry_on_chip(rng, monkeypatch):
             np.asarray(op_p(data)), np.asarray(ref), rtol=1e-5, atol=1e-5,
         )
     vec = np.stack([data, data[::-1].copy()])
-    for op_name in ("divergence", "vector_laplace"):
+    for op_name in ("divergence", "vector_laplace", "vector_gradient"):
         op_p = backend.make_operator(grid, op_name, bc="periodic")
         ref = grid.make_operator(op_name, bc="periodic")(vec)
         np.testing.assert_allclose(
             np.asarray(op_p(vec)), np.asarray(ref), rtol=1e-5, atol=1e-5,
         )
+    tens = np.stack([vec, vec[::-1] * 0.5])  # rank-2 (2, 2, n, n)
+    op_t = backend.make_operator(grid, "tensor_divergence", bc="periodic")
+    ref_t = grid.make_operator("tensor_divergence", bc="periodic")(tens)
+    np.testing.assert_allclose(
+        np.asarray(op_t(tens)), np.asarray(ref_t), rtol=1e-5, atol=1e-5,
+    )
     # affine physical BCs in the standalone kernels
     grid_n = pde.CartesianGrid([(0, 1), (0, 2)], (128, 128))
     f_n = _f32(pde.ScalarField.random_uniform(grid_n, rng=rng))

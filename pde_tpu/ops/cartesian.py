@@ -74,7 +74,15 @@ def _set_corner_points_2d(grid: CartesianGrid):
     return set_corners
 
 
-def _make_laplace_stencil(grid: CartesianGrid, corner_weight: float | None = None):
+def _make_laplace_stencil(
+    grid: CartesianGrid,
+    corner_weight: float | None = None,
+    *,
+    skip_corner_setter: bool = False,
+):
+    """``skip_corner_setter``: the boundary object fills ghost corners
+    itself (ShardedBoundaries — the serial local corner wrap is wrong on a
+    cut axis)."""
     n = grid.num_axes
     scales = grid.discretization**-2
     sl = _slicer(n)
@@ -111,7 +119,10 @@ def _make_laplace_stencil(grid: CartesianGrid, corner_weight: float | None = Non
                 [0.25 * dm2 * w, sx * (1 - w), 0.25 * dm2 * w],
             ]
         )
-        set_corners = _set_corner_points_2d(grid)
+        set_corners = (
+            (lambda full: full) if skip_corner_setter
+            else _set_corner_points_2d(grid)
+        )
 
         def stencil(full):
             full = set_corners(full)
@@ -175,7 +186,11 @@ def make_laplace(
     """
     if spectral:
         return _make_laplace_spectral(grid)
-    return wrap_with_bcs(grid, bcs, 0, _make_laplace_stencil(grid, corner_weight))
+    stencil = _make_laplace_stencil(
+        grid, corner_weight,
+        skip_corner_setter=getattr(bcs, "sets_corner_ghosts", False),
+    )
+    return wrap_with_bcs(grid, bcs, 0, stencil)
 
 
 def _make_axis_diff(grid: CartesianGrid, axis: int, method: str):
@@ -288,7 +303,10 @@ def make_vector_gradient(grid: CartesianGrid, bcs=None, *, method: str = "centra
 @CartesianGrid.register_operator("vector_laplace", rank_in=1, rank_out=1)
 def make_vector_laplace(grid: CartesianGrid, bcs=None) -> Callable:
     """Vector Laplacian: out[i] = ∇²v_i."""
-    return wrap_with_bcs(grid, bcs, 1, _vectorize(_make_laplace_stencil(grid), grid.dim))
+    stencil = _make_laplace_stencil(
+        grid, skip_corner_setter=getattr(bcs, "sets_corner_ghosts", False)
+    )
+    return wrap_with_bcs(grid, bcs, 1, _vectorize(stencil, grid.dim))
 
 
 @CartesianGrid.register_operator("tensor_divergence", rank_in=2, rank_out=1)

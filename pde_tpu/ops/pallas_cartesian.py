@@ -257,6 +257,10 @@ def _supports_fused_shape_2d(
 
 def supports_affine_laplace(grid, dtype, k: int = 1) -> bool:
     """Check the preconditions of the fused kernel (fully periodic case)."""
+    if _corner_weight() != 0.0 and k > _HALO:
+        # the 9-point temporal block caps at one halo granule (see the
+        # k-cap note in make_affine_laplace_2d)
+        return False
     # fully periodic: bf16 works through the MXU lane path
     return _supports_fused_shape_2d(
         grid, dtype, k, allow_bf16=True
@@ -795,6 +799,17 @@ def make_affine_laplace_2d(
             "The fused 9-point corner-weight Laplacian requires a fully "
             "periodic 2D Cartesian grid with float32 data"
         )
+    if corner_w != 0.0 and k > _HALO:
+        # cap the 9-point temporal block at one halo granule: XLA:CPU
+        # rounds the lap9 expression SHAPE-dependently for deeper work
+        # regions (k=16 differs from two k=8 windows by 1 ulp on rare
+        # cells — measured, round 5), which would break chunk consistency
+        # and the sharded-vs-serial bit-identity invariant (the ext kernel
+        # caps at k=8 already). The probing callers halve k on this error.
+        raise PallasUnsupportedError(
+            "The fused 9-point corner-weight Laplacian caps the temporal "
+            f"block at k={_HALO}"
+        )
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1006,7 +1021,15 @@ def make_affine_laplace_2d(
                 # Patra-Karttunen; ref numba/operators/cartesian.py:109-192):
                 # roll the WHOLE work region so the diagonal neighbors are
                 # row-slices of the same two lane rolls the 5-point form
-                # pays — no extra lane relayouts, only adds/multiplies
+                # pays — no extra lane relayouts, only adds/multiplies.
+                # The temporal block is capped at k <= _HALO for this
+                # stencil (gate below): XLA:CPU rounds this expression
+                # SHAPE-dependently at deeper work regions (k=16's 48-row
+                # window differs from two k=8 windows by 1 ulp on rare
+                # cells — measured, round 5), which would break chunk
+                # consistency and the sharded-vs-serial bit-identity
+                # invariant. Keep the ext-kernel branches
+                # (make_affine_laplace_ext_2d) term-for-term identical.
                 lroll = pltpu.roll(work, 1, 1)
                 rroll = pltpu.roll(work, n_cols - 1, 1)
                 center = work[1:-1, :]
@@ -4983,6 +5006,9 @@ def make_fused_euler_window_2d(
                 grid, (CartesianGrid, CylindricalSymGrid)
             ):
                 return False
+            if _corner_weight() != 0.0 and not is_cyl and kk > _HALO:
+                # 9-point k cap (see make_affine_laplace_2d)
+                return False
             n_r, n_c = grid.shape
             if not _fused_geometry_ok(n_r, n_c, np.dtype(dtype).itemsize, kk):
                 return False
@@ -5436,15 +5462,41 @@ def make_affine_laplace_ext_2d(
     ``row_offset + local row``, where the caller supplies ``row_offset =
     shard_index * local_rows`` via the flags array.
     """
+    corner_w = 0.0
     if radial is None:
-        # KNOWN ASYMMETRY under a configured corner weight: the SERIAL
-        # fully periodic kernel lowers the 9-point stencil
-        # (make_affine_laplace_2d) while this ext kernel refuses, so a
-        # decomposed run falls back to sharded XLA — results then agree
-        # with the serial fused run only to f32 tolerance, not bitwise.
-        # Cylindrical grids are exempt: the 2D-cartesian config key does
-        # not alter their stencil (round-3 advisor finding).
-        _require_default_laplace_stencil()
+        # the configured 9-point corner-weight stencil lowers here under
+        # the SAME gate as the serial kernel (fully periodic + f32): the
+        # halo exchange already carries corner data (temporal blocking
+        # needs it for the 5-point form too), so decomposed runs stay
+        # bit-identical to the serial fused kernel (round-4 advisor
+        # finding closed; formerly a documented asymmetry — the ext kernel
+        # refused and decomposed runs fell back to sharded XLA). Other
+        # corner-weight configs (physical BCs need the corner-ghost
+        # extrapolation; bf16) refuse like the serial kernel. Cylindrical
+        # grids are exempt: the 2D-cartesian config key does not alter
+        # their stencil (round-3 advisor finding).
+        corner_w = _corner_weight()
+        if corner_w != 0.0 and (
+            bc_specs is not None
+            or np.dtype(dtype) == np.dtype(jnp.bfloat16)
+        ):
+            raise PallasUnsupportedError(
+                "The fused 9-point corner-weight stencil requires a fully "
+                "periodic grid with float32 data "
+                "(laplacian_2d_corner_weight != 0 falls back to XLA)"
+            )
+        if corner_w != 0.0 and ext_cols:
+            # column-cut decompositions read column neighbors as SLICES of
+            # the halo-extended block while the serial kernel uses lane
+            # rolls — XLA:CPU rounds the two (mathematically identical)
+            # graphs differently on rare cells (1 ulp, measured round 5),
+            # which would break the sharded-vs-serial bit-identity
+            # invariant. Row-cut decompositions keep the roll-based column
+            # graph and lower below; column cuts take the XLA fallback.
+            raise PallasUnsupportedError(
+                "The fused 9-point corner-weight stencil supports row-cut "
+                "decompositions only (column cuts fall back to XLA)"
+            )
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -5614,6 +5666,29 @@ def make_affine_laplace_ext_2d(
                 halo - k : halo + k + band, halo - k : halo + k + n_cols
             ]
             for s in range(k):
+                if corner_w != 0.0:
+                    # 9-point corner-weight stencil, term-for-term the
+                    # serial lowering's arithmetic (bit-identity; see the
+                    # k-cap note in make_affine_laplace_2d): the diagonals
+                    # are row-slices of the column-extended block
+                    dm2 = sx + sy
+                    center = work[1:-1, 1:-1]
+                    lap9 = (
+                        ((1.0 - corner_w) * sx)
+                        * (work[:-2, 1:-1] + work[2:, 1:-1])
+                        + ((1.0 - corner_w) * sy)
+                        * (work[1:-1, :-2] + work[1:-1, 2:])
+                        + (0.25 * corner_w * dm2)
+                        * (
+                            work[:-2, :-2]
+                            + work[2:, :-2]
+                            + work[:-2, 2:]
+                            + work[2:, 2:]
+                        )
+                        + ((corner_w - 2.0) * dm2) * center
+                    )
+                    work = a * center + b * lap9
+                    continue
                 work = fix_rows(work, s)
                 if bc_cols is not None:
                     lo, hi = bc_cols
@@ -5648,6 +5723,30 @@ def make_affine_laplace_ext_2d(
         else:
             work = work_ref[halo - k : halo + k + band, :]
             for s in range(k):
+                if corner_w != 0.0:
+                    # 9-point stencil with locally periodic columns: the
+                    # exact serial lowering (diagonals as row-slices of the
+                    # same two lane rolls; see the k-cap note in
+                    # make_affine_laplace_2d)
+                    lroll = pltpu.roll(work, 1, 1)
+                    rroll = pltpu.roll(work, n_cols - 1, 1)
+                    center = work[1:-1, :]
+                    dm2 = sx + sy
+                    lap9 = (
+                        ((1.0 - corner_w) * sx) * (work[:-2, :] + work[2:, :])
+                        + ((1.0 - corner_w) * sy)
+                        * (lroll[1:-1, :] + rroll[1:-1, :])
+                        + (0.25 * corner_w * dm2)
+                        * (
+                            lroll[:-2, :]
+                            + lroll[2:, :]
+                            + rroll[:-2, :]
+                            + rroll[2:, :]
+                        )
+                        + ((corner_w - 2.0) * dm2) * center
+                    )
+                    work = a * center + b * lap9
+                    continue
                 work = fix_rows(work, s)
                 up = work[:-2, :]
                 center = work[1:-1, :]

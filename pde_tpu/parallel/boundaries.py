@@ -35,6 +35,12 @@ class ShardedBoundaries(BoundariesBase):
     """Boundary conditions on a decomposed grid: physical BCs at global edges,
     ppermute halo exchange at internal shard boundaries."""
 
+    #: the ghost setter fills ghost-frame CORNERS itself when the 9-point
+    #: stencil is configured (see _make_corner_pass) — stencils must NOT
+    #: apply the serial local corner setter on top (it wraps locally, which
+    #: is wrong on a cut axis)
+    sets_corner_ghosts = True
+
     def __init__(self, mesh, bcs: BoundariesList):
         from .mesh import GridMesh
 
@@ -87,12 +93,113 @@ class ShardedBoundaries(BoundariesBase):
                     self._make_physical_exchanger(a, n_shards, set_low, set_high)
                 )
 
+        corner_pass = self._make_corner_pass()
+
         def setter(full, t=0.0, args=None):
             for s in axis_setters:
                 full = s(full, t, args)
+            if corner_pass is not None:
+                full = corner_pass(full)
             return full
 
+        if corner_pass is not None:
+            setter.sets_corner_ghosts = True
         return setter
+
+    def _make_corner_pass(self):
+        """Ghost-frame CORNER values for the 9-point corner-weight stencil.
+
+        The per-axis setters fill ghost rows/columns at interior positions
+        only, and the serial corner setter (`ops/cartesian.py:
+        _set_corner_points_2d`) wraps LOCALLY — wrong on a cut axis, where
+        the corner value lives on the diagonal neighbor. This pass routes
+        corners with the serial setter's precedence (periodic axis 0, else
+        periodic axis 1, else extrapolation), fetching remote data in one
+        ppermute hop off the already-filled ghost layers (two hops total —
+        the same trick the fused ext kernels rely on). ``None`` (no pass,
+        zero overhead) unless the 9-point stencil is configured on a 2D
+        grid — 5-point stencils never read corners.
+        """
+        from ..utils.config import config
+
+        if (
+            self.grid.num_axes != 2
+            or float(config["operators.cartesian.laplacian_2d_corner_weight"])
+            == 0.0
+        ):
+            return None
+        mesh = self.mesh
+        per = [bool(bpair.periodic) for bpair in self._global_bcs]
+        n0, n1 = mesh.decomposition
+        names = mesh.axis_names
+
+        def at(full, i, j):
+            return (slice(None),) * (full.ndim - 2) + (i, j)
+
+        def route(full, axis, n, circular):
+            """Fill the two corners on each side of `axis` by applying the
+            axis wrap/exchange to the other axis's (filled) ghost layers."""
+            name = names[axis]
+            for g in (0, -1):  # the OTHER axis's ghost layer index
+                if axis == 0:
+                    src_low = full[at(full, -2, g)]
+                    src_high = full[at(full, 1, g)]
+                else:
+                    src_low = full[at(full, g, -2)]
+                    src_high = full[at(full, g, 1)]
+                if n > 1:
+                    if circular:
+                        fwd = [(i, (i + 1) % n) for i in range(n)]
+                        bwd = [(i, (i - 1) % n) for i in range(n)]
+                    else:
+                        fwd = [(i, i + 1) for i in range(n - 1)]
+                        bwd = [(i, i - 1) for i in range(1, n)]
+                    src_low = jax.lax.ppermute(src_low, name, fwd)
+                    src_high = jax.lax.ppermute(src_high, name, bwd)
+                lo = at(full, 0, g) if axis == 0 else at(full, g, 0)
+                hi = at(full, -1, g) if axis == 0 else at(full, g, -1)
+                if circular or n == 1:
+                    full = full.at[lo].set(src_low).at[hi].set(src_high)
+                else:
+                    # open chain: edge shards received zeros — keep their
+                    # previous corner values (filled by the other route)
+                    idx = jax.lax.axis_index(name)
+                    full = full.at[lo].set(
+                        jnp.where(idx > 0, src_low, full[lo])
+                    )
+                    full = full.at[hi].set(
+                        jnp.where(idx < n - 1, src_high, full[hi])
+                    )
+            return full
+
+        def corner_pass(full):
+            if per[0]:
+                # serial periodic_x branch: corners wrap along axis 0 into
+                # the ghost columns (any y condition rides along in them)
+                return route(full, 0, n0, circular=True)
+            if per[1]:
+                return route(full, 1, n1, circular=True)
+            # both axes physical: inner corners along each cut axis carry
+            # the neighbor's ghost-layer data; the four GLOBAL corners use
+            # the serial extrapolation 0.5*(adjacent ghosts)
+            full = route(full, 0, n0, circular=False)
+            full = route(full, 1, n1, circular=False)
+            i0 = jax.lax.axis_index(names[0]) if n0 > 1 else 0
+            i1 = jax.lax.axis_index(names[1]) if n1 > 1 else 0
+            at_lo0, at_hi0 = i0 == 0, i0 == n0 - 1
+            at_lo1, at_hi1 = i1 == 0, i1 == n1 - 1
+            for (e0, e1), (ci, cj), (ai, aj), (bi, bj) in (
+                ((at_lo0, at_lo1), (0, 0), (0, 1), (1, 0)),
+                ((at_hi0, at_lo1), (-1, 0), (-1, 1), (-2, 0)),
+                ((at_lo0, at_hi1), (0, -1), (0, -2), (1, -1)),
+                ((at_hi0, at_hi1), (-1, -1), (-1, -2), (-2, -1)),
+            ):
+                val = 0.5 * (full[at(full, *(ai, aj))] + full[at(full, *(bi, bj))])
+                c = at(full, ci, cj)
+                full = full.at[c].set(jnp.where(e0 & e1, val, full[c]))
+            return full
+
+        return corner_pass
 
     # -- per-side physical setters ---------------------------------------------------
     def _make_slice_boundary(self, axis: int) -> Callable:

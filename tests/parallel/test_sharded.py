@@ -326,6 +326,64 @@ def test_sharded_fused_window_bc_parity(decomposition, bc, rng, monkeypatch):
     )
 
 
+@pytest.mark.parametrize(
+    "decomposition, fuses",
+    [([2, 1], True), ([4, 1], True), ([1, 2], False), ([2, 2], False)],
+    ids=["rows-2", "rows-4", "cols", "both"],
+)
+def test_sharded_corner_weight_bit_identical(
+    decomposition, fuses, rng, monkeypatch
+):
+    """The configured 9-point corner-weight stencil lowers in the
+    halo-extended kernel for ROW-cut decompositions (the diagonal halo data
+    already flows for temporal blocking, and the roll-based column graph
+    matches the serial kernel's), staying BIT-identical to the serial fused
+    kernel — narrowing the round-4 documented asymmetry. Column cuts keep
+    the XLA fallback: their slice-based column graph rounds differently
+    from the serial rolls on rare cells (XLA:CPU codegen, 1 ulp)."""
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.1)
+    with pde.config({"operators.cartesian.laplacian_2d_corner_weight": 1 / 3}):
+        solver = EulerSolver(eq, decomposition=decomposition)
+        res = Controller(solver, t_range=0.05, tracker=None).run(
+            state, dt=1e-3
+        )
+        assert solver.info.get("fused_step") is (True if fuses else None)
+
+        solver1 = EulerSolver(eq)
+        res1 = Controller(solver1, t_range=0.05, tracker=None).run(
+            state, dt=1e-3
+        )
+        assert solver1.info.get("fused_step") is True
+
+        monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+        ref = eq.solve(state, t_range=0.05, dt=1e-3, tracker=None)
+        monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    if fuses:
+        np.testing.assert_array_equal(
+            np.asarray(res.data), np.asarray(res1.data)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+        )
+    else:
+        # XLA fallback on the decomposed side: the sharded ghost setter's
+        # corner pass routes diagonal data (a LOCAL corner wrap corrupts
+        # cut-axis corners — before the round-5 fix this diverged by 6.8e-4
+        # after 50 steps). Agreement is near-ulp rather than bitwise:
+        # XLA:CPU rounds the 9-point expression shape-dependently at the
+        # 1-ulp level (measured: 1 cell in 256 after 50 steps), the same
+        # codegen artifact that caps the fused 9-point temporal block.
+        np.testing.assert_allclose(
+            np.asarray(res.data), np.asarray(ref.data), rtol=5e-15, atol=0
+        )
+
+
 def test_sharded_fused_multi_field_parity(rng, monkeypatch):
     """Decomposed coupled expression PDEs hit the multi-field fused kernel."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")

@@ -165,6 +165,20 @@ class PDEBase:
         eq = PDE({"c": rhs}, bc=bc)
         return eq.make_fused_rk4_window(state, dt, mesh=mesh)
 
+    def make_fused_ab2_window(self, state: FieldBase, dt: float, mesh=None):
+        """Fused Pallas fixed-dt Adams-Bashforth window via the expression
+        stencil lowering (see
+        :meth:`pde_tpu.models.pde.PDE.make_fused_ab2_window`)."""
+        from .pde import PDE
+
+        if self.is_sde:
+            raise NotImplementedError(
+                "Adams-Bashforth windows do not support noise"
+            )
+        rhs, bc = self._fused_rhs()
+        eq = PDE({"c": rhs}, bc=bc)
+        return eq.make_fused_ab2_window(state, dt, mesh=mesh)
+
     # -- lowering to raw-data functions ----------------------------------------------------
     def make_pde_rhs(self, state: FieldBase, backend: str = "jax") -> Callable:
         """Return ``rhs(leaves, t) -> leaves`` operating on raw data arrays.

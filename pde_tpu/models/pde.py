@@ -921,6 +921,30 @@ class PDE(SDEBase):
             )
         return self._emit_fused_window(state, dt, mesh, kind="rk4")
 
+    def make_fused_ab2_window(self, state: FieldBase, dt: float, mesh=None):
+        """Emit a fused Pallas temporal-blocking window advancing fixed-dt
+        second-order Adams-Bashforth steps.
+
+        The carried previous-rate planes ride as EXTRA fields of the
+        multi-field window (they shrink with the light cone like any plane
+        but consume no halo themselves), so ``halo_per_step = depth`` —
+        the same temporal-block budget as the Euler window. The window
+        declares ``n_aux`` carried planes; the solver bootstraps them with
+        its backward-Euler guess and persists them across tracker windows
+        (`solvers/adams_bashforth.py`; reference compiles every solver's
+        loop in its fastest engine,
+        `/root/reference/pde/backends/numba/_solvers.py:469`).
+
+        Vector states do not fuse here (the rate planes would need the
+        stacked-leaf adapter applied to half the window's fields);
+        stochastic equations are rejected like the reference's AB solver.
+        """
+        if self.is_sde:
+            raise NotImplementedError(
+                "Adams-Bashforth windows do not support noise"
+            )
+        return self._emit_fused_window(state, dt, mesh, kind="ab2")
+
     def _emit_fused_window(self, state: FieldBase, dt: float, mesh, *, kind):
         from ..ops.pallas_cartesian import (
             PallasUnsupportedError,
@@ -1023,6 +1047,31 @@ class PDE(SDEBase):
 
                 return step
 
+        elif kind == "ab2":
+            if has_vector:
+                raise NotImplementedError(
+                    "Fused AB2 windows do not support vector states"
+                )
+            halo_per_step = depth
+
+            def make_multi_step(ops):
+                rhs_fns = lower_rhs_fns(ops)
+
+                def step(all_works):
+                    # planes [0:n] = states, [n:2n] = previous rates (no
+                    # stencil reads them — trim keeps shapes in lockstep)
+                    works = all_works[:n_planes]
+                    prevs = all_works[n_planes:]
+                    rates = plane_rates(ops, rhs_fns, works)
+                    new = [
+                        ops.trim(w, depth)
+                        + dt * (1.5 * rc - 0.5 * ops.trim(rp, depth))
+                        for w, rc, rp in zip(works, rates, prevs, strict=True)
+                    ]
+                    return new + list(rates)
+
+                return step
+
         else:
             halo_per_step = depth
 
@@ -1042,6 +1091,10 @@ class PDE(SDEBase):
 
                 return step
 
+        # AB2 carries its previous-rate planes as extra window fields
+        win_planes = 2 * n_planes if kind == "ab2" else n_planes
+        n_aux = n_planes if kind == "ab2" else 0
+
         if mesh is not None:
             # decomposed: all fields share the halo-extended kernel; halos
             # move via ppermute outside, physical (const-affine) BCs lower as
@@ -1052,12 +1105,13 @@ class PDE(SDEBase):
 
             try:
                 window = make_fused_multi_window_sharded(
-                    mesh, make_multi_step, halo_per_step, len(fields),
+                    mesh, make_multi_step, halo_per_step, win_planes,
                     dtype=fields[0].dtype, interpret=interpret,
                     bc_inputs=bc_inputs, dt=dt,
                 )
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err
+            window.n_aux = n_aux
             return window
 
         if grid.num_axes == 3:
@@ -1072,7 +1126,7 @@ class PDE(SDEBase):
 
             try:
                 window = make_chunked_multi_window_3d(
-                    grid, make_multi_step, halo_per_step, n_planes,
+                    grid, make_multi_step, halo_per_step, win_planes,
                     dtype=fields[0].dtype, interpret=interpret,
                     bc_inputs=bc_inputs, dt=dt,
                 )
@@ -1081,6 +1135,7 @@ class PDE(SDEBase):
             if has_vector:
                 window = _wrap_vector_planes(window, slots)
             window.multi_field = True
+            window.n_aux = n_aux
             return window
 
         if kind == "euler" and n_planes == 1:
@@ -1136,7 +1191,7 @@ class PDE(SDEBase):
 
         try:
             window = make_chunked_multi_window_2d(
-                grid, make_multi_step, halo_per_step, n_planes,
+                grid, make_multi_step, halo_per_step, win_planes,
                 dtype=fields[0].dtype, interpret=interpret,
                 bc_inputs=bc_inputs, dt=dt,
                 stage_offsets=(0.0, 0.5, 1.0) if kind == "rk4" else None,
@@ -1146,6 +1201,7 @@ class PDE(SDEBase):
         if has_vector:
             window = _wrap_vector_planes(window, slots)
         window.multi_field = True
+        window.n_aux = n_aux
         return window
 
     def make_post_step_hook(self, state: FieldBase):

@@ -15,13 +15,24 @@ from .base import SolverBase
 
 
 class AdamsBashforthSolver(SolverBase):
-    """Explicit second-order Adams-Bashforth solver with Euler bootstrap."""
+    """Explicit second-order Adams-Bashforth solver with Euler bootstrap.
+
+    Fixed-dt runs take the PDE's fused Pallas AB2 window when available
+    (``make_fused_ab2_window``: the carried previous-rate planes ride as
+    extra fields of the multi-field kernel, halo budget identical to
+    Euler); the solver bootstraps and persists the rate planes across
+    tracker windows exactly like this class's XLA loop.
+    """
 
     name = "adams-bashforth"
+    _fused_window_hook = "make_fused_ab2_window"
 
     def _make_fixed_stepper(self, state: FieldBase, dt: float) -> Callable:
         if getattr(self.pde, "is_sde", False):
             raise RuntimeError("Adams-Bashforth does not support stochastic equations")
+        fused = self._try_fused_window_stepper(state, dt)
+        if fused is not None:
+            return fused
         rhs = self.pde.make_pde_rhs(state)
         post_hook, post_data_init = self._make_post_step_hook(state)
         cast = self._make_dtype_cast(state)

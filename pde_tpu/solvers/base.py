@@ -286,6 +286,22 @@ class SolverBase:
         multi = getattr(window, "multi_field", False)
         needs_key = getattr(window, "needs_key", False)
         needs_t = getattr(window, "needs_t", False)
+        # multistep windows carry auxiliary planes (AB2: previous rates)
+        # appended to the state leaves; the solver bootstraps them exactly
+        # like its unfused stepper and persists them across tracker windows
+        n_aux = getattr(window, "n_aux", 0)
+        if n_aux:
+            rhs = self.pde.make_pde_rhs(state)
+
+            @jax.jit
+            def bootstrap_aux(leaves, t0):
+                rate0 = rhs(leaves, t0)
+                prev = [
+                    y - dt * r for y, r in zip(leaves, rate0, strict=True)
+                ]
+                return list(rhs(prev, t0 - dt))
+
+            self._fused_aux = None
         if mesh is None:
             self._logger.info("Using fused Pallas %s window", self.name)
             run = jax.jit(window)
@@ -298,7 +314,7 @@ class SolverBase:
 
             self._logger.info("Using sharded fused Pallas %s window", self.name)
             if multi:
-                data_spec = [mesh.partition_spec(0)] * n_leaves
+                data_spec = [mesh.partition_spec(0)] * (n_leaves + n_aux)
             else:
                 data_spec = mesh.partition_spec(0)
             # needs_key/needs_t windows take replicated extra args
@@ -337,7 +353,20 @@ class SolverBase:
             elif needs_t:
                 # time-dependent BC values: the window rebuilds its per-step
                 # const table from t_start
-                if multi:
+                if n_aux:
+                    if self._fused_aux is None:
+                        self._fused_aux = bootstrap_aux(leaves, t_start)
+                        if sharding is not None:
+                            self._fused_aux = [
+                                jax.device_put(x, sharding)
+                                for x in self._fused_aux
+                            ]
+                    out = list(run(
+                        leaves + list(self._fused_aux),
+                        jnp.asarray(t_start), jnp.asarray(steps),
+                    ))
+                    leaves, self._fused_aux = out[:n_leaves], out[n_leaves:]
+                elif multi:
                     leaves = list(
                         run(leaves, jnp.asarray(t_start), jnp.asarray(steps))
                     )
@@ -346,6 +375,18 @@ class SolverBase:
                     leaves = [
                         run(data, jnp.asarray(t_start), jnp.asarray(steps))
                     ]
+            elif n_aux:
+                if self._fused_aux is None:
+                    self._fused_aux = bootstrap_aux(leaves, t_start)
+                    if sharding is not None:
+                        self._fused_aux = [
+                            jax.device_put(x, sharding)
+                            for x in self._fused_aux
+                        ]
+                out = list(
+                    run(leaves + list(self._fused_aux), jnp.asarray(steps))
+                )
+                leaves, self._fused_aux = out[:n_leaves], out[n_leaves:]
             elif multi:
                 leaves = list(run(leaves, jnp.asarray(steps)))
             else:

@@ -17,7 +17,22 @@ from .euler import EulerSolver
 
 
 class MilsteinSolver(EulerSolver):
-    """Milstein method including the derivative-of-variance correction term."""
+    """Milstein method including the derivative-of-variance correction term.
+
+    FUSED PATH (inherited ``make_fused_euler_window``): sound exactly where
+    the window's gates admit it. The fused SDE window only accepts ADDITIVE
+    scalar noise (state-independent variance, the default
+    ``make_noise_variance``); there the Milstein correction
+    ``0.5·σ·∂σ/∂y·(ΔW²−dt)`` is identically zero, the scheme coincides with
+    Euler-Maruyama, and the realization matches this solver's XLA loop at
+    stencil-rounding level (measured 1 ulp; same key folding). PDEs that
+    OVERRIDE ``make_noise_variance`` (state-dependent σ, where the
+    correction is nonzero) make the window raise, so those configurations
+    always integrate through the XLA Milstein loop below — the fused path
+    can never silently drop the correction term. (Reference compiles its
+    Milstein loop in its fastest engine,
+    `/root/reference/pde/backends/numba/_solvers.py:469`.)
+    """
 
     name = "milstein"
 

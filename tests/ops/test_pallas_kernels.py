@@ -1543,6 +1543,206 @@ def test_fused_rk4_gating(rng, monkeypatch):
     solver_a.make_stepper(state_p, dt=1e-3)(state_p, 0.0, 0.01)
     assert solver_a.info.get("fused_step") is None
 
+# -- fused fixed-dt Adams-Bashforth windows ------------------------------------------
+# (the carried previous-rate planes ride as extra fields of the multi-field
+# window; the solver bootstraps them with its backward-Euler guess and
+# persists them across tracker windows — reference compiles every solver's
+# loop in its fastest engine, `numba/_solvers.py:469`)
+
+
+def _ab2_pair(eq, state, t_range, dt, monkeypatch, decomposition=None):
+    from pde_tpu.solvers.adams_bashforth import AdamsBashforthSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    solver = AdamsBashforthSolver(eq, decomposition=decomposition)
+    res, _ = solver.make_stepper(state, dt=dt)(state, 0.0, t_range)
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref_solver = AdamsBashforthSolver(eq)
+    ref, _ = ref_solver.make_stepper(state, dt=dt)(state, 0.0, t_range)
+    assert ref_solver.info.get("fused_step") is None
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    return res, ref, solver.info
+
+
+@pytest.mark.parametrize(
+    "make_eq, bc",
+    [
+        (lambda bc: pde.DiffusionPDE(0.2, bc=bc), "periodic"),
+        (lambda bc: pde.PDE({"c": "0.1 * laplace(c) - c**3 + c"}, bc=bc),
+         "periodic"),
+        # depth-2 (4 halo rows per AB step)
+        (lambda bc: pde.CahnHilliardPDE(interface_width=0.5,
+                                        bc_c=bc, bc_mu=bc), "periodic"),
+        # physical BCs as ghost fixups in the stepped planes
+        (lambda bc: pde.DiffusionPDE(0.1, bc=bc), {"derivative": 0}),
+        # t-dependent BC values via the per-step SMEM table (AB evaluates
+        # one rhs per step, so no stage machinery is needed)
+        (lambda bc: pde.DiffusionPDE(0.05, bc=bc),
+         {"x": {"derivative": 0}, "y-": {"value_expression": "sin(3 * t)"},
+          "y+": {"derivative": 0}}),
+    ],
+    ids=["diffusion", "allen-cahn", "cahn-hilliard", "noflux", "t-value"],
+)
+def test_fused_ab2_window_parity(make_eq, bc, rng, monkeypatch):
+    """Fused AB2 windows match the XLA AB stepper (fp64 interpret mode),
+    including the backward-Euler bootstrap of the carried rate."""
+    periodic = bc == "periodic"
+    grid = pde.UnitGrid([16, 16], periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = make_eq(bc)
+    res, ref, info = _ab2_pair(eq, state, 0.02, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_ab2_multi_field_and_3d_parity(rng, monkeypatch):
+    """Coupled systems (two states + two carried rates in one window) and
+    3D volumes through the AB2 lowering."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    u = pde.ScalarField.random_uniform(grid, rng=rng)
+    v = pde.ScalarField.random_uniform(grid, rng=rng)
+    u.label, v.label = "u", "v"
+    state = pde.FieldCollection([u, v])
+    eq = pde.PDE({
+        "u": "0.1 * laplace(u) + 1 - 2 * u + u**2 * v",
+        "v": "0.05 * laplace(v) + u - u**2 * v",
+    })
+    res, ref, info = _ab2_pair(eq, state, 0.02, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    for a, b in zip(res, ref, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.data), rtol=1e-12, atol=1e-13
+        )
+
+    grid3 = pde.UnitGrid([8, 8, 8], periodic=True)
+    state3 = pde.ScalarField.random_uniform(grid3, rng=rng)
+    res3, ref3, info3 = _ab2_pair(
+        pde.DiffusionPDE(0.05), state3, 0.02, 1e-3, monkeypatch
+    )
+    assert info3.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res3.data), np.asarray(ref3.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_ab2_sharded_parity(rng, monkeypatch):
+    """Decomposed AB2: state AND carried-rate planes through the
+    halo-extended kernel, matching the serial XLA stepper."""
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.2)
+    res, ref, info = _ab2_pair(
+        eq, state, 0.02, 1e-3, monkeypatch, decomposition=[2, 2]
+    )
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_fused_ab2_tracker_window_carry(rng, monkeypatch):
+    """The carried rate persists across tracker windows — splitting a run
+    into 4 windows must reproduce the single-window result exactly."""
+    from pde_tpu.solvers.adams_bashforth import AdamsBashforthSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.DiffusionPDE(0.2)
+
+    solver = AdamsBashforthSolver(eq)
+    stepper = solver.make_stepper(state, dt=1e-3)
+    out, t = stepper(state, 0.0, 0.02)
+    assert solver.info.get("fused_step") is True
+
+    solver_w = AdamsBashforthSolver(eq)
+    stepper_w = solver_w.make_stepper(state, dt=1e-3)
+    cur, t_cur = state, 0.0
+    for _ in range(4):
+        cur, t_cur = stepper_w(cur, t_cur, t_cur + 0.005)
+    np.testing.assert_array_equal(np.asarray(out.data), np.asarray(cur.data))
+
+
+def test_fused_ab2_gating(rng, monkeypatch):
+    """Principled AB2 fallbacks: vector states (the rate planes would need
+    the stacked-leaf adapter) fall back to the XLA loop; SDEs raise like
+    the reference's AB solver."""
+    from pde_tpu.solvers.adams_bashforth import AdamsBashforthSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    vstate = pde.VectorField.random_uniform(grid, rng=rng)
+    eq_v = pde.PDE({"u": "0.1 * vector_laplace(u)"})
+    solver_v = AdamsBashforthSolver(eq_v)
+    out_v, _ = solver_v.make_stepper(vstate, dt=1e-3)(vstate, 0.0, 0.01)
+    assert solver_v.info.get("fused_step") is None
+    assert "vector states" in solver_v.info.get("fused_unsupported", "")
+    assert np.all(np.isfinite(np.asarray(out_v.data)))
+
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    solver_s = AdamsBashforthSolver(pde.DiffusionPDE(0.1, noise=0.1))
+    with pytest.raises(RuntimeError, match="stochastic"):
+        solver_s.make_stepper(state, dt=1e-3)
+
+
+def test_fused_milstein_additive_exact_and_gating(rng, monkeypatch):
+    """Milstein's fused path is the Euler window and is EXACT for additive
+    noise (the ∂σ/∂y correction is identically zero there, and the key
+    folding matches); state-dependent variance makes the window raise so
+    the correction is never silently dropped."""
+    from pde_tpu.solvers.milstein import MilsteinSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.UnitGrid([16, 16], periodic=True)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+
+    def eq_factory():
+        return pde.DiffusionPDE(0.1, noise=0.1, rng=np.random.default_rng(5))
+
+    solver = MilsteinSolver(eq_factory())
+    res, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref_solver = MilsteinSolver(eq_factory())
+    ref, _ = ref_solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+    # state-dependent variance: the fused window must refuse (nonzero
+    # Milstein correction), keeping the XLA loop
+    class MultiplicativeDiffusion(pde.DiffusionPDE):
+        def make_noise_variance(self, state, *, ret_diff=False):
+            base = super().make_noise_variance(state, ret_diff=False)
+
+            def var_fn(leaves, t):
+                return [v * (1 + y**2) for v, y in zip(base(leaves, t), leaves)]
+
+            if not ret_diff:
+                return var_fn
+
+            def var_diff_fn(leaves, t):
+                return var_fn(leaves, t), [
+                    v * 2 * y for v, y in zip(base(leaves, t), leaves)
+                ]
+
+            return var_diff_fn
+
+    eq_m = MultiplicativeDiffusion(0.1, noise=0.1, rng=np.random.default_rng(5))
+    solver_m = MilsteinSolver(eq_m)
+    out_m, _ = solver_m.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
+    assert solver_m.info.get("fused_step") is None
+    assert np.all(np.isfinite(np.asarray(out_m.data)))
+
+
 # -- TIME-dependent ghost coefficients (mixed gamma varying in t) --------------------
 # (evaluated into the per-step SMEM t-table alongside const slots; the
 # reference re-evaluates its virtual-point factor arrays per step,

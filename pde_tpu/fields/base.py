@@ -23,6 +23,22 @@ class RankError(TypeError):
     """Error indicating that a field has the wrong rank."""
 
 
+def _unserialize_scalar(value):
+    """Decode one serialized attribute value.
+
+    The reference json-encodes every attribute value
+    (`/root/reference/pde/fields/base.py:419-429`), so ``class`` arrives as
+    ``'"ScalarField"'``; plain strings written by pre-round-5 versions of
+    this package pass through unchanged (back-compat).
+    """
+    if isinstance(value, str):
+        try:
+            return json.loads(value)
+        except (ValueError, TypeError):
+            return value
+    return value
+
+
 def field_from_serialized_attributes(attributes: dict, data=None) -> "FieldBase":
     """Reconstruct a field (incl. collections) from serialized attributes.
 
@@ -31,7 +47,7 @@ def field_from_serialized_attributes(attributes: dict, data=None) -> "FieldBase"
     """
     import jax.numpy as jnp
 
-    field_cls = FieldBase._subclasses[attributes["class"]]
+    field_cls = FieldBase._subclasses[_unserialize_scalar(attributes["class"])]
     kwargs = field_cls.unserialize_attributes(dict(attributes))
     kwargs.pop("class", None)
 
@@ -42,7 +58,7 @@ def field_from_serialized_attributes(attributes: dict, data=None) -> "FieldBase"
         fields = []
         for fa in sub_attrs:
             fa = dict(fa)
-            sub_cls = FieldBase._subclasses[fa.pop("class")]
+            sub_cls = FieldBase._subclasses[_unserialize_scalar(fa.pop("class"))]
             fa.pop("dtype", None)
             grid = fa.pop("grid")
             fields.append(sub_cls(grid, **fa))  # type: ignore[call-arg]
@@ -186,17 +202,20 @@ class FieldBase:
 
     @property
     def attributes_serialized(self) -> dict[str, str]:
+        # every value json-encoded except the grid state string — the
+        # reference's on-disk convention (`fields/base.py:419-429`), so
+        # movie/HDF5 metadata interchange byte-for-byte
         return {
-            "class": self.__class__.__name__,
+            "class": json.dumps(self.__class__.__name__),
             "grid": self.grid.state_serialized,
             "label": json.dumps(self.label),
-            "dtype": str(np.dtype(self.dtype.name)),
+            "dtype": json.dumps(np.dtype(self.dtype.name).str),
         }
 
     @classmethod
     def unserialize_attributes(cls, attributes: dict[str, str]) -> dict[str, Any]:
         if cls is FieldBase:
-            field_cls = cls._subclasses[attributes["class"]]
+            field_cls = cls._subclasses[_unserialize_scalar(attributes["class"])]
             return field_cls.unserialize_attributes(attributes)
         result: dict[str, Any] = {}
         for key, value in attributes.items():
@@ -205,7 +224,9 @@ class FieldBase:
             elif key == "label":
                 result[key] = json.loads(value)
             elif key == "dtype":
-                result[key] = np.dtype(value)
+                result[key] = np.dtype(_unserialize_scalar(value))
+            elif key == "class":
+                result[key] = _unserialize_scalar(value)
             else:
                 result[key] = value
         return result
@@ -250,7 +271,7 @@ class FieldBase:
         """Rebuild a single field from an HDF5 dataset written by `_write_hdf_dataset`."""
         attributes = {k: dataset.attrs[k] for k in dataset.attrs}
         data = np.array(dataset)
-        field_cls = cls._subclasses[attributes["class"]]
+        field_cls = cls._subclasses[_unserialize_scalar(attributes["class"])]
         attrs = field_cls.unserialize_attributes(attributes)
         attrs.pop("class", None)
         dtype = attrs.pop("dtype", None)

@@ -251,18 +251,22 @@ class FieldCollection(FieldBase):
     @property
     def attributes_serialized(self) -> dict[str, str]:
         return {
-            "class": self.__class__.__name__,
+            "class": json.dumps(self.__class__.__name__),
             "fields": json.dumps([f.attributes_serialized for f in self._fields]),
             "label": json.dumps(self.label),
         }
 
     @classmethod
     def unserialize_attributes(cls, attributes: dict[str, str]) -> dict[str, Any]:
+        from .base import _unserialize_scalar
+
         result: dict[str, Any] = {}
         for key, value in attributes.items():
             if key == "fields":
                 result[key] = [
-                    FieldBase._subclasses[a["class"]].unserialize_attributes(a)
+                    FieldBase._subclasses[
+                        _unserialize_scalar(a["class"])
+                    ].unserialize_attributes(a)
                     for a in json.loads(value)
                 ]
             elif key == "label":

@@ -70,16 +70,22 @@ _VMEM_LIMIT = 100 * 1024 * 1024  # raised Mosaic scoped-VMEM limit for every
 # family now compiles under the raised limit and the band picker's budget
 # (below) decides the actual working set.
 
-_VMEM_BUDGET = 15 * 1024 * 1024  # default band-picker budget; larger bands
-# fit under the raised compiler limit — the round-5 hardware sweep
-# (docs/BENCHMARKS.md, scripts/experiment_2d_band.py) decides whether the
-# default grows
+_VMEM_BUDGET = 15 * 1024 * 1024  # default band-picker budget (multi-field /
+# SDE / ext kernels: their per-field working sets multiply, and k=16 with a
+# doubled set measured SLOWER on the VPU-bound multi windows — see
+# docs/BENCHMARKS.md)
+
+_VMEM_BUDGET_AFFINE = 48 * 1024 * 1024  # single-field affine 2D kernels:
+# the round-5 hardware sweep under the raised compiler limit measured
+# band=512 (this budget) at +6% over band=128 on the production kernel
+# (1.657e11 vs 1.563e11 same-session; prototype roll kernel +22%), cutting
+# the temporal-block overlap recompute from 12.5% to 3.1% at k=16
 
 
-def _vmem_budget() -> int:
+def _vmem_budget(default: int = _VMEM_BUDGET) -> int:
     """Band-picker VMEM budget; ``PDE_TPU_VMEM_BUDGET_MB`` overrides (sweeps)."""
     mb = os.environ.get("PDE_TPU_VMEM_BUDGET_MB")
-    return int(mb) * 1024 * 1024 if mb else _VMEM_BUDGET
+    return int(mb) * 1024 * 1024 if mb else default
 
 
 def _pallas_call(pl, pltpu, *args, interpret: bool, **kwargs):
@@ -97,7 +103,10 @@ def _pallas_call(pl, pltpu, *args, interpret: bool, **kwargs):
     return pl.pallas_call(*args, **kwargs)
 
 
-def _pick_band(n_rows: int, n_cols: int, itemsize: int, k: int) -> int:
+def _pick_band(
+    n_rows: int, n_cols: int, itemsize: int, k: int,
+    budget: int = _VMEM_BUDGET,
+) -> int:
     """Largest row-band dividing n_rows whose per-program VMEM footprint fits.
 
     Footprint model (validated against hardware: at 4096² f32 k=16 the
@@ -113,7 +122,7 @@ def _pick_band(n_rows: int, n_cols: int, itemsize: int, k: int) -> int:
     if forced and n_rows % int(forced) == 0:
         return int(forced)
     halo = -(-k // _HALO) * _HALO
-    budget = _vmem_budget()
+    budget = _vmem_budget(budget)
 
     def footprint(band):
         rows = 2 * band + 2 * halo + 3 * (band + 2 * k)
@@ -851,7 +860,9 @@ def make_affine_laplace_2d(
         )
     n_rows, n_cols = grid.shape
     itemsize = np.dtype(dtype).itemsize
-    band = _pick_band(n_rows, n_cols, itemsize, k)
+    # single-field kernel: the raised budget picks band 512 at 4096² f32
+    # (measured +6% over band 128 — round-5 sweep, docs/BENCHMARKS.md)
+    band = _pick_band(n_rows, n_cols, itemsize, k, budget=_VMEM_BUDGET_AFFINE)
     n_programs = n_rows // band
     halo = -(-k // _HALO) * _HALO  # k rounded up to the 8-row DMA granule
     sx, sy = (1.0 / grid.discretization**2).tolist()
@@ -2474,7 +2485,8 @@ def _ychunk_interpret_cfg(shape, halo_per_step: int, k: int | None):
 
 def _make_ychunk_multi_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
-    band: int, ny_c: int, k: int, dtype, interpret: bool, t_specs,
+    band: int, ny_c: int, k: int, dtype, interpret: bool, bc_inputs=None,
+    ext_x: bool = False, local_nx: int | None = None,
 ) -> tuple[Callable, int]:
     """Y-chunked 3D temporal-blocking kernel over ``n_fields`` volumes.
 
@@ -2484,17 +2496,28 @@ def _make_ychunk_multi_window_3d(
     rolls, and z stays locally periodic via lane rolls. Ghost fixups reuse
     the sharded-kernel machinery (:func:`_make_stencil_helpers_3d` with
     ``ext_y``): ``helpers.flags`` gates the y fixups on the chunks holding
-    the global y edges. Scalar-affine and t-dependent BC consts lower;
-    array-valued and space-time BC values do not (the dispatcher keeps those
-    on the roll path). The wrapped halo data is correct for periodic axes
-    and overwritten by the per-step ghost rewrites otherwise — garbage
-    beyond the ghost layer stays outside the shrinking light cone, exactly
-    as in the x-banded kernels.
+    the global y edges. Scalar-affine, t-dependent, AND per-face ARRAY BC
+    consts/factors lower (arrays stage as wrap-padded HBM blocks DMA-sliced
+    per program — x-side planes y-sliced per chunk, y-side blocks x-sliced
+    per band, z-side lane-broadcast blocks sliced in both); space-time
+    values do not (the dispatcher keeps those on the roll path). The
+    wrapped halo data is correct for periodic axes and overwritten by the
+    per-step ghost rewrites otherwise — garbage beyond the ghost layer
+    stays outside the shrinking light cone, exactly as in the x-banded
+    kernels.
+
+    With ``ext_x`` (decomposed x-cut shards) the inputs are halo-extended
+    local blocks of ``local_nx`` rows (x halos filled by ppermute outside;
+    y stays globally periodic-wrapped per chunk since only x is cut), the
+    window takes a runtime int32 ``(6,)`` global-edge flag operand, and
+    only scalar-affine specs lower (BC side inputs stay on the roll path).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nx, ny, nz = grid.shape
+    if local_nx is not None:
+        nx = local_nx
     halo = k * halo_per_step
     yh = -(-halo // _HALO) * _HALO  # y halo rounded to the sublane granule
     n_xp = nx // band
@@ -2504,29 +2527,94 @@ def _make_ychunk_multi_window_3d(
     )
     step = make_step(helpers)
     F = n_fields
+    t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
+    arr_entries = [] if bc_inputs is None else bc_inputs["arrays"]
     has_t = bool(t_specs)
+    if ext_x and (arr_entries or has_t):
+        raise PallasUnsupportedError(
+            "The halo-extended y-chunked kernel takes no BC side inputs "
+            "(array/t-dependent values stay on the roll path)"
+        )
+
+    # per-face value arrays / Robin factors: wrap-padded global blocks,
+    # DMA-sliced to each program's (x band, y chunk) work region
+    plane_entries = []  # x sides: ((spec, attr), (1, ny + 2*yh, nz))
+    y_entries = []  # y sides: ((spec, attr), (nx + 2*halo, 1, nz))
+    z_entries = []  # z sides: ((spec, attr), (nx+2*halo, ny+2*yh, 128))
+    for ax, spec, attr in arr_entries:
+        arr = np.asarray(getattr(spec, attr), dtype=dtype)
+        if ax == 0:
+            a2 = arr.reshape(ny, nz)
+            ext = np.concatenate([a2[-yh:], a2, a2[:yh]], axis=0)
+            plane_entries.append(
+                ((spec, attr), ext.reshape(1, ny + 2 * yh, nz))
+            )
+        elif ax == 1:
+            a2 = arr.reshape(nx, nz)
+            ext = np.concatenate([a2[-halo:], a2, a2[:halo]], axis=0)
+            y_entries.append(
+                ((spec, attr), ext.reshape(nx + 2 * halo, 1, nz))
+            )
+        else:
+            a2 = arr.reshape(nx, ny)
+            ext = np.concatenate([a2[-halo:], a2, a2[:halo]], axis=0)
+            ext = np.concatenate(
+                [ext[:, -yh:], ext, ext[:, :yh]], axis=1
+            )
+            z_entries.append((
+                (spec, attr),
+                np.broadcast_to(
+                    ext[:, :, None],
+                    (nx + 2 * halo, ny + 2 * yh, 128),
+                ).copy(),
+            ))
+    n_pl, n_y, n_z = len(plane_entries), len(y_entries), len(z_entries)
+    if not interpret and (n_pl or n_y or n_z):
+        itemsize = np.dtype(dtype).itemsize
+        extra = (
+            n_pl * (ny_c + 2 * yh) * nz
+            + n_y * (band + 2 * halo) * nz
+            + n_z * (band + 2 * halo) * (ny_c + 2 * yh) * 128
+        ) * itemsize
+        if extra > _SIDE_INPUT_BUDGET:
+            raise PallasUnsupportedError(
+                "3D BC value arrays exceed the side-input VMEM budget"
+            )
 
     def kernel(*refs):
         pos = 0
+        if ext_x:
+            flags_ref = refs[pos]
+            pos += 1
         if has_t:
             t_tab = refs[pos]
             pos += 1
+        side_hbm = refs[pos : pos + n_pl + n_y + n_z]
+        pos += n_pl + n_y + n_z
         ins = refs[pos : pos + F]
         outs = refs[pos + F : pos + 2 * F]
         pos += 2 * F
         blks = refs[pos : pos + F]
-        sem = refs[pos + F]
+        pos += F
+        side_vmem = refs[pos : pos + n_pl + n_y + n_z]
+        sem = refs[pos + n_pl + n_y + n_z]
         i = pl.program_id(0)
         j = pl.program_id(1)
         x0 = i * band
         y0 = j * ny_c
-        # nine DMAs per field: 3 x-regions × 3 y-regions, wrapped
-        xs = [
-            (jax.lax.rem(x0 + np.int32(nx - halo), np.int32(nx)), halo, 0),
-            (pl.multiple_of(x0, 8), band, halo),
-            (jax.lax.rem(x0 + np.int32(band), np.int32(nx)), halo,
-             halo + band),
-        ]
+        if ext_x:
+            # x halos are pre-filled in the extended input: one straight
+            # slice covers [x0 - halo, x0 + band + halo) (offset +halo)
+            xs = [(pl.multiple_of(x0, 8), band + 2 * halo, 0)]
+        else:
+            # three wrapped x-regions (the serial kernel wraps via rem)
+            xs = [
+                (jax.lax.rem(x0 + np.int32(nx - halo), np.int32(nx)), halo,
+                 0),
+                (pl.multiple_of(x0, 8), band, halo),
+                (jax.lax.rem(x0 + np.int32(band), np.int32(nx)), halo,
+                 halo + band),
+            ]
         ys = [
             (pl.multiple_of(
                 jax.lax.rem(y0 + np.int32(ny - yh), np.int32(ny)), 8
@@ -2547,12 +2635,60 @@ def _make_ychunk_multi_window_3d(
                     )
                     cp.start()
                     copies.append(cp)
+        # side-input DMAs: padded blocks sliced to this program's region
+        # (x-side planes per y chunk, y-side blocks per x band, z-side
+        # lane-broadcast blocks in both)
+        n_fdma = 3 * len(xs) * F
+        for s_idx in range(n_pl + n_y + n_z):
+            src, dst = side_hbm[s_idx], side_vmem[s_idx]
+            if s_idx < n_pl:
+                cp = pltpu.make_async_copy(
+                    src.at[:, pl.ds(pl.multiple_of(y0, 8), ny_c + 2 * yh), :],
+                    dst, sem.at[n_fdma + s_idx],
+                )
+            elif s_idx < n_pl + n_y:
+                cp = pltpu.make_async_copy(
+                    src.at[pl.ds(pl.multiple_of(x0, 8), band + 2 * halo)],
+                    dst, sem.at[n_fdma + s_idx],
+                )
+            else:
+                cp = pltpu.make_async_copy(
+                    src.at[
+                        pl.ds(pl.multiple_of(x0, 8), band + 2 * halo),
+                        pl.ds(pl.multiple_of(y0, 8), ny_c + 2 * yh),
+                        :,
+                    ],
+                    dst, sem.at[n_fdma + s_idx],
+                )
+            cp.start()
+            copies.append(cp)
         for cp in copies:
             cp.wait()
 
+        helpers.stage_x_halo = halo
+        helpers.stage_y_halo = yh
+        bc_arrays = {}
+        bc_factors = {}
+        for s_idx, ((spec, attr), _) in enumerate(
+            plane_entries + y_entries + z_entries
+        ):
+            if attr == "const_static":
+                bc_arrays[id(spec)] = side_vmem[s_idx]
+            else:
+                bc_factors[(id(spec), attr)] = side_vmem[s_idx]
+        helpers.bc_arrays = bc_arrays
+        helpers.bc_factors = bc_factors
+
         one = np.int32(1)
+        if ext_x:
+            # shard-level x gates from the caller (program gating happens
+            # inside the fixups); every shard spans all of y and z
+            x_lo = jnp.where(flags_ref[0] != 0, one, 0)
+            x_hi = jnp.where(flags_ref[1] != 0, one, 0)
+        else:
+            x_lo = x_hi = one
         helpers.flags = jnp.stack([
-            one, one,
+            x_lo, x_hi,
             jnp.where(j == 0, one, 0), jnp.where(j == n_yp - 1, one, 0),
             one, one,
         ])
@@ -2577,7 +2713,9 @@ def _make_ychunk_multi_window_3d(
         out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * F,
         grid=(n_xp, n_yp),
         in_specs=(
-            ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+            ([pl.BlockSpec(memory_space=pltpu.SMEM)] if ext_x else [])
+            + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (n_pl + n_y + n_z)
             + [pl.BlockSpec(memory_space=pl.ANY)] * F
         ),
         out_specs=[
@@ -2588,18 +2726,42 @@ def _make_ychunk_multi_window_3d(
         ] * F,
         scratch_shapes=(
             [pltpu.VMEM((band + 2 * halo, ny_c + 2 * yh, nz), dtype)] * F
-            + [pltpu.SemaphoreType.DMA((9 * F,))]
+            + [pltpu.VMEM((1, ny_c + 2 * yh, nz), dtype)] * n_pl
+            + [pltpu.VMEM((band + 2 * halo, 1, nz), dtype)] * n_y
+            + [pltpu.VMEM((band + 2 * halo, ny_c + 2 * yh, 128), dtype)]
+            * n_z
+            + [pltpu.SemaphoreType.DMA((
+                3 * (1 if ext_x else 3) * F + n_pl + n_y + n_z,
+            ))]
         ),
         interpret=interpret,
         **params,
     )
+
+    side_consts = [
+        jnp.asarray(a, dtype=dtype)
+        for _, a in plane_entries + y_entries + z_entries
+    ]
+
+    if ext_x:
+
+        def window_k_ext(datas, edge_flags):
+            out = call(
+                jnp.asarray(edge_flags, jnp.int32),
+                *[jnp.asarray(d, dtype=dtype) for d in datas],
+            )
+            return list(out)
+
+        window_k_ext.t_specs = None
+        window_k_ext.xt_entries = ()
+        return window_k_ext, k
 
     if has_t:
 
         def window_k_t(datas, xt_ops, t_tab=None):
             assert not xt_ops, "y-chunked kernels take no xt side inputs"
             out = call(
-                jnp.asarray(t_tab, dtype=dtype),
+                jnp.asarray(t_tab, dtype=dtype), *side_consts,
                 *[jnp.asarray(d, dtype=dtype) for d in datas],
             )
             return list(out)
@@ -2609,7 +2771,9 @@ def _make_ychunk_multi_window_3d(
         return window_k_t, k
 
     def window_k(datas):
-        out = call(*[jnp.asarray(d, dtype=dtype) for d in datas])
+        out = call(
+            *side_consts, *[jnp.asarray(d, dtype=dtype) for d in datas]
+        )
         return list(out)
 
     window_k.t_specs = None
@@ -2650,17 +2814,17 @@ def make_fused_multi_stencil_window_3d(
     nx, ny, nz = grid.shape
     itemsize = np.dtype(dtype).itemsize
 
-    # y-chunked dispatch: array-valued / space-time BC side inputs stay on
-    # the roll path (their staged layouts are not y-sliced); scalar-affine
-    # and t-dependent consts lower into the chunked kernel
-    _arrs = [] if bc_inputs is None else bc_inputs["arrays"]
+    # y-chunked dispatch: space-time BC side inputs stay on the roll path
+    # (their step-indexed tables are not y-sliced); scalar-affine,
+    # t-dependent, and per-face ARRAY consts/factors lower into the
+    # chunked kernel (round-5: arrays stage as wrap-padded DMA-sliced
+    # blocks)
     _xts = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
-    _ts = [] if bc_inputs is None else list(bc_inputs["t"])
     if ychunk is None or ychunk:
-        chunkable = not (_arrs or _xts)
+        chunkable = not _xts
         if ychunk and not chunkable:
             raise PallasUnsupportedError(
-                "y-chunked 3D kernels take no array/space-time BC side inputs"
+                "y-chunked 3D kernels take no space-time BC side inputs"
             )
         cfg = None
         if interpret:
@@ -2692,11 +2856,16 @@ def make_fused_multi_stencil_window_3d(
                         f"k={k} unsupported for the y-chunked window"
                     )
                 c_k = k
-            return _make_ychunk_multi_window_3d(
-                grid, make_step, halo_per_step, n_fields, band=c_band,
-                ny_c=c_nyc, k=c_k, dtype=dtype, interpret=interpret,
-                t_specs=_ts,
-            )
+            try:
+                return _make_ychunk_multi_window_3d(
+                    grid, make_step, halo_per_step, n_fields, band=c_band,
+                    ny_c=c_nyc, k=c_k, dtype=dtype, interpret=interpret,
+                    bc_inputs=bc_inputs,
+                )
+            except PallasUnsupportedError:
+                if ychunk:  # explicitly requested: propagate the refusal
+                    raise
+                # auto mode: e.g. side inputs over budget — roll path below
         if ychunk:
             raise PallasUnsupportedError(
                 "No y-chunked configuration fits this grid"

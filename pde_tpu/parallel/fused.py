@@ -312,6 +312,44 @@ def _make_fused_euler_window_sharded_3d(
         mesh.decomposition[1] > 1,
         mesh.decomposition[2] > 1,
     )
+
+    # large (y, z) planes on x-cut-only decompositions: delegate to the
+    # multi-field driver, whose halo-extended y-chunked route sustains the
+    # deep temporal blocks (round-5; the affine roll kernel below caps at
+    # k<=2 past 96 KB planes, 7.5e10 vs ~1e11 at 256³ serial)
+    import os
+
+    if ext_axes == (True, False, False) and (
+        (interpret and os.environ.get("PDE_TPU_YCHUNK_SHARDED") == "1")
+        or (
+            not interpret
+            and jax.default_backend() == "tpu"
+            and np.dtype(dtype) == np.dtype(np.float32)
+            and local_shape[1] * local_shape[2] * np.dtype(dtype).itemsize
+            > 96 * 1024
+        )
+    ):
+        b = dt * diffusivity
+
+        def make_step(h):
+            def step(works):
+                (w,) = works
+                return [h.trim(w, 1) + b * h.lap(w, bc=bc_params)]
+
+            return step
+
+        try:
+            inner = _make_fused_multi_window_sharded_3d(
+                mesh, make_step, 1, 1, dtype=dtype, interpret=interpret,
+            )
+
+            def window(data, steps):
+                return inner([data], steps)[0]
+
+            return window
+        except PallasUnsupportedError:
+            pass  # fall through to the affine roll kernel
+
     k = 4
     while k > 1 and not supports_affine_laplace_ext_3d(
         local_shape, dtype, k, ext_axes=ext_axes, interpret=interpret
@@ -714,6 +752,63 @@ def _make_fused_multi_window_sharded_3d(
             )
 
         return step_fn
+
+    # x-cut-only decompositions with large (y, z) planes route through the
+    # halo-extended Y-CHUNKED kernel (round-5): the roll path keeps whole
+    # planes in VMEM and degrades to k<=2 past 96 KB, while y chunking
+    # sustains the deep temporal blocks the serial kernel measured at 256³.
+    # Scalar-affine BCs only (side inputs stay on the roll path below);
+    # PDE_TPU_YCHUNK_SHARDED=1 forces the route in interpret mode (tests).
+    ychunk_cfg = None
+    if ext_axes == (True, False, False) and bc_inputs is None:
+        import os
+
+        from ..ops.pallas_cartesian import (
+            _make_ychunk_multi_window_3d,
+            _pick_ychunk_3d,
+            _ychunk_interpret_cfg,
+        )
+
+        itemsize = np.dtype(dtype).itemsize
+        try:
+            if interpret:
+                if os.environ.get("PDE_TPU_YCHUNK_SHARDED") == "1":
+                    ychunk_cfg = _ychunk_interpret_cfg(
+                        (lx, ly, lz), halo_per_step, None
+                    )
+            elif (
+                jax.default_backend() == "tpu"
+                and np.dtype(dtype) == np.dtype(np.float32)
+                and ly * lz * n_fields * itemsize > 96 * 1024
+            ):
+                ychunk_cfg = _pick_ychunk_3d(
+                    (lx, ly, lz), itemsize, halo_per_step, n_fields
+                )
+        except PallasUnsupportedError:
+            ychunk_cfg = None
+    if ychunk_cfg is not None:
+        c_band, c_nyc, c_k = ychunk_cfg
+
+        def build_ychunk(kk):
+            step, _ = _make_ychunk_multi_window_3d(
+                grid, make_step, halo_per_step, n_fields, band=c_band,
+                ny_c=c_nyc, k=kk, dtype=dtype, interpret=interpret,
+                ext_x=True, local_nx=lx,
+            )
+            pad = make_halo_pad(mesh, (kk * halo_per_step, 0, 0), periodic)
+            return lambda d: tuple(step([pad(x) for x in d], edge_flags()))
+
+        try:
+            window_t = _make_binary_chunked_window(build_ychunk, c_k)
+        except PallasUnsupportedError:
+            window_t = None  # fall through to the roll path
+        if window_t is not None:
+
+            def window_y(datas, steps):
+                return list(window_t(tuple(datas), steps))
+
+            window_y.multi_field = True
+            return window_y
 
     # probe the largest supported k (small shards need smaller halos)
     k = None

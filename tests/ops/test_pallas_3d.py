@@ -933,9 +933,10 @@ def test_ychunk_window_3d_t_dependent_bc(rng, monkeypatch):
 
 
 def test_ychunk_gating():
-    """Array-valued BC side inputs refuse the y-chunked mode; the hardware
-    picker prefers the measured-best config at 256³ and declines unaligned
-    shapes; interpret-mode auto stays on the roll path."""
+    """Space-time BC side inputs refuse the y-chunked mode (their
+    step-indexed tables are not y-sliced); the hardware picker prefers the
+    measured-best config at 256³ and declines unaligned shapes;
+    interpret-mode auto stays on the roll path."""
     from pde_tpu.ops.pallas_cartesian import (
         PallasUnsupportedError,
         _pick_ychunk_3d,
@@ -952,16 +953,89 @@ def test_ychunk_gating():
     grid = pde.CartesianGrid([(0, 1)] * 3, (16, 16, 16))
     from pde_tpu.ops.pallas_cartesian import affine_bc_specs
 
-    vals = np.linspace(0.0, 1.0, 16 * 16).reshape(16, 16)
     bcs = grid.get_boundary_conditions(
-        {"x-": {"value": vals}, "x+": {"value": 0}, "y": {"derivative": 0},
-         "z": {"derivative": 0}}
+        {"x-": {"value_expression": "cos(y) * sin(3 * t)"},
+         "x+": {"value": 0}, "y": {"derivative": 0}, "z": {"derivative": 0}}
     )
     specs = affine_bc_specs(grid, bcs)
     bc_inputs = collect_bc_side_inputs_3d({"c": specs})
-    assert bc_inputs["arrays"]
-    with pytest.raises(PallasUnsupportedError, match="side input"):
+    assert bc_inputs["xt"]
+    with pytest.raises(PallasUnsupportedError, match="space-time"):
         make_fused_multi_stencil_window_3d(
             grid, _euler_lap_step(specs, 1e-3), 1, 1, dtype=np.float64,
             interpret=True, ychunk=True, bc_inputs=bc_inputs,
         )
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        # x-side array plane (varies over the y-chunked dim: per-chunk
+        # y-sliced staging) + scalar sides
+        {"x-": {"value": "ARRAY_X"}, "x+": {"value": 0},
+         "y": {"derivative": 0}, "z": {"derivative": 0}},
+        # y-side array (varies over x: per-band x-sliced staging)
+        {"x": {"derivative": 0}, "y-": {"value": "ARRAY_Y"},
+         "y+": {"derivative": 0}, "z": {"derivative": 0}},
+        # z-side array (varies over x AND y: sliced in both dims) plus a
+        # mixed BC with per-point ARRAY GAMMA (factor staging)
+        {"x": {"derivative": 0},
+         "y-": {"type": "mixed", "value": "GAMMA_Y", "const": 0.2},
+         "y+": {"derivative": 0}, "z-": {"value": "ARRAY_Z"},
+         "z+": {"derivative": 0}},
+    ],
+    ids=["x-plane", "y-block", "z-block-and-gamma"],
+)
+def test_ychunk_window_3d_array_bc_parity(bc, rng):
+    """Per-face ARRAY BC values and Robin factors lower into the y-chunked
+    kernel (round-5: wrap-padded blocks DMA-sliced per program) and match
+    the roll-path kernel bit-for-bit and the XLA oracle."""
+    from pde_tpu.ops.pallas_cartesian import (
+        affine_bc_specs,
+        collect_bc_side_inputs_3d,
+        make_fused_multi_stencil_window_3d,
+    )
+
+    n = 16
+    arrays = {
+        "ARRAY_X": rng.uniform(-1, 1, (n, n)),
+        "ARRAY_Y": rng.uniform(-1, 1, (n, n)),
+        "ARRAY_Z": rng.uniform(-1, 1, (n, n)),
+        "GAMMA_Y": rng.uniform(0.5, 2.0, (n, n)),
+    }
+
+    def resolve(v):
+        return arrays[v] if isinstance(v, str) and v in arrays else v
+
+    bc = {
+        side: {kk: resolve(vv) for kk, vv in spec.items()}
+        if isinstance(spec, dict) else spec
+        for side, spec in bc.items()
+    }
+    grid = pde.CartesianGrid([(0, 1)] * 3, (n, n, n))
+    specs = affine_bc_specs(grid, grid.get_boundary_conditions(bc))
+    bc_inputs = collect_bc_side_inputs_3d({"c": specs})
+    assert bc_inputs["arrays"]
+    make_step = _euler_lap_step(specs, 1e-3)
+    data = jnp.asarray(rng.random((n, n, n)), dtype=jnp.float64)
+
+    wy, k = make_fused_multi_stencil_window_3d(
+        grid, make_step, 1, 1, dtype=np.float64, interpret=True,
+        ychunk=True, bc_inputs=bc_inputs,
+    )
+    wr, _ = make_fused_multi_stencil_window_3d(
+        grid, make_step, 1, 1, dtype=np.float64, interpret=True,
+        ychunk=False, k=k, bc_inputs=bc_inputs,
+    )
+    out_y = np.asarray(wy([data])[0])
+    np.testing.assert_allclose(
+        out_y, np.asarray(wr([data])[0]), rtol=1e-13, atol=1e-13
+    )
+
+    lap = grid.make_operator("laplace", bc=bc)
+    ref = data
+    for _ in range(k):
+        ref = ref + 1e-3 * lap(ref)
+    np.testing.assert_allclose(
+        out_y, np.asarray(ref), rtol=1e-12, atol=1e-12
+    )

@@ -551,6 +551,58 @@ def test_sharded_fused_wave_gradient_composition(rng, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("decomposition", [[2, 1, 1], [4, 1, 1]])
+@pytest.mark.parametrize(
+    "make_eq, bc",
+    [
+        (lambda bc: pde.DiffusionPDE(0.05, bc=bc), {"derivative": 0}),
+        (lambda bc: pde.DiffusionPDE(0.05), "periodic"),
+        (lambda bc: pde.PDE({"c": "0.1 * laplace(c) - c**3 + c"}), "periodic"),
+    ],
+    ids=["diffusion-noflux", "diffusion-periodic", "expression"],
+)
+def test_sharded_ychunk_xcut_parity(decomposition, make_eq, bc, rng,
+                                    monkeypatch):
+    """x-cut decompositions route through the halo-extended Y-CHUNKED
+    kernel (round-5: deep temporal blocks on decomposed volumes instead of
+    the k<=2 roll path) and match the XLA path; forced in interpret mode
+    via PDE_TPU_YCHUNK_SHARDED."""
+    import pde_tpu.ops.pallas_cartesian as pc
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("PDE_TPU_YCHUNK_SHARDED", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    calls = []
+    orig = pc._make_ychunk_multi_window_3d
+
+    def spy(*args, **kwargs):
+        if kwargs.get("ext_x"):
+            calls.append(kwargs.get("band"))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pc, "_make_ychunk_multi_window_3d", spy)
+    periodic = bc == "periodic"
+    grid = pde.CartesianGrid([(0, 1)] * 3, (16, 16, 16), periodic=periodic)
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = make_eq(bc)
+
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    solver = EulerSolver(eq, decomposition=decomposition)
+    res = Controller(solver, t_range=0.01, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+    assert calls, "the halo-extended y-chunked kernel never engaged"
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.01, dt=1e-3, tracker=None)
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED")
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-12, atol=1e-13
+    )
+
+
+
 @pytest.mark.parametrize(
     "eq",
     [

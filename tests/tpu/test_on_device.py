@@ -174,6 +174,35 @@ def test_sharded_ext_kernel_single_chip(rng, monkeypatch):
     )
 
 
+def test_sharded_ychunk_ext_kernel_single_chip(rng, monkeypatch):
+    """The halo-extended Y-CHUNKED 3D kernel (round-5: deep temporal blocks
+    on x-cut shards) Mosaic-compiles and matches the serial XLA path on a
+    [1, 1, 1] mesh — the plane (128*256*4 B = 128 KB) exceeds the 96 KB
+    threshold so the sharded driver auto-routes to it."""
+    import pde_tpu.ops.pallas_cartesian as pc
+
+    calls = []
+    orig = pc._make_ychunk_multi_window_3d
+
+    def spy(*args, **kwargs):
+        if kwargs.get("ext_x"):
+            calls.append(kwargs.get("band"))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pc, "_make_ychunk_multi_window_3d", spy)
+    grid = pde.CartesianGrid([(0, 1)] * 3, (64, 128, 256))
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.01, bc={"derivative": 0})
+    res, ref, info = _solve_pair(
+        eq, state, 0.1, 2e-4, monkeypatch, decomposition=[1, 1, 1]
+    )
+    assert info.get("fused_step") is True
+    assert calls, "the halo-extended y-chunked kernel never engaged"
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
 def test_multi_field_expression_parity(rng, monkeypatch):
     """Coupled two-field expression PDE through the multi-field kernel."""
     grid = pde.UnitGrid([128, 128], periodic=True)
@@ -610,8 +639,14 @@ def test_cylindrical_divergence_gradient_parity(rng, monkeypatch):
             {"x": "periodic", "y-": {"value": 0.2},
              "y+": {"derivative": 0.0}, "z": "periodic"},
         ),
+        # per-face ARRAY value (round-5: wrap-padded DMA-sliced staging)
+        (
+            [True, False, True],
+            {"x": "periodic", "y-": {"value": "sin(4 * x) * cos(z)"},
+             "y+": {"derivative": 0.0}, "z": "periodic"},
+        ),
     ],
-    ids=["periodic", "mixed"],
+    ids=["periodic", "mixed", "array-face"],
 )
 def test_fused_3d_ychunk_parity(periodic, bc, rng, monkeypatch):
     """Large (y, z) planes auto-route to the y-chunked kernel (2D pallas

@@ -88,9 +88,15 @@ def test_parity_movie_claim_matches_code():
 def test_claude_md_flags_resolve():
     """Env flags and config keys CLAUDE.md documents must exist in the code."""
     text = (REPO / "CLAUDE.md").read_text()
-    src = (REPO / "pde_tpu/ops/pallas_cartesian.py").read_text() + (
-        REPO / "pde_tpu/models/base.py"
-    ).read_text() + (REPO / "pde_tpu/solvers/base.py").read_text()
+    src = "".join(
+        (REPO / f).read_text()
+        for f in (
+            "pde_tpu/ops/pallas_cartesian.py",
+            "pde_tpu/models/base.py",
+            "pde_tpu/solvers/base.py",
+            "pde_tpu/parallel/fused.py",
+        )
+    )
     for flag in re.findall(r"`(PDE_TPU_[A-Z_]+)(?:=\d)?`", text):
         assert flag in src or flag == "PDE_TPU_TEST_PLATFORM", flag
 

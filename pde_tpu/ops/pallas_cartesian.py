@@ -1622,15 +1622,30 @@ def make_fused_euler_window_3d(
         is not None
     ):
         specs = None if bcs is None else affine_bc_specs(grid, bcs)
-        scalar_ok = specs is None or all(
-            axis is None or (axis[0].is_scalar and axis[1].is_scalar)
+
+        def _static_side(side):
+            return (
+                side.const_t is None
+                and side.const_xt is None
+                and side.f1_t is None
+            )
+
+        # time-independent configs (scalars AND per-face arrays — round 5
+        # stages arrays into the y-chunked kernel) keep the plain
+        # window(data, steps) signature this wrapper exposes
+        static_ok = specs is None or all(
+            axis is None or (_static_side(axis[0]) and _static_side(axis[1]))
             for axis in specs
         )
         if bcs is None and not all(grid.periodic):
             raise PallasUnsupportedError(
                 "Non-periodic grids require explicit boundary conditions"
             )
-        if scalar_ok:
+        if static_ok:
+            bc_inputs = (
+                None if specs is None
+                else collect_bc_side_inputs_3d({"c": specs})
+            )
 
             def make_step(h):
                 def step(works):
@@ -1641,6 +1656,7 @@ def make_fused_euler_window_3d(
 
             inner = make_chunked_multi_window_3d(
                 grid, make_step, 1, 1, dtype=dtype, interpret=interpret,
+                bc_inputs=bc_inputs,
             )
 
             def window(data, steps):

@@ -907,13 +907,13 @@ class PDE(SDEBase):
         `/root/reference/pde/backends/numba/_solvers.py:469`; RK4 tableau
         `/root/reference/pde/solvers/runge_kutta.py:29-66`).
 
-        Time-dependent BC values fuse on serial 2D grids: the t/xt tables
-        carry one row per (step, stage) and the step rebinds ghost values at
-        ``t``, ``t + dt/2`` and ``t + dt`` between stages (the 3D/sharded
-        kernels still bind one row per step and fall back). Adaptive RK45
-        cannot temporally block at all: each step's accept/shrink decision
-        depends on a GLOBAL error reduction over the full state, which a
-        banded kernel cannot see.
+        Time-dependent BC values fuse on serial grids (2D and 3D) and 2D
+        decompositions: the t/xt tables carry one row per (step, stage) and
+        the step rebinds ghost values at ``t``, ``t + dt/2`` and ``t + dt``
+        between stages (the sharded 3D kernel still binds one row per step
+        and falls back). Adaptive RK45 cannot temporally block at all: each
+        step's accept/shrink decision depends on a GLOBAL error reduction
+        over the full state, which a banded kernel cannot see.
         """
         if self.is_sde:
             raise NotImplementedError(
@@ -995,11 +995,11 @@ class PDE(SDEBase):
             has_td_bc = bc_inputs is not None and (
                 bc_inputs.get("t") or bc_inputs.get("xt")
             )
-            if has_td_bc and (mesh is not None or grid.num_axes == 3):
+            if has_td_bc and mesh is not None and grid.num_axes == 3:
                 raise NotImplementedError(
                     "Fused RK4 windows support time-dependent BC values "
-                    "only on serial 2D grids (the 3D/sharded kernels bind "
-                    "one table row per step, not per stage)"
+                    "on serial grids and 2D decompositions (the sharded 3D "
+                    "kernel binds one table row per step, not per stage)"
                 )
             halo_per_step = 4 * depth
 
@@ -1108,6 +1108,9 @@ class PDE(SDEBase):
                     mesh, make_multi_step, halo_per_step, win_planes,
                     dtype=fields[0].dtype, interpret=interpret,
                     bc_inputs=bc_inputs, dt=dt,
+                    stage_offsets=(
+                        (0.0, 0.5, 1.0) if kind == "rk4" else None
+                    ),
                 )
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err
@@ -1129,6 +1132,9 @@ class PDE(SDEBase):
                     grid, make_multi_step, halo_per_step, win_planes,
                     dtype=fields[0].dtype, interpret=interpret,
                     bc_inputs=bc_inputs, dt=dt,
+                    stage_offsets=(
+                        (0.0, 0.5, 1.0) if kind == "rk4" else None
+                    ),
                 )
             except PallasUnsupportedError as err:
                 raise NotImplementedError(str(err)) from err

@@ -2800,7 +2800,7 @@ def _make_ychunk_multi_window_3d(
 def make_fused_multi_stencil_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, k: int | None = None, interpret: bool = False,
-    bc_inputs=None, ychunk: bool | None = None,
+    bc_inputs=None, ychunk: bool | None = None, stages_per_step: int = 1,
 ) -> tuple[Callable, int]:
     """3D temporal-blocking kernel over ``n_fields`` coupled field volumes.
 
@@ -2837,10 +2837,17 @@ def make_fused_multi_stencil_window_3d(
     # blocks)
     _xts = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
     if ychunk is None or ychunk:
-        chunkable = not _xts
+        # multi-stage steppers (fused RK4) bind per-stage t-tables the
+        # y-chunked kernel does not carry — those configs stay on the roll
+        # path (stage tables only exist when t entries do)
+        _has_stage_tables = stages_per_step > 1 and bool(
+            bc_inputs and bc_inputs["t"]
+        )
+        chunkable = not _xts and not _has_stage_tables
         if ychunk and not chunkable:
             raise PallasUnsupportedError(
-                "y-chunked 3D kernels take no space-time BC side inputs"
+                "y-chunked 3D kernels take no space-time BC side inputs "
+                "or multi-stage t-tables"
             )
         cfg = None
         if interpret:
@@ -2916,7 +2923,8 @@ def make_fused_multi_stencil_window_3d(
             # fires on hardware — interpret mode skips it, so this was
             # caught by the real-TPU lane, not CPU CI)
             while k > 1 and _side_input_extra_3d(
-                grid.shape, bc_inputs, band, k, halo_per_step, itemsize
+                grid.shape, bc_inputs, band, k * stages_per_step,
+                halo_per_step, itemsize
             ) > _SIDE_INPUT_BUDGET:
                 k //= 2
         if not 1 <= k * halo_per_step <= k_max:
@@ -2975,12 +2983,15 @@ def make_fused_multi_stencil_window_3d(
         # (the k=None selection above already shrinks k to fit, so this
         # only fires for explicitly requested k)
         extra = _side_input_extra_3d(
-            grid.shape, bc_inputs, band, k, halo_per_step, itemsize
+            grid.shape, bc_inputs, band, k * stages_per_step,
+            halo_per_step, itemsize
         )
         if extra > _SIDE_INPUT_BUDGET:
             raise PallasUnsupportedError(
                 "3D BC value arrays exceed the side-input VMEM budget"
             )
+
+    S = stages_per_step  # t/xt tables carry one row per (step, stage)
 
     def kernel(*refs):
         pos = 0
@@ -3078,10 +3089,16 @@ def make_fused_multi_stencil_window_3d(
             )
             for f in range(F)
         ]
-        for s in range(k):
-            helpers.step_idx = s
+        def _bind(idx):
+            helpers.step_idx = idx
             if has_t:
-                _set_t_slots(helpers, t_specs, t_tab, s)
+                _set_t_slots(helpers, t_specs, t_tab, idx)
+
+        for s in range(k):
+            # multi-stage steppers (fused RK4) rebind mid-step through
+            # helpers.bind_stage(j); stage 0 binds before each step call
+            helpers.bind_stage = lambda j, _s=s: _bind(_s * S + j)
+            helpers.bind_stage(0)
             works = step(works)
         for f in range(F):
             outs[f][:, :, :] = works[f]
@@ -3095,7 +3112,8 @@ def make_fused_multi_stencil_window_3d(
         ] * n_pl
         + [
             pl.BlockSpec(
-                (k, ny, nz), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (k * S, ny, nz), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         ] * n_xpl
         + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_xy + n_z + n_xz)
@@ -3116,9 +3134,9 @@ def make_fused_multi_stencil_window_3d(
             [pltpu.VMEM((band, ny, nz), dtype)] * F
             + [pltpu.VMEM((halo, ny, nz), dtype)] * (2 * F)
             + [pltpu.VMEM((band + 2 * halo, 1, nz), dtype)] * n_y
-            + [pltpu.VMEM((k, band + 2 * halo, 1, nz), dtype)] * n_xy
+            + [pltpu.VMEM((k * S, band + 2 * halo, 1, nz), dtype)] * n_xy
             + [pltpu.VMEM((band + 2 * halo, ny, 128), dtype)] * n_z
-            + [pltpu.VMEM((k, band + 2 * halo, ny, 128), dtype)] * n_xz
+            + [pltpu.VMEM((k * S, band + 2 * halo, ny, 128), dtype)] * n_xz
             + [pltpu.SemaphoreType.DMA(
                 (3 * F + n_y + n_z + n_xy + n_xz,)
             )]
@@ -3180,23 +3198,28 @@ def make_fused_multi_stencil_window_3d(
 def make_chunked_multi_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, interpret: bool = False, bc_inputs=None, dt=None,
-    ychunk: bool | None = None,
+    ychunk: bool | None = None, stage_offsets=None,
 ) -> Callable:
     """Return ``window(datas, steps)`` chunking steps into 3D kernel calls.
 
     With time-dependent BC consts in ``bc_inputs`` the window instead has
     signature ``window(datas, t0, steps)`` (attribute ``needs_t``) and
     rebuilds the per-step SMEM const table from ``t0`` per chunk (see
-    :func:`make_chunked_multi_window_2d`)."""
+    :func:`make_chunked_multi_window_2d`, incl. the ``stage_offsets``
+    semantics for multi-stage steppers)."""
+    offsets = tuple(stage_offsets) if stage_offsets is not None else (0.0,)
+    S = len(offsets)
     _, k = make_fused_multi_stencil_window_3d(
         grid, make_step, halo_per_step, n_fields, dtype=dtype,
         interpret=interpret, bc_inputs=bc_inputs, ychunk=ychunk,
+        stages_per_step=S,
     )
 
     def build(kk):
         step, _ = make_fused_multi_stencil_window_3d(
             grid, make_step, halo_per_step, n_fields, dtype=dtype, k=kk,
             interpret=interpret, bc_inputs=bc_inputs, ychunk=ychunk,
+            stages_per_step=S,
         )
         if step.t_specs is None and not step.xt_entries:
             return lambda d: tuple(step(list(d)))
@@ -3233,6 +3256,8 @@ def make_chunked_multi_window_3d(
             for fn, face in xt_info
         ]
 
+    stage_frac = jnp.asarray(offsets)
+
     def window_td(datas, t0, steps):
         state = tuple(datas)
         index = jnp.asarray(0, jnp.int32)
@@ -3242,7 +3267,10 @@ def make_chunked_multi_window_3d(
 
             def body(c, carry, _kk=kk, _step=step_fn):
                 d, idx = carry
-                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                # (step, stage)-major rows: stage j of inner step s reads
+                # row s*S + j (S == 1: the plain per-step table)
+                base = t0 + (idx + jnp.arange(_kk)) * dt
+                ts = (base[:, None] + stage_frac[None, :] * dt).reshape(-1)
                 return (
                     _step(d, make_xt_ops(ts), make_t_tab(ts)), idx + _kk
                 )
@@ -3909,7 +3937,7 @@ def make_fused_multi_ext_window_2d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     local_rows: int, local_cols: int | None = None, ext_cols: bool = False,
     dtype=np.float32, k: int | None = None, interpret: bool = False,
-    bc_inputs=None,
+    bc_inputs=None, stages_per_step: int = 1,
 ) -> tuple[Callable, int]:
     """Multi-field temporal-blocking kernel on halo-extended local blocks.
 
@@ -3965,6 +3993,7 @@ def make_fused_multi_ext_window_2d(
     if local_rows < halo or (ext_cols and n_cols < halo):
         raise PallasUnsupportedError("Shard too small for the halo exchange")
     itemsize = np.dtype(dtype).itemsize
+    S = stages_per_step  # t/xt tables carry one row per (step, stage)
     # lane extent of the padded input (multiple of 128 on TPU)
     cols_ext = n_cols + 2 * halo if ext_cols else n_cols
     lanes = cols_ext if interpret else -(-cols_ext // 128) * 128
@@ -4114,10 +4143,17 @@ def make_fused_multi_ext_window_2d(
             work_refs[f][halo - halo_total : halo + halo_total + band, col_sl]
             for f in range(F)
         ]
-        for s in range(k):
-            helpers.step_idx = s
+
+        def _bind(idx):
+            helpers.step_idx = idx
             if has_t:
-                _set_t_slots(helpers, t_specs, t_tab, s)
+                _set_t_slots(helpers, t_specs, t_tab, idx)
+
+        for s in range(k):
+            # multi-stage steppers (fused RK4) rebind mid-step through
+            # helpers.bind_stage(j); stage 0 binds before each step call
+            helpers.bind_stage = lambda j, _s=s: _bind(_s * S + j)
+            helpers.bind_stage(0)
             works = step(works)
         for f in range(F):
             outs[f][:, :] = works[f]
@@ -4129,7 +4165,9 @@ def make_fused_multi_ext_window_2d(
             pl.BlockSpec((1, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ] * n_row_in
         + [
-            pl.BlockSpec((k, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (k * S, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
         ] * n_xtr
         + [pl.BlockSpec(memory_space=pl.ANY)] * (n_col_in + n_xtc)
         + [pl.BlockSpec(memory_space=pl.ANY)] * F
@@ -4146,7 +4184,7 @@ def make_fused_multi_ext_window_2d(
         scratch_shapes=(
             [pltpu.VMEM((band + 2 * halo, lanes), dtype)] * F
             + [pltpu.VMEM((band + 2 * halo, 128), dtype)] * n_col_in
-            + [pltpu.VMEM((k, band + 2 * halo, 128), dtype)] * n_xtc
+            + [pltpu.VMEM((k * S, band + 2 * halo, 128), dtype)] * n_xtc
             + [pltpu.SemaphoreType.DMA((F + n_col_in + n_xtc,))]
         ),
         interpret=interpret,

@@ -394,7 +394,7 @@ def _make_fused_euler_window_sharded_3d(
 
 def make_fused_multi_window_sharded(
     mesh, make_step, halo_per_step: int, n_fields: int, *, dtype=np.float32,
-    interpret: bool = False, bc_inputs=None, dt=None,
+    interpret: bool = False, bc_inputs=None, dt=None, stage_offsets=None,
 ) -> Callable:
     """Sharded multi-field window: all fields share one HBM pass per k steps.
 
@@ -433,6 +433,7 @@ def make_fused_multi_window_sharded(
         return _make_fused_multi_window_sharded_3d(
             mesh, make_step, halo_per_step, n_fields, dtype=dtype,
             interpret=interpret, bc_inputs=bc_inputs, dt=dt,
+            stage_offsets=stage_offsets,
         )
     if not isinstance(grid, CartesianGrid) or grid.num_axes != 2:
         raise PallasUnsupportedError(
@@ -460,11 +461,15 @@ def make_fused_multi_window_sharded(
         flags.append(row_off.astype(jnp.int32))
         return jnp.stack(flags)
 
+    offsets = tuple(stage_offsets) if stage_offsets is not None else (0.0,)
+    n_stages = len(offsets)
+
     def build(kk):
         step, _ = make_fused_multi_ext_window_2d(
             grid, make_step, halo_per_step, n_fields, local_rows=local_rows,
             local_cols=local_cols, ext_cols=ext_cols, dtype=dtype, k=kk,
             interpret=interpret, bc_inputs=bc_inputs,
+            stages_per_step=n_stages,
         )
         h = ext_halo_width(kk * halo_per_step, interpret=interpret)
         pad = make_halo_pad(mesh, (h, h if ext_cols else 0), periodic)
@@ -539,6 +544,7 @@ def make_fused_multi_window_sharded(
                 local_rows=local_rows, local_cols=local_cols,
                 ext_cols=ext_cols, dtype=dtype, k=probe_k,
                 interpret=interpret, bc_inputs=bc_inputs,
+                stages_per_step=n_stages,
             )
             break
         except PallasUnsupportedError:
@@ -563,6 +569,7 @@ def make_fused_multi_window_sharded(
     if dt is None:
         raise ValueError("dt is required for time-dependent BC windows")
     kernels = _binary_kernel_ladder(build, k)
+    stage_frac = jnp.asarray(offsets)
 
     def window_td(datas, t0, steps):
         state = tuple(datas)
@@ -573,7 +580,9 @@ def make_fused_multi_window_sharded(
 
             def body(c, carry, _kk=kk, _step=step_fn):
                 d, idx = carry
-                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                # (step, stage)-major rows (S == 1: plain per-step table)
+                base = t0 + (idx + jnp.arange(_kk)) * dt
+                ts = (base[:, None] + stage_frac[None, :] * dt).reshape(-1)
                 return (_step(d, ts), idx + _kk)
 
             state, index = jax.lax.fori_loop(0, chunks, body, (state, index))
@@ -588,6 +597,7 @@ def make_fused_multi_window_sharded(
 def _make_fused_multi_window_sharded_3d(
     mesh, make_step, halo_per_step: int, n_fields: int, *,
     dtype=np.float32, interpret: bool = False, bc_inputs=None, dt=None,
+    stage_offsets=None,
 ) -> Callable:
     """Sharded 3D multi-field window: expression rhs trees on decomposed
     volumes.
@@ -616,6 +626,18 @@ def _make_fused_multi_window_sharded_3d(
     )
 
     grid = mesh.basegrid
+    if (
+        stage_offsets is not None
+        and len(tuple(stage_offsets)) > 1
+        and bc_inputs is not None
+        and (bc_inputs["t"] or bc_inputs.get("xt"))
+    ):
+        # the 3D ext kernel binds one t-table row per STEP; per-stage
+        # tables (fused RK4 with t-dependent BCs) lower on the serial 3D
+        # and 2D sharded paths, not here
+        raise PallasUnsupportedError(
+            "Sharded 3D windows do not support per-stage t-tables"
+        )
     local_shape = tuple(mesh.subgrid.shape)
     lx, ly, lz = local_shape
     ext_axes = (
@@ -843,6 +865,7 @@ def _make_fused_multi_window_sharded_3d(
     if dt is None:
         raise ValueError("dt is required for time-dependent BC windows")
     kernels = _binary_kernel_ladder(build, k)
+    stage_frac = jnp.asarray(offsets)
 
     def window_td(datas, t0, steps):
         state = tuple(datas)
@@ -853,7 +876,9 @@ def _make_fused_multi_window_sharded_3d(
 
             def body(c, carry, _kk=kk, _step=step_fn):
                 d, idx = carry
-                ts = t0 + (idx + jnp.arange(_kk)) * dt
+                # (step, stage)-major rows (S == 1: plain per-step table)
+                base = t0 + (idx + jnp.arange(_kk)) * dt
+                ts = (base[:, None] + stage_frac[None, :] * dt).reshape(-1)
                 return (_step(d, ts), idx + _kk)
 
             state, index = jax.lax.fori_loop(0, chunks, body, (state, index))

@@ -1510,24 +1510,59 @@ def test_fused_rk4_t_dependent_bc_parity(bc_t, rng, monkeypatch):
     )
 
 
-def test_fused_rk4_gating(rng, monkeypatch):
-    """Principled RK4 fallbacks: 3D kernels bind one t-table row per STEP,
-    so t-dependent BC values fall back there; SDEs never take the
-    deterministic RK4 window; adaptive RK45's accept/shrink decision is a
-    global error reduction, so it never fuses."""
+def test_fused_rk4_t_dependent_3d_and_sharded(rng, monkeypatch):
+    """Per-stage t-tables reach the serial 3D kernel AND the 2D sharded
+    kernel (round-5 widening); only the sharded 3D kernel still binds one
+    row per step and falls back."""
     from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
 
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
-    grid = pde.CartesianGrid([(0, 1), (0, 2), (0, 1)], (8, 8, 8))
-    state = pde.ScalarField.random_uniform(grid, rng=rng)
     bc_t = {"x": {"derivative": 0}, "z": {"derivative": 0},
             "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}}
-    solver = RungeKuttaSolver(pde.DiffusionPDE(0.01, bc=bc_t), adaptive=False)
-    out, _ = solver.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
+    grid3 = pde.CartesianGrid([(0, 1), (0, 2), (0, 1)], (8, 8, 8))
+    state3 = pde.ScalarField.random_uniform(grid3, rng=rng)
+    eq3 = pde.DiffusionPDE(0.01, bc=bc_t)
+    res3, ref3, info3 = _rk4_pair(eq3, state3, 0.01, 1e-3, monkeypatch)
+    assert info3.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res3.data), np.asarray(ref3.data), rtol=1e-12, atol=1e-13
+    )
+
+    grid2 = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state2 = pde.ScalarField.random_uniform(grid2, rng=rng)
+    bc2 = {"x": {"derivative": 0},
+           "y-": {"value_expression": "sin(3 * t)"}, "y+": {"derivative": 0}}
+    eq2 = pde.DiffusionPDE(0.01, bc=bc2)
+    res2, ref2, info2 = _rk4_pair(
+        eq2, state2, 0.01, 1e-3, monkeypatch, decomposition=[2, 2]
+    )
+    assert info2.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res2.data), np.asarray(ref2.data), rtol=1e-12, atol=1e-13
+    )
+
+    # sharded 3D: one t-table row per step — principled fallback
+    solver = RungeKuttaSolver(
+        pde.DiffusionPDE(0.01, bc=bc_t), adaptive=False,
+        decomposition=[2, 1, 1],
+    )
+    out, _ = solver.make_stepper(state3, dt=1e-3)(state3, 0.0, 0.01)
     assert solver.info.get("fused_step") is None
-    assert "time-dependent BC" in solver.info.get("fused_unsupported", "")
+    assert "per step" in solver.info.get("fused_unsupported", "")
     assert np.all(np.isfinite(np.asarray(out.data)))
+
+
+def test_fused_rk4_gating(rng, monkeypatch):
+    """Principled RK4 fallbacks: SDEs never take the deterministic RK4
+    window; adaptive RK45's accept/shrink decision is a global error
+    reduction, so it never fuses."""
+    from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (16, 16))
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
 
     # SDE: the fused hook refuses, then the XLA stepper raises (reference
     # behavior: deterministic RK does not support stochastic equations)

@@ -405,11 +405,16 @@ def test_solve_backend_pallas_forces_fused(rng, monkeypatch):
     with pytest.raises(RuntimeError, match="pallas"):
         solver_rk45.make_stepper(state, dt=1e-3)
 
-    # solvers without any fused path reject it outright (at construction —
-    # they override the stepper builders and would otherwise silently run
-    # their XLA loops)
+    # Adams-Bashforth gained a fused window in round 5: backend='pallas'
+    # now constructs AND the fused path engages (carried-rate planes)
+    solver_ab = pde.solvers.AdamsBashforthSolver(eq, backend="pallas")
+    solver_ab.make_stepper(state, dt=1e-3)(state, 0.0, 0.01)
+    assert solver_ab.info.get("fused_step") is True
+
+    # solvers whose scheme cannot temporally block at all still reject at
+    # construction (implicit Euler: global fixed-point convergence)
     with pytest.raises(RuntimeError, match="pallas"):
-        pde.solvers.AdamsBashforthSolver(eq, backend="pallas")
+        pde.solvers.ImplicitSolver(eq, backend="pallas")
 
     # contradictory request: pallas + explicitly disabled fusion
     monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")

@@ -860,9 +860,18 @@ def make_affine_laplace_2d(
         )
     n_rows, n_cols = grid.shape
     itemsize = np.dtype(dtype).itemsize
-    # single-field kernel: the raised budget picks band 512 at 4096² f32
-    # (measured +6% over band 128 — round-5 sweep, docs/BENCHMARKS.md)
-    band = _pick_band(n_rows, n_cols, itemsize, k, budget=_VMEM_BUDGET_AFFINE)
+    # single-field FIXUP-FREE kernel: the raised budget picks band 512 at
+    # 4096² f32 (measured +6% over band 128 — round-5 sweep,
+    # docs/BENCHMARKS.md). BC-fixup variants keep the default budget:
+    # their per-step ghost rewrites × k=16 × a 2688-row work region blew up
+    # the Mosaic compile (three attempts wedged >10 min on silicon), and no
+    # band-512 win is measured for them.
+    band_budget = (
+        _VMEM_BUDGET_AFFINE
+        if bc_specs is None and radial is None and corner_w == 0.0
+        else _VMEM_BUDGET
+    )
+    band = _pick_band(n_rows, n_cols, itemsize, k, budget=band_budget)
     n_programs = n_rows // band
     halo = -(-k // _HALO) * _HALO  # k rounded up to the 8-row DMA granule
     sx, sy = (1.0 / grid.discretization**2).tolist()

@@ -907,13 +907,15 @@ class PDE(SDEBase):
         `/root/reference/pde/backends/numba/_solvers.py:469`; RK4 tableau
         `/root/reference/pde/solvers/runge_kutta.py:29-66`).
 
-        Time-dependent BC values fuse on serial grids (2D and 3D) and 2D
-        decompositions: the t/xt tables carry one row per (step, stage) and
-        the step rebinds ghost values at ``t``, ``t + dt/2`` and ``t + dt``
-        between stages (the sharded 3D kernel still binds one row per step
-        and falls back). Adaptive RK45 cannot temporally block at all: each
-        step's accept/shrink decision depends on a GLOBAL error reduction
-        over the full state, which a banded kernel cannot see.
+        Time-dependent BC values fuse on EVERY RK4 window path (serial 2D
+        and 3D, 2D and 3D decompositions): the t/xt tables carry one row
+        per (step, stage) and the step rebinds ghost values at ``t``,
+        ``t + dt/2`` and ``t + dt`` between stages — matching the
+        reference, which re-evaluates BCs per rhs call
+        (`/root/reference/pde/backends/numba/_solvers.py:67-120`).
+        Adaptive RK45 cannot temporally block at all: each step's
+        accept/shrink decision depends on a GLOBAL error reduction over
+        the full state, which a banded kernel cannot see.
         """
         if self.is_sde:
             raise NotImplementedError(
@@ -992,15 +994,6 @@ class PDE(SDEBase):
             return rates
 
         if kind == "rk4":
-            has_td_bc = bc_inputs is not None and (
-                bc_inputs.get("t") or bc_inputs.get("xt")
-            )
-            if has_td_bc and mesh is not None and grid.num_axes == 3:
-                raise NotImplementedError(
-                    "Fused RK4 windows support time-dependent BC values "
-                    "on serial grids and 2D decompositions (the sharded 3D "
-                    "kernel binds one table row per step, not per stage)"
-                )
             halo_per_step = 4 * depth
 
             def make_multi_step(ops):

@@ -3319,6 +3319,7 @@ def make_fused_multi_ext_window_3d(
     grid: CartesianGrid, make_step, halo_per_step: int, n_fields: int, *,
     local_shape, ext_axes=(True, False, False), dtype=np.float32,
     k: int | None = None, interpret: bool = False, bc_inputs=None,
+    stages_per_step: int = 1,
 ) -> tuple[Callable, int]:
     """3D multi-field temporal-blocking kernel on halo-extended local blocks.
 
@@ -3400,11 +3401,12 @@ def make_fused_multi_ext_window_3d(
     y_entries = [(spec, attr) for ax, spec, attr in arr_entries if ax == 1]
     z_entries = [(spec, attr) for ax, spec, attr in arr_entries if ax == 2]
     n_pl, n_y, n_z = len(plane_entries), len(y_entries), len(z_entries)
+    S = stages_per_step  # t/xt tables carry one row per (step, stage)
     if not interpret and (n_pl or n_y or n_z or xt_entries):
         extra = (
-            (n_pl + n_xpl * k) * ny_e * nz_e
-            + (n_y + n_xy * k) * (band + 2 * halo) * nz_e
-            + (n_z + n_xz * k) * (band + 2 * halo) * ny_e * 128
+            (n_pl + n_xpl * k * S) * ny_e * nz_e
+            + (n_y + n_xy * k * S) * (band + 2 * halo) * nz_e
+            + (n_z + n_xz * k * S) * (band + 2 * halo) * ny_e * 128
         ) * itemsize
         if extra > 2 * 1024 * 1024:
             raise PallasUnsupportedError(
@@ -3499,10 +3501,17 @@ def make_fused_multi_ext_window_3d(
         helpers.bc_factors = bc_factors
 
         works = [work_refs[f][:, :ny_in, :nz_in] for f in range(F)]
-        for s in range(k):
-            helpers.step_idx = s
+
+        def _bind(idx):
+            helpers.step_idx = idx
             if has_t:
-                _set_t_slots(helpers, t_specs, t_tab, s)
+                _set_t_slots(helpers, t_specs, t_tab, idx)
+
+        for s in range(k):
+            # multi-stage steppers (fused RK4) rebind mid-step through
+            # helpers.bind_stage(j); stage 0 binds before each step call
+            helpers.bind_stage = lambda j, _s=s: _bind(_s * S + j)
+            helpers.bind_stage(0)
             works = step(works)
         for f in range(F):
             outs[f][:, :, :] = works[f]
@@ -3517,7 +3526,8 @@ def make_fused_multi_ext_window_3d(
         ] * n_pl
         + [
             pl.BlockSpec(
-                (k, ny_e, nz_e), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (k * S, ny_e, nz_e), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         ] * n_xpl
         + [pl.BlockSpec(memory_space=pl.ANY)] * (n_y + n_xy + n_z + n_xz)
@@ -3537,9 +3547,10 @@ def make_fused_multi_ext_window_3d(
         scratch_shapes=(
             [pltpu.VMEM((band + 2 * halo, ny_e, nz_e), dtype)] * F
             + [pltpu.VMEM((band + 2 * halo, 1, nz_e), dtype)] * n_y
-            + [pltpu.VMEM((k, band + 2 * halo, 1, nz_e), dtype)] * n_xy
+            + [pltpu.VMEM((k * S, band + 2 * halo, 1, nz_e), dtype)] * n_xy
             + [pltpu.VMEM((band + 2 * halo, ny_e, 128), dtype)] * n_z
-            + [pltpu.VMEM((k, band + 2 * halo, ny_e, 128), dtype)] * n_xz
+            + [pltpu.VMEM((k * S, band + 2 * halo, ny_e, 128), dtype)]
+            * n_xz
             + [pltpu.SemaphoreType.DMA((F + n_y + n_z + n_xy + n_xz,))]
         ),
         interpret=interpret,

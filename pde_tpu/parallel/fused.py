@@ -626,18 +626,8 @@ def _make_fused_multi_window_sharded_3d(
     )
 
     grid = mesh.basegrid
-    if (
-        stage_offsets is not None
-        and len(tuple(stage_offsets)) > 1
-        and bc_inputs is not None
-        and (bc_inputs["t"] or bc_inputs.get("xt"))
-    ):
-        # the 3D ext kernel binds one t-table row per STEP; per-stage
-        # tables (fused RK4 with t-dependent BCs) lower on the serial 3D
-        # and 2D sharded paths, not here
-        raise PallasUnsupportedError(
-            "Sharded 3D windows do not support per-stage t-tables"
-        )
+    offsets = tuple(stage_offsets) if stage_offsets is not None else (0.0,)
+    n_stages = len(offsets)
     local_shape = tuple(mesh.subgrid.shape)
     lx, ly, lz = local_shape
     ext_axes = (
@@ -667,6 +657,7 @@ def _make_fused_multi_window_sharded_3d(
             grid, make_step, halo_per_step, n_fields,
             local_shape=local_shape, ext_axes=ext_axes, dtype=dtype, k=kk,
             interpret=interpret, bc_inputs=bc_inputs,
+            stages_per_step=n_stages,
         )
         h = kk * halo_per_step
         halos = tuple(h if e else 0 for e in ext_axes)
@@ -841,6 +832,7 @@ def _make_fused_multi_window_sharded_3d(
                 grid, make_step, halo_per_step, n_fields,
                 local_shape=local_shape, ext_axes=ext_axes, dtype=dtype,
                 k=probe_k, interpret=interpret, bc_inputs=bc_inputs,
+                stages_per_step=n_stages,
             )
             break
         except PallasUnsupportedError:

@@ -1511,11 +1511,8 @@ def test_fused_rk4_t_dependent_bc_parity(bc_t, rng, monkeypatch):
 
 
 def test_fused_rk4_t_dependent_3d_and_sharded(rng, monkeypatch):
-    """Per-stage t-tables reach the serial 3D kernel AND the 2D sharded
-    kernel (round-5 widening); only the sharded 3D kernel still binds one
-    row per step and falls back."""
-    from pde_tpu.solvers.runge_kutta import RungeKuttaSolver
-
+    """Per-stage t-tables reach EVERY RK4 window path (round-5 widening):
+    serial 3D, 2D decompositions, and 3D decompositions."""
     monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
     monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
     bc_t = {"x": {"derivative": 0}, "z": {"derivative": 0},
@@ -1542,15 +1539,15 @@ def test_fused_rk4_t_dependent_3d_and_sharded(rng, monkeypatch):
         np.asarray(res2.data), np.asarray(ref2.data), rtol=1e-12, atol=1e-13
     )
 
-    # sharded 3D: one t-table row per step — principled fallback
-    solver = RungeKuttaSolver(
-        pde.DiffusionPDE(0.01, bc=bc_t), adaptive=False,
-        decomposition=[2, 1, 1],
+    # sharded 3D: per-stage tables reach the 3D ext kernel too
+    res3s, ref3s, info3s = _rk4_pair(
+        eq3, state3, 0.01, 1e-3, monkeypatch, decomposition=[2, 1, 1]
     )
-    out, _ = solver.make_stepper(state3, dt=1e-3)(state3, 0.0, 0.01)
-    assert solver.info.get("fused_step") is None
-    assert "per step" in solver.info.get("fused_unsupported", "")
-    assert np.all(np.isfinite(np.asarray(out.data)))
+    assert info3s.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res3s.data), np.asarray(ref3s.data),
+        rtol=1e-12, atol=1e-13,
+    )
 
 
 def test_fused_rk4_gating(rng, monkeypatch):

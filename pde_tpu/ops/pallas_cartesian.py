@@ -2521,11 +2521,13 @@ def _make_ychunk_multi_window_3d(
     rolls, and z stays locally periodic via lane rolls. Ghost fixups reuse
     the sharded-kernel machinery (:func:`_make_stencil_helpers_3d` with
     ``ext_y``): ``helpers.flags`` gates the y fixups on the chunks holding
-    the global y edges. Scalar-affine, t-dependent, AND per-face ARRAY BC
-    consts/factors lower (arrays stage as wrap-padded HBM blocks DMA-sliced
-    per program — x-side planes y-sliced per chunk, y-side blocks x-sliced
-    per band, z-side lane-broadcast blocks sliced in both); space-time
-    values do not (the dispatcher keeps those on the roll path). The
+    the global y edges. Scalar-affine, t-dependent, per-face ARRAY, AND
+    space-time BC consts/factors lower (arrays stage as wrap-padded HBM
+    blocks DMA-sliced per program — x-side planes y-sliced per chunk,
+    y-side blocks x-sliced per band, z-side lane-broadcast blocks sliced in
+    both; step-indexed xt tables use the same layouts with one extra
+    leading ``k`` dim); only multi-stage per-(step, stage) tables stay on
+    the roll path. The
     wrapped halo data is correct for periodic axes and overwritten by the
     per-step ghost rewrites otherwise — garbage beyond the ghost layer
     stays outside the shrinking light cone, exactly as in the x-banded
@@ -2554,8 +2556,14 @@ def _make_ychunk_multi_window_3d(
     F = n_fields
     t_specs = [] if bc_inputs is None else list(bc_inputs["t"])
     arr_entries = [] if bc_inputs is None else bc_inputs["arrays"]
+    xt_entries = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
+    xt_pl = [spec for ax, spec in xt_entries if ax == 0]
+    xt_y = [spec for ax, spec in xt_entries if ax == 1]
+    xt_z = [spec for ax, spec in xt_entries if ax == 2]
+    n_xpl, n_xy, n_xz = len(xt_pl), len(xt_y), len(xt_z)
     has_t = bool(t_specs)
-    if ext_x and (arr_entries or has_t):
+    needs_runtime = bool(has_t or xt_entries)
+    if ext_x and (arr_entries or needs_runtime):
         raise PallasUnsupportedError(
             "The halo-extended y-chunked kernel takes no BC side inputs "
             "(array/t-dependent values stay on the roll path)"
@@ -2594,12 +2602,12 @@ def _make_ychunk_multi_window_3d(
                 ).copy(),
             ))
     n_pl, n_y, n_z = len(plane_entries), len(y_entries), len(z_entries)
-    if not interpret and (n_pl or n_y or n_z):
+    if not interpret and (n_pl or n_y or n_z or xt_entries):
         itemsize = np.dtype(dtype).itemsize
         extra = (
-            n_pl * (ny_c + 2 * yh) * nz
-            + n_y * (band + 2 * halo) * nz
-            + n_z * (band + 2 * halo) * (ny_c + 2 * yh) * 128
+            (n_pl + n_xpl * k) * (ny_c + 2 * yh) * nz
+            + (n_y + n_xy * k) * (band + 2 * halo) * nz
+            + (n_z + n_xz * k) * (band + 2 * halo) * (ny_c + 2 * yh) * 128
         ) * itemsize
         if extra > _SIDE_INPUT_BUDGET:
             raise PallasUnsupportedError(
@@ -2616,13 +2624,17 @@ def _make_ychunk_multi_window_3d(
             pos += 1
         side_hbm = refs[pos : pos + n_pl + n_y + n_z]
         pos += n_pl + n_y + n_z
+        xt_hbm = refs[pos : pos + n_xpl + n_xy + n_xz]
+        pos += n_xpl + n_xy + n_xz
         ins = refs[pos : pos + F]
         outs = refs[pos + F : pos + 2 * F]
         pos += 2 * F
         blks = refs[pos : pos + F]
         pos += F
         side_vmem = refs[pos : pos + n_pl + n_y + n_z]
-        sem = refs[pos + n_pl + n_y + n_z]
+        pos += n_pl + n_y + n_z
+        xt_vmem = refs[pos : pos + n_xpl + n_xy + n_xz]
+        sem = refs[pos + n_xpl + n_xy + n_xz]
         i = pl.program_id(0)
         j = pl.program_id(1)
         x0 = i * band
@@ -2687,6 +2699,33 @@ def _make_ychunk_multi_window_3d(
                 )
             cp.start()
             copies.append(cp)
+        # space-time value tables: same padded-block slicing with one extra
+        # leading step dim (k rows; the kernel indexes helpers.step_idx)
+        n_sdma = n_fdma + n_pl + n_y + n_z
+        for s_idx in range(n_xpl + n_xy + n_xz):
+            src, dst = xt_hbm[s_idx], xt_vmem[s_idx]
+            if s_idx < n_xpl:
+                cp = pltpu.make_async_copy(
+                    src.at[:, pl.ds(pl.multiple_of(y0, 8), ny_c + 2 * yh), :],
+                    dst, sem.at[n_sdma + s_idx],
+                )
+            elif s_idx < n_xpl + n_xy:
+                cp = pltpu.make_async_copy(
+                    src.at[:, pl.ds(pl.multiple_of(x0, 8), band + 2 * halo)],
+                    dst, sem.at[n_sdma + s_idx],
+                )
+            else:
+                cp = pltpu.make_async_copy(
+                    src.at[
+                        :,
+                        pl.ds(pl.multiple_of(x0, 8), band + 2 * halo),
+                        pl.ds(pl.multiple_of(y0, 8), ny_c + 2 * yh),
+                        :,
+                    ],
+                    dst, sem.at[n_sdma + s_idx],
+                )
+            cp.start()
+            copies.append(cp)
         for cp in copies:
             cp.wait()
 
@@ -2701,6 +2740,12 @@ def _make_ychunk_multi_window_3d(
                 bc_arrays[id(spec)] = side_vmem[s_idx]
             else:
                 bc_factors[(id(spec), attr)] = side_vmem[s_idx]
+        for j2, spec in enumerate(xt_pl):
+            bc_arrays[id(spec)] = xt_vmem[j2]
+        for j2, spec in enumerate(xt_y):
+            bc_arrays[id(spec)] = xt_vmem[n_xpl + j2]
+        for j2, spec in enumerate(xt_z):
+            bc_arrays[id(spec)] = xt_vmem[n_xpl + n_xy + j2]
         helpers.bc_arrays = bc_arrays
         helpers.bc_factors = bc_factors
 
@@ -2740,7 +2785,8 @@ def _make_ychunk_multi_window_3d(
         in_specs=(
             ([pl.BlockSpec(memory_space=pltpu.SMEM)] if ext_x else [])
             + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if has_t else [])
-            + [pl.BlockSpec(memory_space=pl.ANY)] * (n_pl + n_y + n_z)
+            + [pl.BlockSpec(memory_space=pl.ANY)]
+            * (n_pl + n_y + n_z + n_xpl + n_xy + n_xz)
             + [pl.BlockSpec(memory_space=pl.ANY)] * F
         ),
         out_specs=[
@@ -2755,8 +2801,13 @@ def _make_ychunk_multi_window_3d(
             + [pltpu.VMEM((band + 2 * halo, 1, nz), dtype)] * n_y
             + [pltpu.VMEM((band + 2 * halo, ny_c + 2 * yh, 128), dtype)]
             * n_z
+            + [pltpu.VMEM((k, ny_c + 2 * yh, nz), dtype)] * n_xpl
+            + [pltpu.VMEM((k, band + 2 * halo, 1, nz), dtype)] * n_xy
+            + [pltpu.VMEM((k, band + 2 * halo, ny_c + 2 * yh, 128), dtype)]
+            * n_xz
             + [pltpu.SemaphoreType.DMA((
-                3 * (1 if ext_x else 3) * F + n_pl + n_y + n_z,
+                3 * (1 if ext_x else 3) * F
+                + n_pl + n_y + n_z + n_xpl + n_xy + n_xz,
             ))]
         ),
         interpret=interpret,
@@ -2781,18 +2832,43 @@ def _make_ychunk_multi_window_3d(
         window_k_ext.xt_entries = ()
         return window_k_ext, k
 
-    if has_t:
+    if needs_runtime:
 
         def window_k_t(datas, xt_ops, t_tab=None):
-            assert not xt_ops, "y-chunked kernels take no xt side inputs"
+            """``xt_ops``: one per-chunk table per ``window_k_t.xt_entries``
+            entry (ax 0: (k, ny, nz); ax 1: (k, nx, nz); ax 2: (k, nx, ny))
+            — wrap-padding (x by the staged halo, y by the chunk halo) and
+            lane-broadcast happen here; the kernel DMA-slices each padded
+            block to its (x band, y chunk) region."""
+            xpl_ops, xy_ops, xz_ops = [], [], []
+            for (ax, _), arr in zip(xt_entries, xt_ops, strict=True):
+                arr = jnp.asarray(arr, dtype=dtype)
+                if ax == 0:  # varies over the chunked y axis: wrap-pad y
+                    xpl_ops.append(jnp.concatenate(
+                        [arr[:, -yh:], arr, arr[:, :yh]], axis=1
+                    ))
+                    continue
+                ext = jnp.concatenate(
+                    [arr[:, -halo:], arr, arr[:, :halo]], axis=1
+                )
+                if ax == 1:
+                    xy_ops.append(ext[:, :, None, :])
+                else:  # varies over x AND y: pad both, broadcast lanes
+                    ext = jnp.concatenate(
+                        [ext[:, :, -yh:], ext, ext[:, :, :yh]], axis=2
+                    )
+                    xz_ops.append(jnp.broadcast_to(
+                        ext[:, :, :, None], (*ext.shape, 128)
+                    ))
+            t_args = [jnp.asarray(t_tab, dtype=dtype)] if has_t else []
             out = call(
-                jnp.asarray(t_tab, dtype=dtype), *side_consts,
+                *t_args, *side_consts, *xpl_ops, *xy_ops, *xz_ops,
                 *[jnp.asarray(d, dtype=dtype) for d in datas],
             )
             return list(out)
 
-        window_k_t.t_specs = tuple(t_specs)
-        window_k_t.xt_entries = ()
+        window_k_t.t_specs = tuple(t_specs) if has_t else None
+        window_k_t.xt_entries = tuple(xt_entries)
         return window_k_t, k
 
     def window_k(datas):
@@ -2839,24 +2915,23 @@ def make_fused_multi_stencil_window_3d(
     nx, ny, nz = grid.shape
     itemsize = np.dtype(dtype).itemsize
 
-    # y-chunked dispatch: space-time BC side inputs stay on the roll path
-    # (their step-indexed tables are not y-sliced); scalar-affine,
-    # t-dependent, and per-face ARRAY consts/factors lower into the
-    # chunked kernel (round-5: arrays stage as wrap-padded DMA-sliced
-    # blocks)
+    # y-chunked dispatch: scalar-affine, t-dependent, per-face ARRAY, and
+    # (round-5) space-time BC consts all lower into the chunked kernel
+    # (arrays and step-indexed xt tables stage as wrap-padded DMA-sliced
+    # blocks); only multi-stage per-(step, stage) tables stay on the roll
+    # path
     _xts = [] if bc_inputs is None else list(bc_inputs.get("xt", []))
     if ychunk is None or ychunk:
-        # multi-stage steppers (fused RK4) bind per-stage t-tables the
-        # y-chunked kernel does not carry — those configs stay on the roll
-        # path (stage tables only exist when t entries do)
+        # multi-stage steppers (fused RK4) bind per-stage t/xt tables
+        # through helpers.bind_stage, which the y-chunked kernel does not
+        # carry — those configs stay on the roll path
         _has_stage_tables = stages_per_step > 1 and bool(
-            bc_inputs and bc_inputs["t"]
+            bc_inputs and (bc_inputs["t"] or _xts)
         )
-        chunkable = not _xts and not _has_stage_tables
+        chunkable = not _has_stage_tables
         if ychunk and not chunkable:
             raise PallasUnsupportedError(
-                "y-chunked 3D kernels take no space-time BC side inputs "
-                "or multi-stage t-tables"
+                "y-chunked 3D kernels take no multi-stage t/xt tables"
             )
         cfg = None
         if interpret:

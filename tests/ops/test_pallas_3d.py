@@ -933,10 +933,10 @@ def test_ychunk_window_3d_t_dependent_bc(rng, monkeypatch):
 
 
 def test_ychunk_gating():
-    """Space-time BC side inputs refuse the y-chunked mode (their
-    step-indexed tables are not y-sliced); the hardware picker prefers the
-    measured-best config at 256³ and declines unaligned shapes;
-    interpret-mode auto stays on the roll path."""
+    """Multi-stage per-(step, stage) BC tables refuse the y-chunked mode
+    (the chunked kernel carries no ``bind_stage`` rebinding); the hardware
+    picker prefers the measured-best config at 256³ and declines unaligned
+    shapes; interpret-mode auto stays on the roll path."""
     from pde_tpu.ops.pallas_cartesian import (
         PallasUnsupportedError,
         _pick_ychunk_3d,
@@ -960,10 +960,18 @@ def test_ychunk_gating():
     specs = affine_bc_specs(grid, bcs)
     bc_inputs = collect_bc_side_inputs_3d({"c": specs})
     assert bc_inputs["xt"]
-    with pytest.raises(PallasUnsupportedError, match="space-time"):
+    # single-stage xt tables lower (round-5); multi-stage (fused RK4)
+    # per-(step, stage) tables stay on the roll path
+    win, _ = make_fused_multi_stencil_window_3d(
+        grid, _euler_lap_step(specs, 1e-3), 1, 1, dtype=np.float64,
+        interpret=True, ychunk=True, bc_inputs=bc_inputs,
+    )
+    assert win.xt_entries
+    with pytest.raises(PallasUnsupportedError, match="multi-stage"):
         make_fused_multi_stencil_window_3d(
             grid, _euler_lap_step(specs, 1e-3), 1, 1, dtype=np.float64,
             interpret=True, ychunk=True, bc_inputs=bc_inputs,
+            stages_per_step=4,
         )
 
 
@@ -1038,4 +1046,132 @@ def test_ychunk_window_3d_array_bc_parity(bc, rng):
         ref = ref + 1e-3 * lap(ref)
     np.testing.assert_allclose(
         out_y, np.asarray(ref), rtol=1e-12, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize(
+    "bc",
+    [
+        # x-side xt plane (varies over the CHUNKED y axis + t: the table is
+        # y-wrap-padded and y-sliced per chunk)
+        {"x-": {"value_expression": "cos(y) * sin(3 * t)"},
+         "x+": {"value": 0}, "y": {"derivative": 0}, "z": {"derivative": 0}},
+        # y-side xt block (varies over x + t: x-sliced per band)
+        {"x": {"derivative": 0}, "y-": {"value_expression": "sin(z - 2*t)"},
+         "y+": {"derivative": 0}, "z": {"derivative": 0}},
+        # z-side xt block (varies over x AND y + t: sliced in both dims),
+        # mixed with a static array plane and a t-only value
+        {"x-": {"value": "ARRAY_X"}, "x+": {"value_expression": "sin(3*t)"},
+         "y": {"derivative": 0},
+         "z-": {"value_expression": "cos(x + y - t)"},
+         "z+": {"derivative": 0}},
+    ],
+    ids=["xt-x-plane", "xt-y-block", "xt-z-block-mixed"],
+)
+def test_ychunk_window_3d_xt_bc_parity(bc, rng):
+    """Space-AND-time BC values lower into the y-chunked kernel (round-5:
+    step-indexed tables wrap-padded and DMA-sliced per program like the
+    static arrays, one extra leading k dim) and match the roll-path kernel
+    (to fp64 rounding — the ext_y shifted-slice formulation reorders the
+    ghost arithmetic) and the XLA oracle."""
+    import jax
+
+    from pde_tpu.ops.pallas_cartesian import (
+        affine_bc_specs,
+        collect_bc_side_inputs_3d,
+        make_fused_multi_stencil_window_3d,
+    )
+
+    n = 16
+    arrays = {"ARRAY_X": rng.uniform(-1, 1, (n, n))}
+    bc = {
+        side: {kk: arrays.get(vv, vv) if isinstance(vv, str) else vv
+               for kk, vv in spec.items()}
+        if isinstance(spec, dict) else spec
+        for side, spec in bc.items()
+    }
+    grid = pde.CartesianGrid([(0, 1)] * 3, (n, n, n))
+    bcs = grid.get_boundary_conditions(bc)
+    specs = affine_bc_specs(grid, bcs)
+    bc_inputs = collect_bc_side_inputs_3d({"c": specs})
+    assert bc_inputs["xt"]
+    make_step = _euler_lap_step(specs, 1e-3)
+    data = jnp.asarray(rng.random((n, n, n)), dtype=jnp.float64)
+    dt = 1e-3
+
+    wy, k = make_fused_multi_stencil_window_3d(
+        grid, make_step, 1, 1, dtype=np.float64, interpret=True,
+        ychunk=True, bc_inputs=bc_inputs,
+    )
+    wr, _ = make_fused_multi_stencil_window_3d(
+        grid, make_step, 1, 1, dtype=np.float64, interpret=True,
+        ychunk=False, k=k, bc_inputs=bc_inputs,
+    )
+    assert wy.xt_entries == wr.xt_entries
+
+    # per-window tables: step s reads the BC values at t0 + s*dt (the same
+    # (step)-major rows make_chunked_multi_window_3d builds)
+    ts = jnp.arange(k, dtype=jnp.float64) * dt
+    xt_ops = []
+    for ax, spec in wy.xt_entries:
+        face = tuple(m for d, m in enumerate(grid.shape) if d != ax)
+        xt_ops.append(jax.vmap(spec.const_xt)(ts).reshape(k, *face))
+    t_specs = wy.t_specs or ()
+    t_tab = None
+    if t_specs:
+        from pde_tpu.ops.pallas_cartesian import _t_slot_funcs
+
+        t_tab = jnp.stack(
+            [jax.vmap(fn)(ts) for fn in _t_slot_funcs(list(t_specs))], axis=1
+        )
+
+    out_y = np.asarray(wy([data], xt_ops, t_tab)[0])
+    np.testing.assert_allclose(
+        out_y, np.asarray(wr([data], xt_ops, t_tab)[0]),
+        rtol=1e-13, atol=1e-13,
+    )
+
+    lap = grid.make_operator("laplace", bc=bcs)
+    ref = data
+    for s in range(k):
+        ref = ref + 1e-3 * lap(ref, float(s * dt))
+    np.testing.assert_allclose(
+        out_y, np.asarray(ref), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_ychunk_solver_3d_xt_bc(rng, monkeypatch):
+    """Space-time BC values take the y-chunked kernel through the solver
+    path (forced ychunk) and match the XLA run."""
+    import functools
+
+    from pde_tpu.ops import pallas_cartesian as pc
+    from pde_tpu.solvers.controller import Controller
+    from pde_tpu.solvers.euler import EulerSolver
+
+    monkeypatch.setenv("PDE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(
+        pc, "make_chunked_multi_window_3d",
+        functools.partial(pc.make_chunked_multi_window_3d, ychunk=True),
+    )
+    grid = pde.CartesianGrid(
+        [(0, 1)] * 3, (16, 16, 16), periodic=[False, False, True]
+    )
+    state = pde.ScalarField.random_uniform(grid, rng=rng)
+    eq = pde.PDE(
+        {"c": "0.01 * laplace(c)"},
+        bc={
+            "x-": {"value_expression": "cos(y) * sin(3 * t)"},
+            "x+": {"value": 1.0},
+            "y": {"derivative": 0.0},
+            "z": "periodic",
+        },
+    )
+    solver = EulerSolver(eq)
+    res = Controller(solver, t_range=0.1, tracker=None).run(state, dt=0.01)
+    assert solver.info.get("fused_step") is True
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref = eq.solve(state, t_range=0.1, dt=0.01, tracker=None)
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), rtol=1e-10, atol=1e-12
     )

@@ -724,3 +724,52 @@ def test_vector_state_expression_parity(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.data), np.asarray(ref.data), **F32_TOL
     )
+
+
+def test_fused_ab2_parity(rng, monkeypatch):
+    """Fused fixed-dt Adams-Bashforth window on silicon: the carried
+    previous-rate plane rides as an extra field of the multi-field kernel
+    (round-5 feature; reference compiles AB in its fastest engine,
+    `/root/reference/pde/backends/numba/_solvers.py:469`). Covers the
+    backward-Euler bootstrap + cross-window rate carry on the chip."""
+    from pde_tpu.solvers.adams_bashforth import AdamsBashforthSolver
+    from pde_tpu.solvers.controller import Controller
+
+    monkeypatch.delenv("PDE_TPU_DISABLE_FUSED", raising=False)
+    grid = pde.UnitGrid([128, 128], periodic=True)
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.1)
+    solver = AdamsBashforthSolver(eq)
+    res = Controller(solver, t_range=1.0, tracker=None).run(state, dt=1e-3)
+    assert solver.info.get("fused_step") is True
+
+    monkeypatch.setenv("PDE_TPU_DISABLE_FUSED", "1")
+    ref_solver = AdamsBashforthSolver(eq)
+    ref = Controller(ref_solver, t_range=1.0, tracker=None).run(
+        state, dt=1e-3
+    )
+    assert ref_solver.info.get("fused_step") is None
+    for f in (res, ref):
+        assert np.isfinite(np.asarray(f.data)).all()
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )
+
+
+def test_fused_space_gamma_parity(rng, monkeypatch):
+    """Mixed BCs with gamma varying in SPACE via an expression: the
+    factory-time boundary-coordinate evaluation bridges to the array-factor
+    staging (round-5 bridge; reference `local.py:1781,2064`) — the staged
+    per-point ghost coefficients must Mosaic-compile and match XLA."""
+    grid = pde.CartesianGrid([(0, 1), (0, 2)], (128, 128))
+    bc = {"x-": {"type": "mixed_expression", "value": "1 + y", "const": 0.2},
+          "x+": {"derivative": 0},
+          "y-": {"type": "mixed_expression", "value": "x**2", "const": "x"},
+          "y+": {"derivative": 0}}
+    state = _f32(pde.ScalarField.random_uniform(grid, rng=rng))
+    eq = pde.DiffusionPDE(0.01, bc=bc)  # stability 0.20
+    res, ref, info = _solve_pair(eq, state, 0.5, 1e-3, monkeypatch)
+    assert info.get("fused_step") is True
+    np.testing.assert_allclose(
+        np.asarray(res.data), np.asarray(ref.data), **F32_TOL
+    )

@@ -645,8 +645,16 @@ def test_cylindrical_divergence_gradient_parity(rng, monkeypatch):
             {"x": "periodic", "y-": {"value": "sin(4 * x) * cos(z)"},
              "y+": {"derivative": 0.0}, "z": "periodic"},
         ),
+        # SPACE-TIME value table (round-5: step-indexed xt tables through
+        # the same padded-block DMA slicing, one extra leading k dim)
+        (
+            [True, False, True],
+            {"x": "periodic",
+             "y-": {"value_expression": "sin(4 * x) * cos(2 * t)"},
+             "y+": {"derivative": 0.0}, "z": "periodic"},
+        ),
     ],
-    ids=["periodic", "mixed", "array-face"],
+    ids=["periodic", "mixed", "array-face", "space-time"],
 )
 def test_fused_3d_ychunk_parity(periodic, bc, rng, monkeypatch):
     """Large (y, z) planes auto-route to the y-chunked kernel (2D pallas

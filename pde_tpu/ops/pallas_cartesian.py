@@ -63,12 +63,26 @@ def _require_default_laplace_stencil():
         )
 
 
-_VMEM_LIMIT = 100 * 1024 * 1024  # raised Mosaic scoped-VMEM limit for every
-# banded kernel. The ~16 MB default is a COMPILER default, not hardware
-# (v5e has 128 MB physical VMEM per core): the y-chunked 3D kernel proved in
-# round 4 that a 100 MB limit compiles and runs on silicon, so the whole
-# family now compiles under the raised limit and the band picker's budget
-# (below) decides the actual working set.
+_MOSAIC_VMEM_DEFAULT = 16 * 1024 * 1024  # Mosaic's own scoped-VMEM default.
+# Raising ``vmem_limit_bytes`` is NOT free: the round-5 hardware sweep found
+# Mosaic's scheduling degrades as the limit GROWS (band 128 under a blanket
+# 100 MB limit ran 13% slower than under the compiler default — 1.566e11 vs
+# 1.796e11 — and band 512 recovered from 1.657e11 at 100 MB to 1.849e11 at
+# 56 MB). Policy: kernels whose footprint fits the default pass NO compiler
+# params; bigger bands pass the TIGHTEST viable limit via ``vmem_footprint``
+# (v5e has 128 MB physical VMEM per core, so headroom exists when needed).
+
+_MB8 = 8 * 1024 * 1024
+
+
+def _tight_vmem_limit(footprint: int) -> int:
+    """Smallest viable ``vmem_limit_bytes`` for a kernel's VMEM footprint.
+
+    The footprint model (see :func:`_band_footprint`) tracks Mosaic's real
+    allocation to within ~1 MB (it reproduces the measured 6.45 MB overshoot
+    of band 256 over the 16 MB default at 4096² f32 k=16); a 2 MB pad plus
+    rounding up to the 8 MB granule absorbs the residual."""
+    return -(-(footprint + 2 * 1024 * 1024) // _MB8) * _MB8
 
 _VMEM_BUDGET = 15 * 1024 * 1024  # default band-picker budget (multi-field /
 # SDE / ext kernels: their per-field working sets multiply, and k=16 with a
@@ -88,19 +102,51 @@ def _vmem_budget(default: int = _VMEM_BUDGET) -> int:
     return int(mb) * 1024 * 1024 if mb else default
 
 
-def _pallas_call(pl, pltpu, *args, interpret: bool, **kwargs):
-    """``pl.pallas_call`` with the raised scoped-VMEM compiler limit.
+def _pallas_call(pl, pltpu, *args, interpret: bool, vmem_footprint: int = 0,
+                 **kwargs):
+    """``pl.pallas_call`` with a footprint-tight scoped-VMEM compiler limit.
 
-    Interpret mode takes no TPU compiler params; an explicit
-    ``compiler_params`` kwarg wins over the module default.
+    Interpret mode takes no TPU compiler params. On hardware, a kernel whose
+    ``vmem_footprint`` fits Mosaic's 16 MB default passes NO compiler params
+    (measured fastest — see ``_MOSAIC_VMEM_DEFAULT``); a bigger footprint
+    gets the tightest viable limit. ``PDE_TPU_VMEM_LIMIT_MB`` overrides for
+    hardware sweeps (``0`` = force Mosaic's own default); an explicit
+    ``compiler_params`` kwarg wins over everything. A raised
+    ``PDE_TPU_VMEM_BUDGET_MB`` (the band-picker sweep knob) also floors the
+    footprint, so kernels whose factories don't plumb an exact model still
+    compile when a sweep pushes their band past the Mosaic default.
     """
     if interpret:
         kwargs.pop("compiler_params", None)
         return pl.pallas_call(*args, interpret=True, **kwargs)
-    kwargs.setdefault(
-        "compiler_params", pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
-    )
+    mb_budget = os.environ.get("PDE_TPU_VMEM_BUDGET_MB")
+    if mb_budget:
+        vmem_footprint = max(vmem_footprint, int(mb_budget) * 1024 * 1024)
+    mb = os.environ.get("PDE_TPU_VMEM_LIMIT_MB")
+    if mb is not None:
+        limit = int(mb) * 1024 * 1024
+    elif vmem_footprint > _MOSAIC_VMEM_DEFAULT:
+        limit = _tight_vmem_limit(vmem_footprint)
+    else:
+        limit = 0
+    if limit:
+        kwargs.setdefault(
+            "compiler_params", pltpu.CompilerParams(vmem_limit_bytes=limit)
+        )
     return pl.pallas_call(*args, **kwargs)
+
+
+def _band_footprint(band: int, n_cols: int, itemsize: int, k: int) -> int:
+    """Per-program VMEM footprint of a banded 2D kernel.
+
+    Validated against hardware: at 4096² f32 k=16 the band=256 variant
+    measured 6.45 MB over the 16 MB scoped-VMEM limit and band=128 fits,
+    which this model reproduces. Terms: the band input buffer, the pipelined
+    output block (double-buffered), two DMA halo buffers, and ~3 live
+    work-region temporaries of (band + 2k) rows inside the step loop."""
+    halo = -(-k // _HALO) * _HALO
+    rows = 2 * band + 2 * halo + 3 * (band + 2 * k)
+    return rows * n_cols * itemsize
 
 
 def _pick_band(
@@ -109,24 +155,17 @@ def _pick_band(
 ) -> int:
     """Largest row-band dividing n_rows whose per-program VMEM footprint fits.
 
-    Footprint model (validated against hardware: at 4096² f32 k=16 the
-    band=256 variant measured 6.45 MB over the 16 MB scoped-VMEM limit and
-    band=128 fits, which this model reproduces): the band input buffer, the
-    pipelined output block (double-buffered), two DMA halo buffers, and ~3
-    live work-region temporaries of (band + 2k) rows inside the step loop.
-
-    ``PDE_TPU_FORCE_BAND`` pins the band for hardware sweeps (the caller is
-    responsible for divisibility; geometry gates still apply).
+    Footprint model: :func:`_band_footprint`. ``PDE_TPU_FORCE_BAND`` pins the
+    band for hardware sweeps (the caller is responsible for divisibility;
+    geometry gates still apply).
     """
     forced = os.environ.get("PDE_TPU_FORCE_BAND")
     if forced and n_rows % int(forced) == 0:
         return int(forced)
-    halo = -(-k // _HALO) * _HALO
     budget = _vmem_budget(budget)
 
     def footprint(band):
-        rows = 2 * band + 2 * halo + 3 * (band + 2 * k)
-        return rows * n_cols * itemsize
+        return _band_footprint(band, n_cols, itemsize, k)
 
     for candidate in (512, 256, 128, 64, 32, 16, 8):
         if footprint(candidate) <= budget and n_rows % candidate == 0:
@@ -1164,6 +1203,7 @@ def make_affine_laplace_2d(
         + [pltpu.VMEM((band + 2 * halo, 128), dtype)] * n_col_in
         + [pltpu.SemaphoreType.DMA((3 + n_col_in,))],
         interpret=interpret,
+        vmem_footprint=_band_footprint(band, n_cols, itemsize, k),
     )
 
     row_consts = [jnp.asarray(arr, dtype=dtype) for arr in row_arrays]
@@ -2441,10 +2481,23 @@ def _side_input_extra_3d(shape, bc_inputs, band, k, halo_per_step, itemsize):
     ) * itemsize
 
 
-_YCHUNK_VMEM_LIMIT = 100 * 1024 * 1024  # raised compiler limit for the
-# y-chunked 3D kernels (v5e has 128 MB physical VMEM; the default 16 MB
-# scoped limit is what capped the roll-path kernels at k=2 on 256 KB planes)
-_YCHUNK_VMEM_BUDGET = 80 * 1024 * 1024  # picker headroom under the limit
+_YCHUNK_VMEM_BUDGET = 80 * 1024 * 1024  # y-chunk picker budget (the default
+# 16 MB scoped limit is what capped the roll-path kernels at k=2 on 256 KB
+# planes; v5e has 128 MB physical VMEM, and the call passes the TIGHTEST
+# viable limit for the chosen config via ``vmem_footprint`` — see
+# ``_MOSAIC_VMEM_DEFAULT`` for why tight beats a blanket raise)
+
+
+def _ychunk_footprint(
+    nz: int, band: int, ny_c: int, kk: int, halo_per_step: int,
+    n_fields: int, itemsize: int,
+) -> int:
+    """Per-program VMEM footprint of the y-chunked 3D kernel."""
+    halo = kk * halo_per_step
+    yh = -(-halo // _HALO) * _HALO
+    ext = (band + 2 * halo) * (ny_c + 2 * yh) * nz
+    outs = 2 * band * ny_c * nz  # double-buffered output block
+    return (n_fields * (ext + outs) + 4 * ext) * itemsize
 
 
 def _pick_ychunk_3d(shape, itemsize: int, halo_per_step: int, n_fields: int):
@@ -2463,11 +2516,9 @@ def _pick_ychunk_3d(shape, itemsize: int, halo_per_step: int, n_fields: int):
         return None
 
     def footprint(band, ny_c, kk):
-        halo = kk * halo_per_step
-        yh = -(-halo // _HALO) * _HALO
-        ext = (band + 2 * halo) * (ny_c + 2 * yh) * nz
-        outs = 2 * band * ny_c * nz  # double-buffered output block
-        return (n_fields * (ext + outs) + 4 * ext) * itemsize
+        return _ychunk_footprint(
+            nz, band, ny_c, kk, halo_per_step, n_fields, itemsize
+        )
 
     for band in (64, 32, 16, 8):
         if nx % band:
@@ -2602,14 +2653,15 @@ def _make_ychunk_multi_window_3d(
                 ).copy(),
             ))
     n_pl, n_y, n_z = len(plane_entries), len(y_entries), len(z_entries)
+    side_extra = 0
     if not interpret and (n_pl or n_y or n_z or xt_entries):
         itemsize = np.dtype(dtype).itemsize
-        extra = (
+        side_extra = (
             (n_pl + n_xpl * k) * (ny_c + 2 * yh) * nz
             + (n_y + n_xy * k) * (band + 2 * halo) * nz
             + (n_z + n_xz * k) * (band + 2 * halo) * (ny_c + 2 * yh) * 128
         ) * itemsize
-        if extra > _SIDE_INPUT_BUDGET:
+        if side_extra > _SIDE_INPUT_BUDGET:
             raise PallasUnsupportedError(
                 "3D BC value arrays exceed the side-input VMEM budget"
             )
@@ -2772,11 +2824,9 @@ def _make_ychunk_multi_window_3d(
         for f in range(F):
             outs[f][:, :, :] = works[f][:, off : off + ny_c, :]
 
-    params = {} if interpret else {
-        "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=_YCHUNK_VMEM_LIMIT
-        )
-    }
+    ych_footprint = _ychunk_footprint(
+        nz, band, ny_c, k, halo_per_step, F, np.dtype(dtype).itemsize
+    ) + side_extra
     call = _pallas_call(
         pl, pltpu,
         kernel,
@@ -2811,7 +2861,7 @@ def _make_ychunk_multi_window_3d(
             ))]
         ),
         interpret=interpret,
-        **params,
+        vmem_footprint=ych_footprint,
     )
 
     side_consts = [
